@@ -1,0 +1,32 @@
+"""TPU-native FEM + VPINN framework (JAX / XLA / Pallas).
+
+A ground-up rebuild of the capabilities of ``pytorch_fem_solver``
+(reference: Nicolas-Zamorano/pytorch_fem_solver) designed for TPUs:
+host-built static-shape meshes, jit-compiled assembly via scatter-add,
+matrix-free Jacobi-PCG solves, Pallas element kernels, and shard_map-based
+multi-chip scaling.
+
+Public API parity with the reference's flat exports
+(/root/reference/torch_fem/__init__.py:3-28).
+"""
+
+from . import config
+from .basis import AbstractBasis, Basis, InteriorEdgesBasis
+from .element import ElementLine, ElementTri
+from .mesh import MeshTri, MeshesTri, rectangle, refine_uniform, unit_square
+
+__all__ = [
+    "config",
+    "AbstractBasis",
+    "Basis",
+    "InteriorEdgesBasis",
+    "ElementLine",
+    "ElementTri",
+    "MeshTri",
+    "MeshesTri",
+    "rectangle",
+    "refine_uniform",
+    "unit_square",
+]
+
+__version__ = "0.1.0"

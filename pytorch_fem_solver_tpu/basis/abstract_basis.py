@@ -1,0 +1,278 @@
+"""Template-method core of the basis/assembly layer.
+
+Capability parity with the reference ``AbstractBasis``
+(/root/reference/torch_fem/basis/abstract_basis.py:10-195), redesigned for
+XLA:
+
+* all quadrature-evaluated tensors (shape values, physical gradients,
+  integration points, weights, DOF/scatter indices) are precomputed once at
+  construction into static-shape device arrays;
+* assembly is a differentiable scatter-add (``.at[].add``) instead of
+  ``index_put_`` — under jit XLA lowers it to a single fused scatter;
+* every integrate/solve method is pure (returns new arrays) and traceable, so
+  the whole VPINN loss (assembly included) can sit inside one ``jax.jit`` /
+  ``jax.grad``;
+* local (unassembled) element tensors are first-class
+  (``integrate_*_form_local``) to feed the matrix-free PCG path, which is the
+  TPU-native way to solve large systems (no dense n^2 matrix in HBM).
+
+Tensor-shape convention (identical to the reference, SURVEY.md §2):
+integrands broadcast over trailing dims (..., n_cells, n_quad, n_loc, n_dim).
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class AbstractBasis(abc.ABC):
+    """Couples a mesh and a reference element into an integration/assembly op set."""
+
+    def __init__(self, mesh, element):
+        self._element = element
+        self.mesh = mesh
+
+        (
+            self.v,
+            self.v_grad,
+            self.integration_points,
+            self._dx,
+            self._inv_map_jacobian,
+        ) = self._compute_integral_values(mesh, element)
+
+        (
+            self._coords4global_dofs,
+            self._global_dofs4elements,
+            self._nodes4boundary_dofs,
+            self._coords4elements,
+        ) = self._compute_dofs(mesh, element)
+
+        self._basis_parameters = self._compute_basis_parameters(
+            self._coords4global_dofs,
+            self._global_dofs4elements,
+            self._nodes4boundary_dofs,
+        )
+
+    # -- construction pipeline --------------------------------------------
+
+    def _compute_integral_values(self, mesh, element):
+        """Evaluate shape functions / weights at quadrature points (once)."""
+        map_jacobian = self._compute_jacobian_map(mesh, element)
+
+        det_map_jacobian, inv_map_jacobian = element.compute_det_and_inv_map(
+            map_jacobian
+        )
+
+        bar_coords = element.compute_barycentric_coordinates(element.gaussian_nodes)
+
+        v, v_grad = element.compute_shape_functions(bar_coords, inv_map_jacobian)
+
+        integration_points = self._compute_integration_points(mesh, bar_coords)
+
+        dx = self._compute_integral_weights(element, det_map_jacobian)
+
+        return v, v_grad, integration_points, dx, inv_map_jacobian
+
+    # -- integration ------------------------------------------------------
+
+    def integrate_functional(
+        self, function: Callable[..., jnp.ndarray], *args: Any, **kwargs: Any
+    ) -> jnp.ndarray:
+        """Per-cell integral of a functional: sums quadrature and local axes."""
+        return (function(self, *args, **kwargs) * self._dx).sum(-3).sum(-2)
+
+    def integrate_bilinear_form_local(
+        self, function: Callable[..., jnp.ndarray], *args: Any, **kwargs: Any
+    ) -> jnp.ndarray:
+        """Unassembled element matrices (..., n_cells, n_loc, n_loc).
+
+        This is the TPU-native primary product: it feeds either the dense
+        scatter assembly below or the matrix-free operator in
+        ``ops.operators`` without materializing a global matrix.
+        """
+        return (function(self, *args, **kwargs) * self._dx).sum(-3)
+
+    def integrate_linear_form_local(
+        self, function: Callable[..., jnp.ndarray], *args: Any, **kwargs: Any
+    ) -> jnp.ndarray:
+        """Unassembled element load vectors (..., n_cells, n_loc, 1)."""
+        return (function(self, *args, **kwargs) * self._dx).sum(-3)
+
+    def integrate_bilinear_form(
+        self, function: Callable[..., jnp.ndarray], *args: Any, **kwargs: Any
+    ) -> jnp.ndarray:
+        """Assembled global matrix via differentiable scatter-add."""
+        local = self.integrate_bilinear_form_local(function, *args, **kwargs)
+        values = self.reshape_for_assembly(local, "bilinear")
+        shape = self._basis_parameters["bilinear_form_shape"]
+        idx = self._basis_parameters["bilinear_form_idx"]
+        return jnp.zeros(shape, dtype=values.dtype).at[idx].add(values)
+
+    def integrate_linear_form(
+        self, function: Callable[..., jnp.ndarray], *args: Any, **kwargs: Any
+    ) -> jnp.ndarray:
+        """Assembled global load vector via differentiable scatter-add."""
+        local = self.integrate_linear_form_local(function, *args, **kwargs)
+        values = self.reshape_for_assembly(local, "linear")
+        shape = self._basis_parameters["linear_form_shape"]
+        idx = self._basis_parameters["linear_form_idx"]
+        return jnp.zeros(shape, dtype=values.dtype).at[idx].add(values)
+
+    # -- reduction / solve ------------------------------------------------
+
+    def reduce(self, tensor: jnp.ndarray) -> jnp.ndarray:
+        """Restrict a global matrix/vector to interior (non-Dirichlet) DOFs."""
+        idx = self._basis_parameters["inner_dofs"]
+        if tensor.shape[-1] != 1:
+            return tensor[..., idx, :][..., :, idx]
+        return tensor[..., idx, :]
+
+    def solution_tensor(self) -> jnp.ndarray:
+        """Zero-initialized global DOF vector (n_dofs, 1)."""
+        from .. import config
+
+        return jnp.zeros(
+            self._basis_parameters["linear_form_shape"], dtype=config.default_dtype()
+        )
+
+    def solve(
+        self,
+        matrix: jnp.ndarray,
+        solution: jnp.ndarray,
+        vector: jnp.ndarray,
+        only_inner_dofs: bool = True,
+    ) -> jnp.ndarray:
+        """Direct (dense LU) solve; parity with abstract_basis.py:177-195.
+
+        Returns a *new* solution vector with interior DOFs filled in. For the
+        large-scale TPU path use ``solve_iterative`` instead.
+        """
+        if only_inner_dofs:
+            matrix = self.reduce(matrix)
+            vector = self.reduce(vector)
+        update = jnp.linalg.solve(matrix, vector)
+        inner = self._basis_parameters["inner_dofs"]
+        return solution.at[..., inner, :].add(update)
+
+    def solve_iterative(
+        self,
+        local_matrices: jnp.ndarray,
+        vector: jnp.ndarray,
+        solution: Optional[jnp.ndarray] = None,
+        tol: float = 1e-10,
+        maxiter: Optional[int] = None,
+        only_inner_dofs: bool = True,
+    ) -> jnp.ndarray:
+        """Matrix-free Jacobi-preconditioned CG on the reduced system.
+
+        Never materializes the global matrix: the operator is
+        gather -> per-cell 3x3 matvec -> segment-sum, entirely fusible by XLA
+        and shardable over the cell axis.
+        """
+        from ..ops.operators import reduced_operator_from_local
+        from ..ops.solvers import pcg
+
+        if solution is None:
+            solution = self.solution_tensor()
+        matvec, diag = reduced_operator_from_local(self, local_matrices)
+        rhs = self.reduce(vector) if only_inner_dofs else vector
+        x, _ = pcg(matvec, rhs[..., 0], precond_diag=diag, tol=tol, maxiter=maxiter)
+        inner = self._basis_parameters["inner_dofs"]
+        return solution.at[..., inner, 0].add(x)
+
+    # -- abstract surface -------------------------------------------------
+
+    @abc.abstractmethod
+    def _compute_dofs(self, mesh, element) -> Tuple:
+        """DOF coordinates/maps: (coords4global_dofs, global_dofs4elements,
+        nodes4boundary_dofs, coords4elements)."""
+
+    @abc.abstractmethod
+    def _compute_basis_parameters(
+        self, coords4global_dofs, global_dofs4elements, nodes4boundary_dofs
+    ) -> dict:
+        """Assembly shapes + scatter indices + interior DOF list."""
+
+    @abc.abstractmethod
+    def _compute_jacobian_map(self, mesh, element):
+        """Affine map Jacobian from reference to physical element."""
+
+    @abc.abstractmethod
+    def _compute_integration_points(self, mesh, bar_coords):
+        """Physical quadrature points per element."""
+
+    @abc.abstractmethod
+    def _compute_integral_weights(self, element, det_map_jacobian):
+        """Quadrature weights x reference measure x |det J| (x extra scales)."""
+
+    # -- helpers ----------------------------------------------------------
+
+    def reshape_for_assembly(self, local: jnp.ndarray, form: str) -> jnp.ndarray:
+        """Flatten local element tensors into the scatter-value layout."""
+        if form == "bilinear":
+            return local.reshape(-1)
+        if form == "linear":
+            return local.reshape(-1, 1)
+        raise NotImplementedError(f"Unknown form type: {form}")
+
+    @property
+    def n_dofs(self) -> int:
+        return int(self._basis_parameters["nb_dofs"])
+
+    @property
+    def element(self):
+        return self._element
+
+    @staticmethod
+    def _as_host_index(array) -> np.ndarray:
+        """Host copy of an index array for dynamic-shape setup math."""
+        return np.asarray(array)
+
+
+def _is_array_leaf(x) -> bool:
+    return isinstance(x, (jnp.ndarray, np.ndarray, jax.Array))
+
+
+def _basis_flatten(basis: AbstractBasis):
+    """Split state into traced array leaves and static aux (shapes, element).
+
+    Shape tuples inside ``_basis_parameters`` must stay static under jit, so
+    the parameter dict is partitioned entry-wise.
+    """
+    state = dict(basis.__dict__)
+    element = state.pop("_element")
+    params = state.pop("_basis_parameters", None)
+
+    dyn_params, static_params = {}, {}
+    if params is not None:
+        for key, value in params.items():
+            if _is_array_leaf(value) or (
+                isinstance(value, tuple) and value and _is_array_leaf(value[0])
+            ):
+                dyn_params[key] = value
+            else:
+                static_params[key] = value
+
+    children = {"state": state, "params": dyn_params}
+    return (children,), (type(basis), element, tuple(sorted(static_params.items())))
+
+
+def _basis_unflatten(aux, children):
+    cls, element, static_items = aux
+    obj = cls.__new__(cls)
+    obj.__dict__.update(children[0]["state"])
+    obj._element = element
+    params = dict(static_items)
+    params.update(children[0]["params"])
+    obj._basis_parameters = params
+    return obj
+
+
+def register_basis_pytree(cls):
+    jax.tree_util.register_pytree_node(cls, _basis_flatten, _basis_unflatten)
+    return cls

@@ -1,0 +1,195 @@
+"""Cell-volume basis on a single triangle mesh.
+
+Parity target: reference ``Basis`` (/root/reference/torch_fem/basis/basis.py).
+Differences by design:
+
+* P2 DOFs are fully supported (the reference ships P2 shape functions but its
+  DOF map is commented out, basis.py:26-49);
+* scatter indices are laid out so that local entry (i, j) lands at global
+  (row_i, col_j) — the reference assembles the transpose, which only matters
+  for non-symmetric forms (basis.py:73-74);
+* interior-DOF lists are computed host-side once (dynamic shapes never reach
+  jit).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from .abstract_basis import AbstractBasis, register_basis_pytree
+from .interior_edges_basis import InteriorEdgesBasis
+
+
+@register_basis_pytree
+class Basis(AbstractBasis):
+    """Lagrange basis over mesh cells (P1 on vertices, P2 on vertices+edges)."""
+
+    def _compute_dofs(self, mesh, element):
+        if element.polynomial_order == 1:
+            coords_4_global_dofs = mesh["vertices", "coordinates"]
+            global_dofs_4_elements = mesh["cells", "vertices"]
+            nodes_4_boundary_dofs = mesh["vertices", "markers"]
+
+        elif element.polynomial_order == 2:
+            # P2: vertex DOFs + one DOF per unique edge (at the midpoint).
+            verts = np.asarray(mesh["vertices", "coordinates"])
+            cells = np.asarray(mesh["cells", "vertices"])
+            edges = np.asarray(mesh["edges", "vertices"])
+            edge_markers = np.asarray(mesh["edges", "markers"]).reshape(-1)
+            vert_markers = np.asarray(mesh["vertices", "markers"]).reshape(-1)
+            n_vertices = verts.shape[0]
+
+            # map each cell's local edges (01, 12, 02 — matching the local
+            # P2 shape function order 4*l1*l2, 4*l2*l3, 4*l3*l1) to the
+            # unique-edge ids
+            local = np.sort(cells[:, [[0, 1], [1, 2], [0, 2]]], axis=-1)
+            edge_lookup = {tuple(e): i for i, e in enumerate(np.sort(edges, axis=-1))}
+            cell_edges = np.array(
+                [[edge_lookup[tuple(e)] for e in ce] for ce in local], dtype=np.int64
+            )
+
+            midpoints = verts[edges].mean(axis=1)
+            coords_4_global_dofs = jnp.asarray(
+                np.concatenate([verts, midpoints], axis=0),
+                dtype=config.default_dtype(),
+            )
+            global_dofs_4_elements = jnp.asarray(
+                np.concatenate([cells, cell_edges + n_vertices], axis=1),
+                dtype=config.index_dtype(),
+            )
+            nodes_4_boundary_dofs = jnp.asarray(
+                np.concatenate([vert_markers, edge_markers], axis=0).reshape(-1, 1),
+                dtype=config.index_dtype(),
+            )
+        else:
+            raise NotImplementedError("Polynomial order not implemented")
+
+        coords_4_elements = mesh.compute_coordinates_4_cells(
+            coords_4_global_dofs, global_dofs_4_elements
+        )
+
+        return (
+            coords_4_global_dofs,
+            global_dofs_4_elements,
+            nodes_4_boundary_dofs,
+            coords_4_elements,
+        )
+
+    def _compute_basis_parameters(
+        self, coords4global_dofs, global_dofs4elements, nodes4boundary_dofs
+    ):
+        nb_global_dofs = int(coords4global_dofs.shape[-2])
+        nb_local_dofs = int(global_dofs4elements.shape[-1])
+
+        markers = self._as_host_index(nodes4boundary_dofs).reshape(-1)
+        inner_dofs = jnp.asarray(
+            np.nonzero(markers != 1)[0], dtype=config.index_dtype()
+        )
+
+        dofs = global_dofs4elements
+        rows_idx = jnp.repeat(dofs, nb_local_dofs, axis=-1).reshape(-1)
+        cols_idx = jnp.tile(dofs, (1, nb_local_dofs)).reshape(-1)
+        form_idx = dofs.reshape(-1)
+
+        return {
+            "bilinear_form_shape": (nb_global_dofs, nb_global_dofs),
+            "bilinear_form_idx": (rows_idx, cols_idx),
+            "linear_form_shape": (nb_global_dofs, 1),
+            "linear_form_idx": (form_idx,),
+            "inner_dofs": inner_dofs,
+            "nb_dofs": nb_global_dofs,
+        }
+
+    def _compute_jacobian_map(self, mesh, element):
+        return jnp.matrix_transpose(self._cell_coordinates(mesh)) @ (
+            element.barycentric_grad
+        )
+
+    def _cell_coordinates(self, mesh):
+        return mesh["cells", "coordinates"]
+
+    def _compute_integration_points(self, mesh, bar_coords):
+        return jnp.matrix_transpose(bar_coords) @ self._cell_coordinates(mesh)[
+            ..., None, :, :
+        ]
+
+    def _compute_integral_weights(self, element, det_map_jacobian):
+        return (
+            element.reference_element_area
+            * element.gaussian_weights
+            * det_map_jacobian
+        )
+
+    # -- interpolation -----------------------------------------------------
+
+    def interpolate(
+        self, basis: AbstractBasis, tensor: Optional[jnp.ndarray] = None
+    ):
+        """Evaluate a DOF vector (or nodal samples of a function) on another
+        basis's quadrature points.
+
+        * ``basis is self``: per-cell evaluation, returns values/gradients at
+          this basis's own quadrature points.
+        * ``basis`` is an :class:`InteriorEdgesBasis`: two-sided traces — edge
+          quadrature points are pulled back into each adjacent cell's
+          reference coordinates, shape functions re-evaluated there, yielding
+          a leading cell-pair axis at dim -4 (for jump terms).
+
+        Parity: reference basis.py:98-177.
+        """
+        if basis is self:
+            dof_idx = self._global_dofs4elements[..., None, :]  # (T, 1, n_loc)
+            v = self.v
+            v_grad = self.v_grad
+
+        elif isinstance(basis, InteriorEdgesBasis):
+            cells_4_interior_edges = basis.mesh["interior_edges", "cells"]  # (Ei, 2)
+
+            # (Ei, 2, 1, n_loc): DOF ids of both adjacent cells
+            dof_idx = self._global_dofs4elements[cells_4_interior_edges][..., None, :]
+
+            # (Ei, 2, 1, 1, d): first vertex of each adjacent cell
+            first_vertex = self.mesh["cells", "coordinates"][..., [0], :][
+                cells_4_interior_edges
+            ][..., None, :, :]
+
+            # (Ei, 2, 1, d, d)
+            inv_map_jacobian = self._inv_map_jacobian[cells_4_interior_edges]
+
+            # edge quadrature points with an inserted cell-pair axis:
+            # (Ei, 1, q_E, 1, d)
+            pts = basis.integration_points[..., None, :, :, :]
+
+            ref_pts = self._element.compute_inverse_map(
+                first_vertex, pts, inv_map_jacobian
+            )  # (Ei, 2, q_E, 1, d_ref)
+
+            bar_coords = self._element.compute_barycentric_coordinates(
+                ref_pts.squeeze(-2)
+            )  # (Ei, 2, q_E, n_loc, 1)
+
+            v, v_grad = self._element.compute_shape_functions(
+                bar_coords, inv_map_jacobian
+            )
+        else:
+            raise NotImplementedError("Interpolation for this basis not implemented")
+
+        if tensor is not None:
+            values = tensor[dof_idx]  # (..., 1|q, n_loc, 1)
+            interpolation = (values * v).sum(-2, keepdims=True)
+            interpolation_grad = (values * v_grad).sum(-2, keepdims=True)
+            return interpolation, interpolation_grad
+
+        nodes = self._coords4global_dofs
+
+        def interpolator(function: Callable[[jnp.ndarray], jnp.ndarray]):
+            return (function(nodes)[dof_idx] * v).sum(-2, keepdims=True)
+
+        def interpolator_grad(function: Callable[[jnp.ndarray], jnp.ndarray]):
+            return (function(nodes)[dof_idx] * v_grad).sum(-2, keepdims=True)
+
+        return interpolator, interpolator_grad

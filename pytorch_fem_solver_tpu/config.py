@@ -1,0 +1,53 @@
+"""Global configuration for the TPU FEM framework.
+
+The reference library configures precision globally via
+``torch.set_default_dtype`` (e.g. /root/reference/examples/example_jump.py:22).
+Here the equivalent is JAX's x64 switch plus a library-level default dtype:
+FEM correctness studies want float64 (available on CPU and, emulated, on TPU),
+while the TPU fast path runs float32 with float64 reductions where needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class _Config:
+    """Mutable library configuration (host-side only, never traced)."""
+
+    #: dtype used for newly-built mesh/basis arrays.
+    default_dtype: jnp.dtype | None = None
+
+
+_config = _Config()
+
+
+def use_x64(enable: bool = True) -> None:
+    """Enable float64 globally (parity with torch.set_default_dtype(float64))."""
+    jax.config.update("jax_enable_x64", enable)
+
+
+def set_default_dtype(dtype) -> None:
+    """Set the dtype used for newly constructed meshes/bases."""
+    _config.default_dtype = jnp.dtype(dtype)
+
+
+def default_dtype() -> jnp.dtype:
+    """Return the dtype for real-valued FEM arrays.
+
+    Defaults to float64 when x64 is enabled, float32 otherwise.
+    """
+    if _config.default_dtype is not None:
+        return _config.default_dtype
+    return jnp.dtype(jnp.float64) if jax.config.jax_enable_x64 else jnp.dtype(
+        jnp.float32
+    )
+
+
+def index_dtype() -> jnp.dtype:
+    """Integer dtype for connectivity / DOF indices (int32 fits MXU-era TPUs)."""
+    return jnp.dtype(jnp.int32)

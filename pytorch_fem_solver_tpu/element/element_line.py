@@ -1,0 +1,59 @@
+"""P1 Lagrange segment reference element on [-1, 1].
+
+Parity with ``torch_fem/element/element_line.py``: used for quadrature over
+interior edges (jump/flux terms). The map Jacobian of an edge embedded in
+R^d is a (d, 1) column; its "determinant" is the column norm (half-length
+scale) and the pseudo-inverse is the reciprocal of that norm.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import config
+from .abstract_element import AbstractElement
+from .quadrature import line_rule
+
+
+class ElementLine(AbstractElement):
+    """Reference segment [-1, 1] with P1 shape functions."""
+
+    @property
+    def barycentric_grad(self):
+        # grad of ((1-x)/2, (1+x)/2) on [-1, 1]
+        return jnp.asarray([[-0.5], [0.5]], dtype=config.default_dtype())
+
+    @property
+    def reference_element_area(self) -> float:
+        return 2.0
+
+    def compute_barycentric_coordinates(self, x):
+        """(..., n_pts, 1) reference coords -> (..., n_pts, 2, 1) barycentric.
+
+        Unlike the reference (element_line.py:18-19, which returns (q, 2) and
+        only happens to work for 2-point symmetric rules), the layout matches
+        the triangle convention (points, n_loc, 1) so every quadrature order
+        works uniformly.
+        """
+        return jnp.stack([0.5 * (1.0 - x), 0.5 * (1.0 + x)], axis=-2)
+
+    def compute_shape_functions(self, bar_coords, inv_map_jacobian):
+        if self.polynomial_order != 1:
+            raise NotImplementedError("Polynomial order not implemented")
+        v = bar_coords
+        v_grad = self.barycentric_grad @ inv_map_jacobian
+        return v, v_grad
+
+    def _compute_gauss_values(self):
+        return line_rule(self.integration_order)
+
+    def compute_det_and_inv_map(self, map_jacobian):
+        """Norm of the (d, 1) edge Jacobian column and its reciprocal.
+
+        det (..., 1, 1, 1) for quadrature-weight broadcasting,
+        inv (..., 1, 1, 1) with the quadrature broadcast axis (matching the
+        triangle element's (..., 1, d, d) layout).
+        """
+        det = jnp.linalg.norm(map_jacobian, axis=-2, keepdims=True)
+        inv = 1.0 / det
+        return det[..., None], inv[..., None]

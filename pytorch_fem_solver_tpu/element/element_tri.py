@@ -1,0 +1,119 @@
+"""P1/P2 Lagrange triangle reference element.
+
+Capability parity with ``torch_fem/element/element_tri.py`` (reference):
+P1 + P2 shape functions and gradients, symmetric Gauss rules of degree 1-5,
+analytic 2x2 determinant/inverse for the affine map. All math is expressed as
+broadcastable jnp ops so a single code path serves single meshes, batched
+meshes (leading batch dim) and vmapped uses.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import config
+from .abstract_element import AbstractElement
+from .quadrature import triangle_rule
+
+
+class ElementTri(AbstractElement):
+    """Reference triangle with vertices (0,0), (1,0), (0,1)."""
+
+    @property
+    def barycentric_grad(self):
+        # grad of (1 - x - y, x, y) — rows are the 3 vertex basis fns
+        return jnp.asarray(
+            [[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]], dtype=config.default_dtype()
+        )
+
+    @property
+    def reference_element_area(self) -> float:
+        return 0.5
+
+    @property
+    def outward_normal(self):
+        """Outward (unnormalized) edge normals of the reference triangle."""
+        return jnp.asarray(
+            [[1.0, 1.0], [-1.0, 0.0], [0.0, -1.0]], dtype=config.default_dtype()
+        )
+
+    def compute_barycentric_coordinates(self, x):
+        """(..., n_pts, 2) reference coords -> (..., n_pts, 3, 1) barycentric."""
+        lam1 = 1.0 - x[..., [0]] - x[..., [1]]
+        return jnp.stack([lam1, x[..., [0]], x[..., [1]]], axis=-2)
+
+    def compute_shape_functions(self, bar_coords, inv_map_jacobian):
+        """Values (..., n_q, n_loc, 1) and physical gradients (..., 1|n_q, n_loc, 2)."""
+        if self.polynomial_order == 1:
+            v = bar_coords
+            # constant gradient per cell: (3,2) @ (..., 2, 2) -> (..., 3, 2);
+            # callers rely on broadcasting over the quadrature axis
+            v_grad = self.barycentric_grad @ inv_map_jacobian
+            return v, v_grad
+
+        if self.polynomial_order == 2:
+            l1, l2, l3 = (
+                bar_coords[..., 0, :],
+                bar_coords[..., 1, :],
+                bar_coords[..., 2, :],
+            )
+            l1 = l1[..., None, :]
+            l2 = l2[..., None, :]
+            l3 = l3[..., None, :]
+            v = jnp.concatenate(
+                [
+                    l1 * (2 * l1 - 1),
+                    l2 * (2 * l2 - 1),
+                    l3 * (2 * l3 - 1),
+                    4 * l1 * l2,
+                    4 * l2 * l3,
+                    4 * l3 * l1,
+                ],
+                axis=-2,
+            )
+            g = self.barycentric_grad  # (3, 2)
+            g1, g2, g3 = g[0:1, :], g[1:2, :], g[2:3, :]
+            grad_ref = jnp.concatenate(
+                [
+                    (4 * l1 - 1) * g1,
+                    (4 * l2 - 1) * g2,
+                    (4 * l3 - 1) * g3,
+                    4 * (l2 * g1 + l1 * g2),
+                    4 * (l3 * g2 + l2 * g3),
+                    4 * (l1 * g3 + l3 * g1),
+                ],
+                axis=-2,
+            )
+            v_grad = grad_ref @ inv_map_jacobian
+            return v, v_grad
+
+        raise NotImplementedError("Polynomial order not implemented")
+
+    def _compute_gauss_values(self):
+        return triangle_rule(self.integration_order)
+
+    def compute_det_and_inv_map(self, map_jacobian):
+        """Analytic 2x2 det and inverse of J (..., 2, 2).
+
+        Returns both with an extra broadcast axis for the quadrature
+        dimension, matching the reference layout (element_tri.py:132-145):
+        det (..., 1, 1, 1), inv (..., 1, 2, 2). The broadcast axis lets
+        per-cell constant gradients combine with per-quadrature tensors.
+        """
+        a = map_jacobian[..., 0, 0]
+        b = map_jacobian[..., 0, 1]
+        c = map_jacobian[..., 1, 0]
+        d = map_jacobian[..., 1, 1]
+
+        det = a * d - b * c
+        inv = jnp.stack(
+            [
+                jnp.stack([d, -b], axis=-1),
+                jnp.stack([-c, a], axis=-1),
+            ],
+            axis=-2,
+        ) / det[..., None, None]
+
+        det_map_jacobian = det[..., None, None, None]
+        inv_map_jacobian = inv[..., None, :, :]
+        return det_map_jacobian, inv_map_jacobian

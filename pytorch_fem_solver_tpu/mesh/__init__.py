@@ -1,0 +1,13 @@
+"""Mesh layer: host-built, statically-shaped triangle meshes as pytrees."""
+
+from .generation import rectangle, refine_uniform, unit_square
+from .mesh_tri import MeshTri
+from .meshes_tri import MeshesTri
+
+__all__ = [
+    "MeshTri",
+    "MeshesTri",
+    "rectangle",
+    "refine_uniform",
+    "unit_square",
+]

@@ -1,0 +1,116 @@
+"""Host-side derived mesh topology (NumPy, construction time only).
+
+Computes what the reference derives inside ``AbstractMesh`` at construction
+(/root/reference/torch_fem/mesh/abstract_mesh.py:76-255): unique edges,
+interior/boundary split, adjacent cells per edge, interior-edge normals with
+centroid-based orientation, and per-cell minimum edge length. Unlike the
+reference (which keeps ``torch.unique`` *counts* as edge "markers" and has an
+O(E*T) broadcast fallback for cell adjacency), this implementation always
+derives adjacency in O(E) from the unique-edge inverse index and stores
+explicit boundary markers.
+
+All outputs are static-shape NumPy arrays; the jit boundary starts after mesh
+construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: local vertex pairs forming the 3 edges of a triangle, matching the
+#: reference convention (mesh_tri.py:10-12)
+TRI_EDGE_PERMUTATIONS = np.array([[0, 1], [1, 2], [0, 2]], dtype=np.int64)
+
+
+def build_tri_topology(
+    vertices: np.ndarray,
+    triangles: np.ndarray,
+    vertex_markers: np.ndarray | None = None,
+) -> dict:
+    """Derive full edge topology for a 2D triangle mesh.
+
+    Returns a dict of NumPy arrays:
+      edges_vertices (E,2), edges_markers (E,1)  [1 = boundary],
+      interior_edges_vertices (Ei,2), interior_edges_cells (Ei,2),
+      boundary_edges_vertices (Eb,2), boundary_edges_cells (Eb,1),
+      interior_edges_length (Ei,1,1), interior_edges_normals (Ei,1,2),
+      cells_min_length (T,1,1), vertex_markers (n,1).
+    """
+    vertices = np.asarray(vertices, dtype=np.float64)
+    triangles = np.asarray(triangles, dtype=np.int64)
+
+    local_edges = triangles[:, TRI_EDGE_PERMUTATIONS]  # (T, 3, 2)
+    flat = np.sort(local_edges.reshape(-1, 2), axis=1)  # (3T, 2)
+    edges, inverse, counts = np.unique(
+        flat, axis=0, return_inverse=True, return_counts=True
+    )
+    n_edges = edges.shape[0]
+    if counts.max(initial=0) > 2:
+        raise ValueError("non-manifold mesh: an edge is shared by >2 triangles")
+
+    # adjacency: positions of each unique edge in the flattened (cell, local)
+    # list, grouped via a stable argsort of the inverse index — O(E log E)
+    order = np.argsort(inverse, kind="stable")
+    cells_of_occurrence = order // 3  # flattened position -> owning cell
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+
+    interior_mask = counts == 2
+    boundary_mask = counts == 1
+
+    interior_ids = np.nonzero(interior_mask)[0]
+    boundary_ids = np.nonzero(boundary_mask)[0]
+
+    # for interior edges the two occurrences are consecutive in `order`
+    starts = offsets[interior_ids]
+    interior_cells = np.stack(
+        [cells_of_occurrence[starts], cells_of_occurrence[starts + 1]], axis=1
+    )
+    interior_cells = np.sort(interior_cells, axis=1)
+    boundary_cells = cells_of_occurrence[offsets[boundary_ids]].reshape(-1, 1)
+
+    interior_edges_vertices = edges[interior_ids]
+    boundary_edges_vertices = edges[boundary_ids]
+
+    edges_markers = boundary_mask.astype(np.int64).reshape(-1, 1)
+
+    if vertex_markers is None:
+        vertex_markers = np.zeros((vertices.shape[0], 1), dtype=np.int64)
+        vertex_markers[np.unique(boundary_edges_vertices)] = 1
+    else:
+        vertex_markers = np.asarray(vertex_markers, dtype=np.int64).reshape(-1, 1)
+
+    # interior edge geometry: lengths + normals oriented from the first
+    # adjacent cell toward the second (the reference fixes orientation with
+    # the same centroid test, abstract_mesh.py:143-162)
+    p = vertices[interior_edges_vertices]  # (Ei, 2, 2)
+    vec = p[:, 1] - p[:, 0]
+    length = np.linalg.norm(vec, axis=-1, keepdims=True)  # (Ei, 1)
+    normal = np.stack([-vec[:, 1], vec[:, 0]], axis=-1) / length
+
+    centroids = vertices[triangles].mean(axis=1)  # (T, 2)
+    c1 = centroids[interior_cells[:, 0]]
+    c2 = centroids[interior_cells[:, 1]]
+    flip = ((c2 - c1) * normal).sum(axis=-1) < 0
+    normal[flip] *= -1.0
+
+    # per-cell minimum edge length (mesh-size indicator h_T)
+    cell_edge_coords = vertices[local_edges]  # (T, 3, 2, 2)
+    cell_edge_len = np.linalg.norm(
+        cell_edge_coords[:, :, 1] - cell_edge_coords[:, :, 0], axis=-1
+    )
+    cells_min_length = cell_edge_len.min(axis=1).reshape(-1, 1, 1)
+
+    assert n_edges == interior_ids.size + boundary_ids.size
+
+    return {
+        "edges_vertices": edges,
+        "edges_markers": edges_markers,
+        "interior_edges_vertices": interior_edges_vertices,
+        "interior_edges_cells": interior_cells,
+        "boundary_edges_vertices": boundary_edges_vertices,
+        "boundary_edges_cells": boundary_cells,
+        "interior_edges_length": length.reshape(-1, 1, 1),
+        "interior_edges_normals": normal.reshape(-1, 1, 2),
+        "cells_min_length": cells_min_length,
+        "vertex_markers": vertex_markers,
+    }
