@@ -14,6 +14,7 @@ from . import config
 from .basis import AbstractBasis, Basis, InteriorEdgesBasis
 from .element import ElementLine, ElementTri
 from .mesh import MeshTri, MeshesTri, rectangle, refine_uniform, unit_square
+from .models import FeedForwardNeuralNetwork, Model
 
 __all__ = [
     "config",
@@ -24,6 +25,8 @@ __all__ = [
     "ElementTri",
     "MeshTri",
     "MeshesTri",
+    "FeedForwardNeuralNetwork",
+    "Model",
     "rectangle",
     "refine_uniform",
     "unit_square",

@@ -1,0 +1,252 @@
+"""Training harness for VPINN models.
+
+Parity surface: reference ``Model`` (/root/reference/torch_fem/model/model.py:9-135)
+— user-supplied ``training_step(nn) -> (loss, validation_loss, accuracy)``,
+epoch loop with optimizer + optional plateau scheduler, early stopping,
+best-parameter snapshot, history tracking, optional tqdm + matplotlib.
+
+TPU-native differences:
+
+* the *entire* step — assembly-based loss, double backward through the
+  network's input gradients, optimizer update — is one jitted function; the
+  host only sees three scalars per epoch;
+* checkpointing to disk (``save_checkpoint``/``load_checkpoint``) is a
+  superset of the reference's in-memory-only snapshot (model.py:56,79,87);
+* optimizers/schedulers are optax transforms (plateau scheduling via
+  ``optax.contrib.reduce_on_plateau`` replaces torch's ReduceLROnPlateau).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+class Model:
+    """Trains a neural-network trial function against a variational loss."""
+
+    def __init__(
+        self,
+        neural_network,
+        training_step: Callable,
+        epochs: int = 5000,
+        optimizer: Any = optax.adam,
+        optimizer_kwargs: Optional[dict] = None,
+        learning_rate_scheduler: Optional[Any] = None,
+        scheduler_kwargs: Optional[dict] = None,
+        use_early_stopping: bool = False,
+        early_stopping_patience: int = 10,
+        min_delta: float = 1e-12,
+        jit: bool = True,
+        progress_bar: bool = True,
+    ):
+        self._neural_network = neural_network
+        self._training_step = training_step
+        self._epochs = int(epochs)
+
+        if optimizer_kwargs is None:
+            optimizer_kwargs = {"learning_rate": 0.001}
+        # accept torch-style {"lr": ...}
+        if "lr" in optimizer_kwargs:
+            optimizer_kwargs = dict(optimizer_kwargs)
+            optimizer_kwargs["learning_rate"] = optimizer_kwargs.pop("lr")
+
+        if isinstance(optimizer, optax.GradientTransformation):
+            tx = optimizer
+        else:
+            tx = optimizer(**optimizer_kwargs)
+
+        if learning_rate_scheduler is not None:
+            if scheduler_kwargs is None:
+                scheduler_kwargs = {}
+            if learning_rate_scheduler == "reduce_on_plateau":
+                sched = optax.contrib.reduce_on_plateau(**scheduler_kwargs)
+            elif isinstance(learning_rate_scheduler, optax.GradientTransformation):
+                sched = learning_rate_scheduler
+            else:
+                sched = learning_rate_scheduler(**scheduler_kwargs)
+            tx = optax.chain(tx, sched)
+            self._scheduler_active = True
+        else:
+            self._scheduler_active = False
+
+        self._tx = tx
+        self._opt_state = tx.init(self._nn_params(neural_network))
+
+        self._use_early_stopping = use_early_stopping
+        self._early_stopping_patience = int(early_stopping_patience)
+        self._min_delta = float(min_delta)
+        self._progress_bar = progress_bar
+
+        self._loss_history: list[float] = []
+        self._validation_loss_history: list[float] = []
+        self._accuracy_history: list[float] = []
+        self._epoch_times: list[float] = []
+
+        self._best_loss = float("inf")
+        self.optimal_parameters = self._nn_params(neural_network)
+        self.early_stopping_counter = 0
+
+        step = self._make_step()
+        self._step = jax.jit(step) if jit else step
+
+    # -- internals ---------------------------------------------------------
+
+    @staticmethod
+    def _nn_params(nn):
+        """The trainable leaves: the network pytree itself."""
+        return nn
+
+    def _make_step(self):
+        training_step = self._training_step
+        tx = self._tx
+        scheduler_active = self._scheduler_active
+
+        def loss_fn(nn):
+            loss, validation, accuracy = training_step(nn)
+            return jnp.squeeze(loss), (jnp.squeeze(validation), jnp.squeeze(accuracy))
+
+        def step(nn, opt_state):
+            (loss, (validation, accuracy)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(nn)
+            if scheduler_active:
+                updates, opt_state = tx.update(
+                    grads, opt_state, params=nn, value=loss
+                )
+            else:
+                updates, opt_state = tx.update(grads, opt_state, params=nn)
+            nn = optax.apply_updates(nn, updates)
+            return nn, opt_state, loss, validation, accuracy
+
+        return step
+
+    # -- public API --------------------------------------------------------
+
+    def train(self):
+        """Run the epoch loop; returns the trained network."""
+        nn = self._neural_network
+        opt_state = self._opt_state
+
+        iterator = range(self._epochs)
+        bar = None
+        if self._progress_bar:
+            try:
+                import tqdm
+
+                bar = tqdm.tqdm(iterator, desc="Training Progress")
+                iterator = bar
+            except ImportError:
+                pass
+
+        for _ in iterator:
+            t0 = time.perf_counter()
+            nn, opt_state, loss, validation, accuracy = self._step(nn, opt_state)
+
+            loss_value = float(loss)
+            validation_value = float(validation)
+            accuracy_value = float(accuracy)
+            self._epoch_times.append(time.perf_counter() - t0)
+
+            if self._use_early_stopping:
+                if loss_value < self._best_loss - self._min_delta:
+                    self._best_loss = loss_value
+                    self.early_stopping_counter = 0
+                    self.optimal_parameters = nn
+                else:
+                    self.early_stopping_counter += 1
+                    if self.early_stopping_counter >= self._early_stopping_patience:
+                        break
+            elif loss_value < self._best_loss:
+                self._best_loss = loss_value
+                self.optimal_parameters = nn
+
+            if bar is not None:
+                bar.set_postfix(
+                    {
+                        "Loss": f"{loss_value:.8f}",
+                        "Validation loss": f"{validation_value:.8f}",
+                        "Accuracy": f"{accuracy_value:.8f}",
+                    }
+                )
+
+            self._loss_history.append(loss_value)
+            self._validation_loss_history.append(validation_value)
+            self._accuracy_history.append(accuracy_value)
+
+        self._neural_network = nn
+        self._opt_state = opt_state
+        return nn
+
+    @property
+    def neural_network(self):
+        return self._neural_network
+
+    def get_training_history(self):
+        return (
+            self._loss_history,
+            self._validation_loss_history,
+            self._accuracy_history,
+        )
+
+    def load_optimal_parameters(self):
+        """Restore the best-seen parameters into the live network."""
+        self._neural_network = self.optimal_parameters
+        return self._neural_network
+
+    # -- checkpointing (superset of the reference, SURVEY.md §5) -----------
+
+    def save_checkpoint(self, path: str):
+        """Serialize network parameters + training history to ``path`` (.npz)."""
+        leaves, _ = jax.tree_util.tree_flatten(self._neural_network)
+        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        arrays["loss_history"] = np.asarray(self._loss_history)
+        arrays["validation_loss_history"] = np.asarray(self._validation_loss_history)
+        arrays["accuracy_history"] = np.asarray(self._accuracy_history)
+        np.savez(path, **arrays)
+
+    def load_checkpoint(self, path: str):
+        """Restore parameters (and histories) saved by ``save_checkpoint``."""
+        data = np.load(path)
+        leaves, treedef = jax.tree_util.tree_flatten(self._neural_network)
+        new_leaves = [
+            jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))
+        ]
+        self._neural_network = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        self._loss_history = list(data["loss_history"])
+        self._validation_loss_history = list(data["validation_loss_history"])
+        self._accuracy_history = list(data["accuracy_history"])
+        return self._neural_network
+
+    def plot_training_history(self, plot_names: Optional[dict] = None):
+        """Semilogy plot of loss/validation/accuracy histories (needs matplotlib)."""
+        import matplotlib.pyplot as plt
+
+        if plot_names is None:
+            plot_names = {
+                "loss": "Training loss",
+                "validation": "Validation loss",
+                "accuracy": "Accuracy",
+                "title": "Training history",
+            }
+
+        _, axis = plt.subplots()
+        axis.semilogy(self._loss_history, linestyle="-", label=plot_names["loss"])
+        axis.semilogy(
+            self._validation_loss_history,
+            linestyle="--",
+            label=plot_names["validation"],
+        )
+        axis.semilogy(
+            self._accuracy_history, linestyle=":", label=plot_names["accuracy"]
+        )
+        axis.set_xlabel("# Epochs")
+        axis.set_ylabel("Loss")
+        axis.set_title(plot_names["title"])
+        axis.legend()
+        return axis

@@ -1,0 +1,141 @@
+"""End-to-end RVPINN training smoke test (example_weak workload, tiny config).
+
+Mirrors /root/reference/examples/example_weak.py:56-169: residual vector in
+the FEM test space, loss r^T G^{-1} r with G the reduced stiffness (Gram)
+matrix, trained with Adam. Asserts the loss actually drops and the H1 error
+improves — the full step (assembly + double backward) runs inside one jit.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+import pytorch_fem_solver_tpu as fem
+
+
+def bc(inputs):
+    x = inputs[..., 0:1]
+    y = inputs[..., 1:2]
+    return x * (x - 1) * y * (y - 1)
+
+
+def exact(x, y):
+    return jnp.sin(math.pi * x) * jnp.sin(math.pi * y)
+
+
+def test_rvpinn_training_reduces_loss_and_error():
+    mesh = fem.MeshTri(fem.unit_square(n=8))
+    V = fem.Basis(mesh, fem.ElementTri(1, 4))
+
+    nn = fem.FeedForwardNeuralNetwork(
+        input_dimension=2,
+        output_dimension=1,
+        nb_hidden_layers=2,
+        neurons_per_layers=10,
+        boundary_condition_modifier=bc,
+        seed=0,
+    )
+
+    def rhs(x, y):
+        return 2.0 * math.pi**2 * exact(x, y)
+
+    def residual(basis, gradient):
+        pts = basis.integration_points
+        x, y = pts[..., 0:1], pts[..., 1:2]
+        grad = gradient(pts)
+        return rhs(x, y) * basis.v - (
+            basis.v_grad @ jnp.matrix_transpose(grad)
+        )
+
+    def gram(basis):
+        return basis.v_grad @ jnp.matrix_transpose(basis.v_grad)
+
+    gram_inv = jnp.linalg.inv(V.reduce(V.integrate_bilinear_form(gram)))
+
+    def h1_norm(basis, net, gradient):
+        pts = basis.integration_points
+        x, y = pts[..., 0:1], pts[..., 1:2]
+        dx = math.pi * jnp.cos(math.pi * x) * jnp.sin(math.pi * y)
+        dy = math.pi * jnp.sin(math.pi * x) * jnp.cos(math.pi * y)
+        g = gradient(pts)
+        return (
+            (exact(x, y) - net(pts)) ** 2
+            + (dx - g[..., 0:1]) ** 2
+            + (dy - g[..., 1:2]) ** 2
+        )
+
+    def h1_exact(basis):
+        pts = basis.integration_points
+        x, y = pts[..., 0:1], pts[..., 1:2]
+        dx = math.pi * jnp.cos(math.pi * x) * jnp.sin(math.pi * y)
+        dy = math.pi * jnp.sin(math.pi * x) * jnp.cos(math.pi * y)
+        return exact(x, y) ** 2 + dx**2 + dy**2
+
+    exact_norm = jnp.sqrt(V.integrate_functional(h1_exact).sum())
+
+    def training_step(net):
+        r = V.reduce(V.integrate_linear_form(residual, net.gradient))
+        loss = (r.T @ (gram_inv @ r))[0, 0]
+        relative = jnp.sqrt(loss) / exact_norm**2
+        h1_error = jnp.sqrt(
+            V.integrate_functional(h1_norm, net, net.gradient).sum()
+        )
+        return loss, relative, h1_error / exact_norm
+
+    model = fem.Model(
+        neural_network=nn,
+        training_step=training_step,
+        epochs=300,
+        optimizer_kwargs={"lr": 5e-3},
+        progress_bar=False,
+    )
+    trained = model.train()
+
+    loss_hist, _, acc_hist = model.get_training_history()
+    assert loss_hist[-1] < loss_hist[0] / 10, (loss_hist[0], loss_hist[-1])
+    assert acc_hist[-1] < acc_hist[0], (acc_hist[0], acc_hist[-1])
+    assert acc_hist[-1] < 0.5  # relative H1 error clearly below trivial
+
+    # best-parameter snapshot restores
+    best = model.load_optimal_parameters()
+    loss_best, _, _ = training_step(best)
+    assert float(loss_best) <= loss_hist[0]
+
+
+def test_early_stopping_and_checkpoint(tmp_path):
+    mesh = fem.MeshTri(fem.unit_square(n=4))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    nn = fem.FeedForwardNeuralNetwork(2, 1, 1, 5, boundary_condition_modifier=bc)
+
+    def training_step(net):
+        pts = V.integration_points
+        val = net(pts)
+        loss = V.integrate_functional(lambda b: val**2).sum()
+        return loss, loss, loss
+
+    model = fem.Model(
+        neural_network=nn,
+        training_step=training_step,
+        epochs=200,
+        use_early_stopping=True,
+        early_stopping_patience=3,
+        min_delta=1e30,  # impossible improvement -> stops after patience
+        progress_bar=False,
+    )
+    model.train()
+    assert len(model.get_training_history()[0]) <= 4
+
+    path = tmp_path / "ckpt.npz"
+    model.save_checkpoint(str(path))
+    model2 = fem.Model(
+        neural_network=nn,
+        training_step=training_step,
+        epochs=1,
+        progress_bar=False,
+    )
+    restored = model2.load_checkpoint(str(path))
+    pts = jnp.asarray(np.random.default_rng(0).uniform(size=(5, 2)))
+    np.testing.assert_array_equal(
+        np.asarray(restored(pts)), np.asarray(model.neural_network(pts))
+    )
