@@ -11,20 +11,40 @@ Public API parity with the reference's flat exports
 """
 
 from . import config
-from .basis import AbstractBasis, Basis, InteriorEdgesBasis
+from .basis import (
+    AbstractBasis,
+    Basis,
+    FractureBasis,
+    InteriorEdgesBasis,
+    InteriorEdgesFractureBasis,
+    PatchesBasis,
+)
 from .element import ElementLine, ElementTri
-from .mesh import MeshTri, MeshesTri, rectangle, refine_uniform, unit_square
+from .mesh import (
+    FracturesTri,
+    MeshTri,
+    MeshesTri,
+    Patches,
+    rectangle,
+    refine_uniform,
+    unit_square,
+)
 from .models import FeedForwardNeuralNetwork, Model
 
 __all__ = [
     "config",
     "AbstractBasis",
     "Basis",
+    "FractureBasis",
     "InteriorEdgesBasis",
+    "InteriorEdgesFractureBasis",
+    "PatchesBasis",
     "ElementLine",
     "ElementTri",
     "MeshTri",
     "MeshesTri",
+    "FracturesTri",
+    "Patches",
     "FeedForwardNeuralNetwork",
     "Model",
     "rectangle",

@@ -2,6 +2,17 @@
 
 from .abstract_basis import AbstractBasis
 from .basis import Basis
+from .fracture_basis import FractureBasis, build_global_triangulation
 from .interior_edges_basis import InteriorEdgesBasis
+from .interior_edges_fracture_basis import InteriorEdgesFractureBasis
+from .patches_basis import PatchesBasis
 
-__all__ = ["AbstractBasis", "Basis", "InteriorEdgesBasis"]
+__all__ = [
+    "AbstractBasis",
+    "Basis",
+    "FractureBasis",
+    "InteriorEdgesBasis",
+    "InteriorEdgesFractureBasis",
+    "PatchesBasis",
+    "build_global_triangulation",
+]

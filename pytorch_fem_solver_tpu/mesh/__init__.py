@@ -3,10 +3,14 @@
 from .generation import rectangle, refine_uniform, unit_square
 from .mesh_tri import MeshTri
 from .meshes_tri import MeshesTri
+from .fractures_tri import FracturesTri
+from .patches import Patches
 
 __all__ = [
     "MeshTri",
     "MeshesTri",
+    "FracturesTri",
+    "Patches",
     "rectangle",
     "refine_uniform",
     "unit_square",

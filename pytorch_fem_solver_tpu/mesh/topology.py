@@ -98,7 +98,10 @@ def build_tri_topology(
     cell_edge_len = np.linalg.norm(
         cell_edge_coords[:, :, 1] - cell_edge_coords[:, :, 0], axis=-1
     )
-    cells_min_length = cell_edge_len.min(axis=1).reshape(-1, 1, 1)
+    # (T, 1, 1, 1): includes the quadrature broadcast axis so that forms like
+    # h_T**2 * integrand(T, q, 1, 1) broadcast directly (the reference stores
+    # (T, 1, 1), which cannot broadcast against per-quadrature integrands)
+    cells_min_length = cell_edge_len.min(axis=1).reshape(-1, 1, 1, 1)
 
     assert n_edges == interior_ids.size + boundary_ids.size
 

@@ -50,7 +50,11 @@ def reduced_operator_from_local(
     ``(matvec, jacobi_diagonal)`` where ``matvec`` maps (n_inner,) ->
     (n_inner,).
     """
-    dofs = basis._global_dofs4elements
+    n_loc = basis._global_dofs4elements.shape[-1]
+    # flatten any leading batch axes (fracture bases carry (B*T, n_loc) DOF
+    # maps against (B, T, n_loc, n_loc) local matrices)
+    dofs = basis._global_dofs4elements.reshape(-1, n_loc)
+    local_matrices = local_matrices.reshape(-1, n_loc, n_loc)
     n = basis.n_dofs
     inner = basis._basis_parameters["inner_dofs"]
 

@@ -97,5 +97,6 @@ def test_refine_uniform():
 
 def test_cells_min_length():
     mesh = MeshTri(unit_square(n=4))
-    length = np.asarray(mesh["cells", "length"]).reshape(-1)
-    np.testing.assert_allclose(length, 0.25, atol=1e-13)
+    length = np.asarray(mesh["cells", "length"])
+    assert length.shape == (mesh.n_cells, 1, 1, 1)
+    np.testing.assert_allclose(length.reshape(-1), 0.25, atol=1e-13)
