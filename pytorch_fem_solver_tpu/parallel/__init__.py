@@ -1,0 +1,15 @@
+"""Multi-chip scaling via jax.sharding + shard_map."""
+
+from .sharding import (
+    CELL_AXIS,
+    make_device_mesh,
+    shard_basis_cells,
+    solve_pcg_sharded,
+)
+
+__all__ = [
+    "CELL_AXIS",
+    "make_device_mesh",
+    "shard_basis_cells",
+    "solve_pcg_sharded",
+]

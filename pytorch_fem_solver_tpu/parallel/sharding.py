@@ -1,0 +1,160 @@
+"""Multi-chip scaling: cell-sharded assembly + PCG over a device mesh.
+
+The reference is strictly single-device (SURVEY.md §2: no torch.distributed
+anywhere); its only scaling axis is mesh size. The TPU-native scaling design
+shards the *cell* axis — element integration and the matrix-free operator are
+embarrassingly parallel over cells — with one ``psum`` over the ICI ring per
+matvec to combine partial DOF-vector contributions:
+
+    x (replicated, n_dofs)  --gather-->  x_loc (sharded cells)
+    y_loc = A_loc @ x_loc                (sharded tiny matmuls)
+    y_partial = segment_sum(y_loc)       (per-device partial DOF vector)
+    y = psum(y_partial, 'cells')         (ICI all-reduce -> replicated)
+
+CG dot products act on replicated vectors, so the solve needs exactly one
+collective per iteration. DOF vectors are replicated — the right trade for
+DFN-scale systems (n_dofs << n_cells * n_quad memory traffic).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.6 moved shard_map out of experimental
+    from jax import shard_map as _shard_map_mod  # type: ignore
+
+    shard_map = _shard_map_mod.shard_map if hasattr(_shard_map_mod, "shard_map") else _shard_map_mod
+except (ImportError, AttributeError):  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from ..ops.operators import operator_diagonal
+from ..ops.solvers import pcg
+
+CELL_AXIS = "cells"
+
+
+def make_device_mesh(n_devices: Optional[int] = None, axis_name: str = CELL_AXIS):
+    """1D device mesh over the first ``n_devices`` available devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _pad_cells(local_matrices, dofs, n_shards: int):
+    """Pad the cell axis to a multiple of the mesh size with zero matrices.
+
+    Zero local matrices scatter nothing, so padding is exact (their DOF ids
+    point at 0, which receives only zeros).
+    """
+    n_cells = local_matrices.shape[0]
+    pad = (-n_cells) % n_shards
+    if pad:
+        local_matrices = jnp.concatenate(
+            [local_matrices, jnp.zeros((pad,) + local_matrices.shape[1:],
+                                       dtype=local_matrices.dtype)],
+            axis=0,
+        )
+        dofs = jnp.concatenate(
+            [dofs, jnp.zeros((pad,) + dofs.shape[1:], dtype=dofs.dtype)], axis=0
+        )
+    return local_matrices, dofs
+
+
+def solve_pcg_sharded(
+    basis,
+    local_matrices,
+    vector,
+    device_mesh: Optional[Mesh] = None,
+    tol: float = 1e-10,
+    maxiter: Optional[int] = None,
+):
+    """Matrix-free Jacobi-PCG with cells sharded over a device mesh.
+
+    Drop-in equivalent of ``AbstractBasis.solve_iterative`` that distributes
+    the operator over ``device_mesh`` (defaults to all devices). Exact same
+    math — tests assert bit-comparable results vs the single-device path.
+    """
+    if device_mesh is None:
+        device_mesh = make_device_mesh()
+    axis = device_mesh.axis_names[0]
+    n_shards = device_mesh.devices.size
+
+    n_loc = basis._global_dofs4elements.shape[-1]
+    dofs = basis._global_dofs4elements.reshape(-1, n_loc)
+    local = local_matrices.reshape(-1, n_loc, n_loc)
+    n = basis.n_dofs
+    inner = basis._basis_parameters["inner_dofs"]
+
+    local, dofs = _pad_cells(local, dofs, n_shards)
+
+    diag = operator_diagonal(local, dofs, n)[inner]
+    b_reduced = basis.reduce(vector)[..., 0]
+
+    if maxiter is None:
+        maxiter = max(10 * int(b_reduced.shape[-1]), 100)
+
+    @partial(
+        shard_map,
+        mesh=device_mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=P(),
+    )
+    def run(local_chunk, dofs_chunk, b_full, diag_full):
+        def matvec(x_reduced):
+            x_full = jnp.zeros((n,), dtype=x_reduced.dtype).at[inner].set(
+                x_reduced
+            )
+            x_loc = x_full[dofs_chunk]
+            y_loc = jnp.einsum("tij,tj->ti", local_chunk, x_loc)
+            y_partial = jax.ops.segment_sum(
+                y_loc.reshape(-1), dofs_chunk.reshape(-1), num_segments=n
+            )
+            return jax.lax.psum(y_partial, axis)[inner]
+
+        x, _ = pcg(matvec, b_full, precond_diag=diag_full, tol=tol, maxiter=maxiter)
+        return x
+
+    x = run(local, dofs, b_reduced, diag)
+    solution = basis.solution_tensor()
+    return solution.at[..., inner, 0].add(x)
+
+
+def shard_basis_cells(basis, device_mesh: Optional[Mesh] = None):
+    """Place a basis's per-cell quadrature arrays sharded over the mesh.
+
+    Shards the leading cell axis of ``v_grad``, ``integration_points`` and
+    ``_dx`` (and their fracture-batched variants along the flattened cell
+    axis) so that jitted losses built on the basis compute integration
+    locally per device, with XLA inserting the psum at the scatter-add.
+    Returns a shallow copy; the original basis is untouched.
+    """
+    if device_mesh is None:
+        device_mesh = make_device_mesh()
+    axis = device_mesh.axis_names[0]
+
+    def shard_leading(x):
+        if not isinstance(x, jax.Array) or x.ndim == 0:
+            return x
+        spec = [None] * x.ndim
+        # cell axis: axis 0 for single meshes, axis 1 behind the fracture
+        # batch for batched bases — shard whichever is divisible
+        for cand in range(min(2, x.ndim)):
+            if x.shape[cand] % device_mesh.devices.size == 0 and x.shape[cand] > 1:
+                spec[cand] = axis
+                break
+        return jax.device_put(x, NamedSharding(device_mesh, P(*spec)))
+
+    import copy
+
+    out = copy.copy(basis)
+    out.v_grad = shard_leading(basis.v_grad)
+    out.integration_points = shard_leading(basis.integration_points)
+    out._dx = shard_leading(basis._dx)
+    return out

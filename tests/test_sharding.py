@@ -1,0 +1,94 @@
+"""Sharded solver correctness on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_fem_solver_tpu as fem
+from pytorch_fem_solver_tpu.parallel import (
+    make_device_mesh,
+    shard_basis_cells,
+    solve_pcg_sharded,
+)
+
+
+def stiffness(basis):
+    return basis.v_grad @ jnp.matrix_transpose(basis.v_grad)
+
+
+def load(basis):
+    x = basis.integration_points[..., 0:1]
+    y = basis.integration_points[..., 1:2]
+    return (1.0 + x + y) * basis.v
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs XLA_FLAGS=--xla_force_host_platform_device_count=8")
+    return make_device_mesh(8)
+
+
+def test_sharded_pcg_matches_single_device(eight_devices):
+    mesh = fem.MeshTri(fem.unit_square(n=12))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(stiffness)
+    b = V.integrate_linear_form(load)
+
+    u_single = V.solve_iterative(local, b, tol=1e-13)
+    u_sharded = solve_pcg_sharded(V, local, b, eight_devices, tol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(u_sharded), np.asarray(u_single), atol=1e-11
+    )
+
+
+def test_sharded_pcg_on_fractures(eight_devices):
+    tri = fem.rectangle(8, 4, x0=-1.0, x1=1.0, y0=0.0, y1=1.0)
+    anchors = np.array([[[-1.0, 0.0], [1.0, 0.0], [-1.0, 1.0]]] * 2)
+    f3d = np.array(
+        [
+            [[-1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [-1.0, 1.0, 0.0]],
+            [[0.0, 0.0, -1.0], [0.0, 0.0, 1.0], [0.0, 1.0, -1.0]],
+        ]
+    )
+    dfn = fem.FracturesTri([tri, tri], f3d, anchor_vertices_2d=anchors)
+    V = fem.FractureBasis(dfn, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(stiffness)
+    b = V.integrate_linear_form(load)
+
+    u_single = V.solve_iterative(local, b, tol=1e-13)
+    u_sharded = solve_pcg_sharded(V, local, b, eight_devices, tol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(u_sharded), np.asarray(u_single), atol=1e-11
+    )
+
+
+def test_sharded_basis_training_step(eight_devices):
+    """VPINN loss with cell-sharded quadrature arrays == replicated loss."""
+    mesh = fem.MeshTri(fem.unit_square(n=8))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    V_sharded = shard_basis_cells(V, eight_devices)
+
+    def bc(inputs):
+        x, y = inputs[..., 0:1], inputs[..., 1:2]
+        return x * (x - 1) * y * (y - 1)
+
+    nn = fem.FeedForwardNeuralNetwork(2, 1, 2, 8, boundary_condition_modifier=bc)
+
+    def residual(basis, gradient):
+        pts = basis.integration_points
+        return basis.v - (basis.v_grad @ jnp.matrix_transpose(gradient(pts)))
+
+    def loss_fn(net, basis):
+        r = basis.reduce(basis.integrate_linear_form(residual, net.gradient))
+        return jnp.sum(r**2)
+
+    loss_ref = float(loss_fn(nn, V))
+    loss_sharded = float(jax.jit(loss_fn, static_argnums=())(nn, V_sharded))
+    assert abs(loss_ref - loss_sharded) < 1e-10 * max(1.0, abs(loss_ref))
+
+    g_ref = jax.grad(loss_fn)(nn, V)
+    g_sharded = jax.jit(jax.grad(loss_fn))(nn, V_sharded)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-10)
