@@ -1,0 +1,260 @@
+"""Benchmark: seven-fractures DFN assembly + Jacobi-PCG on TPU vs torch-CPU.
+
+The BASELINE metric (/root/repo/BASELINE.json): assemble and solve the
+seven-fractures DFN; target >= 10x a reference-style CPU implementation.
+The reference publishes no numbers and ships no loader for this geometry
+(SURVEY.md §6), so the baseline is an equivalent, *vectorized* torch-CPU
+implementation of the same algorithm (local P1 stiffness assembly +
+matrix-free Jacobi-PCG via index_add_) — a stronger baseline than the
+reference's dense ``torch.zeros(n, n)`` + ``torch.linalg.solve`` path, which
+cannot even represent the benchmark sizes (dense n^2 would need tens of GB).
+
+Protocol: fixed PCG iteration count on both sides (same math, same flops),
+f32 both sides. Prints ONE JSON line with the TPU wall-clock and the
+CPU/TPU ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+H = float(os.environ.get("BENCH_H", "0.03"))
+PCG_ITERS = int(os.environ.get("BENCH_PCG_ITERS", "300"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_mesh():
+    from pytorch_fem_solver_tpu.utils import build_benchmark_network
+
+    t0 = time.perf_counter()
+    mesh = build_benchmark_network(h=H)
+    log(
+        f"mesh: h={H} cells={mesh.n_cells} global_dofs={mesh.n_global_dofs} "
+        f"build={time.perf_counter() - t0:.1f}s"
+    )
+    return mesh
+
+
+def tpu_run(mesh):
+    import jax
+    import jax.numpy as jnp
+
+    import pytorch_fem_solver_tpu as fem
+
+    V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 2))
+
+    def a_form(basis):
+        return basis.v_grad @ jnp.matrix_transpose(basis.v_grad)
+
+    def l_form(basis):
+        return basis.v
+
+    n = V.n_dofs
+    inner = V._basis_parameters["inner_dofs"]
+
+    # scatter-free ELL layout for the PCG hot loop (host-built once)
+    from pytorch_fem_solver_tpu.ops.sparse import (
+        build_ell_structure,
+        ell_diagonal,
+        ell_matvec,
+        ell_values_from_local,
+    )
+
+    structure = build_ell_structure(
+        np.asarray(V._global_dofs4elements), n, np.asarray(inner)
+    )
+    log(f"ell: n_inner={structure.n_inner} K={structure.cols.shape[1]}")
+
+    @jax.jit
+    def assemble():
+        local = V.integrate_bilinear_form_local(a_form)
+        b = V.integrate_linear_form(l_form)
+        values = ell_values_from_local(structure, local)
+        diag = ell_diagonal(structure, values)
+        return values, b, diag
+
+    @jax.jit
+    def pcg_fixed(values, b, diag):
+        b_red = V.reduce(b)[..., 0]
+        inv_diag = 1.0 / jnp.where(diag != 0, diag, 1.0)
+
+        def matvec(xr):
+            return ell_matvec(structure, values, xr)
+
+        x = jnp.zeros_like(b_red)
+        r = b_red
+        z = inv_diag * r
+        p = z
+        rz = jnp.sum(r * z)
+
+        def body(_, state):
+            x, r, p, rz = state
+            ap = matvec(p)
+            alpha = rz / jnp.sum(p * ap)
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = inv_diag * r
+            rz_new = jnp.sum(r * z)
+            p = z + (rz_new / rz) * p
+            return (x, r, p, rz_new)
+
+        x, r, _, _ = jax.lax.fori_loop(0, PCG_ITERS, body, (x, r, p, rz))
+        return x, jnp.sqrt(jnp.sum(r * r)) / jnp.sqrt(jnp.sum(b_red * b_red))
+
+    # warmup / compile
+    values, b, diag = jax.block_until_ready(assemble())
+    x, res = pcg_fixed(values, b, diag)
+    jax.block_until_ready((x, res))
+    log(f"tpu warmup: residual after {PCG_ITERS} iters = {float(res):.3e}")
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        values, b, diag = assemble()
+        x, res = pcg_fixed(values, b, diag)
+        jax.block_until_ready((x, res))
+        times.append(time.perf_counter() - t0)
+    tpu_time = float(np.median(times))
+    log(f"tpu times: {['%.4f' % t for t in times]} -> median {tpu_time:.4f}s")
+
+    x_full = np.zeros(n, dtype=np.float64)
+    x_full[np.asarray(inner)] = np.asarray(x, dtype=np.float64)
+    return tpu_time, float(res), x_full
+
+
+def cpu_baseline(mesh):
+    """Reference-style torch-CPU: vectorized local assembly + Jacobi-PCG."""
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    coords = torch.tensor(
+        np.asarray(mesh["cells", "coordinates"], dtype=np.float32)
+    )  # (T, 3, 2)
+    dofs_np = np.asarray(mesh["global", "ids"])[:, 0][
+        np.asarray(mesh["cells", "vertices"])
+    ]
+    dofs = torch.tensor(dofs_np.astype(np.int64))  # (T, 3)
+    markers = np.asarray(mesh["global", "markers"])[:, 0]
+    n = markers.shape[0]
+    inner = torch.tensor(np.nonzero(markers != 1)[0])
+    det_scale = torch.tensor(
+        np.asarray(mesh["fracture_map", "det"], dtype=np.float32)[
+            np.asarray(mesh["cells", "fracture"])[:, 0]
+        ].reshape(-1)
+    )
+
+    bar_grad = torch.tensor([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+
+    def assemble():
+        jac = coords.mT @ bar_grad  # (T, 2, 2)
+        det = jac[:, 0, 0] * jac[:, 1, 1] - jac[:, 0, 1] * jac[:, 1, 0]
+        inv = (
+            torch.stack(
+                [
+                    torch.stack([jac[:, 1, 1], -jac[:, 0, 1]], dim=-1),
+                    torch.stack([-jac[:, 1, 0], jac[:, 0, 0]], dim=-1),
+                ],
+                dim=-2,
+            )
+            / det[:, None, None]
+        )
+        grads = bar_grad @ inv  # (T, 3, 2)
+        area = 0.5 * det * det_scale
+        local = area[:, None, None] * (grads @ grads.mT)  # (T, 3, 3)
+        b = torch.zeros(n)
+        b.index_add_(
+            0, dofs.reshape(-1), (area[:, None] / 3.0).expand(-1, 3).reshape(-1)
+        )
+        diag = torch.zeros(n)
+        diag.index_add_(
+            0, dofs.reshape(-1), torch.diagonal(local, dim1=-2, dim2=-1).reshape(-1)
+        )
+        return local, b, diag[inner]
+
+    def pcg_fixed(local, b, diag):
+        b_red = b[inner]
+        inv_diag = 1.0 / torch.where(diag != 0, diag, torch.ones_like(diag))
+        flat_dofs = dofs.reshape(-1)
+
+        def matvec(xr):
+            xf = torch.zeros(n)
+            xf[inner] = xr
+            y = torch.einsum("tij,tj->ti", local, xf[dofs])
+            out = torch.zeros(n)
+            out.index_add_(0, flat_dofs, y.reshape(-1))
+            return out[inner]
+
+        x = torch.zeros_like(b_red)
+        r = b_red.clone()
+        z = inv_diag * r
+        p = z.clone()
+        rz = torch.dot(r, z)
+        for _ in range(PCG_ITERS):
+            ap = matvec(p)
+            alpha = rz / torch.dot(p, ap)
+            x += alpha * p
+            r -= alpha * ap
+            z = inv_diag * r
+            rz_new = torch.dot(r, z)
+            p = z + (rz_new / rz) * p
+            rz = rz_new
+        return x, torch.sqrt(torch.dot(r, r)) / torch.sqrt(torch.dot(b_red, b_red))
+
+    # warmup
+    local, b, diag = assemble()
+    x, res = pcg_fixed(local, b, diag)
+    log(f"cpu warmup: residual after {PCG_ITERS} iters = {float(res):.3e}")
+
+    times = []
+    for _ in range(max(1, REPEATS // 2)):
+        t0 = time.perf_counter()
+        local, b, diag = assemble()
+        x, res = pcg_fixed(local, b, diag)
+        times.append(time.perf_counter() - t0)
+    cpu_time = float(np.median(times))
+    log(f"cpu times: {['%.4f' % t for t in times]} -> median {cpu_time:.4f}s")
+
+    x_full = np.zeros(n, dtype=np.float64)
+    x_full[inner.numpy()] = x.numpy().astype(np.float64)
+    return cpu_time, float(res), x_full
+
+
+def main():
+    mesh = build_mesh()
+
+    tpu_time, tpu_res, x_tpu = tpu_run(mesh)
+    cpu_time, cpu_res, x_cpu = cpu_baseline(mesh)
+
+    denom = np.linalg.norm(x_cpu) or 1.0
+    sol_diff = float(np.linalg.norm(x_tpu - x_cpu) / denom)
+    log(f"solution parity: rel L2 diff tpu-vs-cpu = {sol_diff:.3e}")
+
+    result = {
+        "metric": "seven_fractures_dfn_assembly_pcg_wallclock",
+        "value": tpu_time,
+        "unit": "s",
+        "vs_baseline": cpu_time / tpu_time,
+        "detail": {
+            "h": H,
+            "pcg_iters": PCG_ITERS,
+            "cpu_baseline_s": cpu_time,
+            "tpu_residual": tpu_res,
+            "cpu_residual": cpu_res,
+            "solution_rel_diff": sol_diff,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

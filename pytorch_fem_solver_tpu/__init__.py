@@ -15,12 +15,15 @@ from .basis import (
     AbstractBasis,
     Basis,
     FractureBasis,
+    FractureNetworkBasis,
     InteriorEdgesBasis,
     InteriorEdgesFractureBasis,
+    InteriorEdgesNetworkBasis,
     PatchesBasis,
 )
 from .element import ElementLine, ElementTri
 from .mesh import (
+    FractureNetworkMesh,
     FracturesTri,
     MeshTri,
     MeshesTri,
@@ -29,6 +32,7 @@ from .mesh import (
     refine_uniform,
     unit_square,
 )
+from .mesh import triangulate_pslg
 from .models import FeedForwardNeuralNetwork, Model
 
 __all__ = [
@@ -36,6 +40,10 @@ __all__ = [
     "AbstractBasis",
     "Basis",
     "FractureBasis",
+    "FractureNetworkBasis",
+    "InteriorEdgesNetworkBasis",
+    "FractureNetworkMesh",
+    "triangulate_pslg",
     "InteriorEdgesBasis",
     "InteriorEdgesFractureBasis",
     "PatchesBasis",

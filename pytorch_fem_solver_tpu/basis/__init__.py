@@ -3,6 +3,7 @@
 from .abstract_basis import AbstractBasis
 from .basis import Basis
 from .fracture_basis import FractureBasis, build_global_triangulation
+from .fracture_network_basis import FractureNetworkBasis, InteriorEdgesNetworkBasis
 from .interior_edges_basis import InteriorEdgesBasis
 from .interior_edges_fracture_basis import InteriorEdgesFractureBasis
 from .patches_basis import PatchesBasis
@@ -11,6 +12,8 @@ __all__ = [
     "AbstractBasis",
     "Basis",
     "FractureBasis",
+    "FractureNetworkBasis",
+    "InteriorEdgesNetworkBasis",
     "InteriorEdgesBasis",
     "InteriorEdgesFractureBasis",
     "PatchesBasis",

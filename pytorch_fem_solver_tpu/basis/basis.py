@@ -112,6 +112,11 @@ class Basis(AbstractBasis):
     def _cell_coordinates(self, mesh):
         return mesh["cells", "coordinates"]
 
+    def _interp_cell_coordinates(self):
+        """Cell coordinates in the space interpolation targets live in
+        (overridden to 3D by embedded-surface bases)."""
+        return self.mesh["cells", "coordinates"]
+
     def _compute_integration_points(self, mesh, bar_coords):
         return jnp.matrix_transpose(bar_coords) @ self._cell_coordinates(mesh)[
             ..., None, :, :
@@ -153,7 +158,7 @@ class Basis(AbstractBasis):
             dof_idx = self._global_dofs4elements[cells_4_interior_edges][..., None, :]
 
             # (Ei, 2, 1, 1, d): first vertex of each adjacent cell
-            first_vertex = self.mesh["cells", "coordinates"][..., [0], :][
+            first_vertex = self._interp_cell_coordinates()[..., [0], :][
                 cells_4_interior_edges
             ][..., None, :, :]
 

@@ -3,13 +3,17 @@
 from .generation import rectangle, refine_uniform, unit_square
 from .mesh_tri import MeshTri
 from .meshes_tri import MeshesTri
+from .fracture_network import FractureNetworkMesh
 from .fractures_tri import FracturesTri
+from .pslg import triangulate_pslg
 from .patches import Patches
 
 __all__ = [
     "MeshTri",
     "MeshesTri",
     "FracturesTri",
+    "FractureNetworkMesh",
+    "triangulate_pslg",
     "Patches",
     "rectangle",
     "refine_uniform",

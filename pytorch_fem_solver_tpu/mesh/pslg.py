@@ -1,0 +1,191 @@
+"""Conforming Delaunay triangulation of planar straight-line graphs (PSLGs).
+
+Fills the role of the external ``triangle`` library in the reference
+(``tr.triangulate({vertices, segments}, "pqsena...")``, e.g.
+example_fractures_fem.py:44-46) with a native implementation:
+
+1. every constraint segment is subdivided into sub-edges of length <= h
+   (Steiner points), with an explicitly controllable division count so two
+   meshes sharing a physical line can sample it identically (required for
+   cross-fracture conformity in DFNs);
+2. a background grid fills the domain interior, with a clearance band around
+   constraint segments so their diametral circles stay empty;
+3. scipy's Delaunay (qhull) triangulates the point set — with the clearance
+   respected, all constraint sub-edges appear in the triangulation, which is
+   verified and enforced.
+
+Works for convex domains (the DFN benchmark fractures are rectangles). All
+host-side NumPy; runs once at setup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial import Delaunay
+
+__all__ = ["triangulate_pslg", "segment_divisions"]
+
+
+def segment_divisions(lengths: np.ndarray, h: float) -> np.ndarray:
+    """Number of sub-edges per segment for target edge length h (>= 1)."""
+    return np.maximum(1, np.ceil(np.asarray(lengths, dtype=float) / h)).astype(
+        np.int64
+    )
+
+
+def _sample_segments(vertices, segments, divisions):
+    """Steiner points on each segment (excluding endpoints).
+
+    Returns (points (M, 2), owner_segment (M,)) plus, per segment, the index
+    chain [v0, s..., v1] describing its sub-edges — endpoint indices refer to
+    the input vertex array; interior samples are offset later.
+    """
+    points = []
+    chains = []
+    owners = []
+    count = 0
+    for s, (a, b) in enumerate(segments):
+        n_div = int(divisions[s])
+        pa, pb = vertices[a], vertices[b]
+        ts = np.linspace(0.0, 1.0, n_div + 1)[1:-1]
+        seg_pts = pa[None] + ts[:, None] * (pb - pa)[None]
+        idx = np.arange(count, count + len(seg_pts))
+        chains.append((a, idx, b))
+        owners.extend([s] * len(seg_pts))
+        points.append(seg_pts)
+        count += len(seg_pts)
+    all_pts = (
+        np.concatenate(points, axis=0) if points else np.zeros((0, 2))
+    )
+    return all_pts, np.asarray(owners, dtype=np.int64), chains
+
+
+def _point_segment_distance(points, seg_a, seg_b):
+    """Distance from each point to each segment: (N, S) matrix."""
+    d = seg_b - seg_a  # (S, 2)
+    len2 = (d**2).sum(-1)  # (S,)
+    ap = points[:, None, :] - seg_a[None]  # (N, S, 2)
+    t = np.clip((ap * d[None]).sum(-1) / np.where(len2 > 0, len2, 1.0), 0.0, 1.0)
+    closest = seg_a[None] + t[..., None] * d[None]
+    return np.linalg.norm(points[:, None, :] - closest, axis=-1)
+
+
+def triangulate_pslg(
+    vertices,
+    segments,
+    h: float,
+    segment_markers=None,
+    divisions=None,
+    clearance: float = 0.45,
+    max_retries: int = 3,
+):
+    """Triangulate a convex-domain PSLG with max edge length ~ h.
+
+    Args:
+      vertices: (n, 2) PSLG vertices (domain corners + segment endpoints).
+      segments: (m, 2) vertex-index pairs (boundary + interior constraints).
+      h: target edge length.
+      segment_markers: (m,) int labels; 0 = interior constraint, nonzero =
+        domain boundary (value preserved onto vertex labels).
+      divisions: (m,) explicit sub-edge counts (defaults from lengths/h) —
+        pass shared counts to make two meshes conform along a common line.
+      clearance: background points closer than clearance*h to any constraint
+        are dropped (keeps constraint sub-edges Delaunay).
+
+    Returns a dict: vertices (N, 2), triangles (T, 3), vertex_markers (N, 1)
+    in {0, 1}, vertex_labels (N, 1) carrying the originating segment marker,
+    and h.
+    """
+    vertices = np.asarray(vertices, dtype=np.float64)
+    segments = np.asarray(segments, dtype=np.int64)
+    if segment_markers is None:
+        segment_markers = np.ones(len(segments), dtype=np.int64)
+    segment_markers = np.asarray(segment_markers, dtype=np.int64)
+
+    seg_a = vertices[segments[:, 0]]
+    seg_b = vertices[segments[:, 1]]
+    if divisions is None:
+        lengths = np.linalg.norm(seg_b - seg_a, axis=-1)
+        divisions = segment_divisions(lengths, h)
+
+    steiner, steiner_owner, chains = _sample_segments(vertices, segments, divisions)
+
+    # background grid over the domain hull interior
+    lo = vertices.min(axis=0)
+    hi = vertices.max(axis=0)
+    nx = max(1, int(np.ceil((hi[0] - lo[0]) / h)))
+    ny = max(1, int(np.ceil((hi[1] - lo[1]) / h)))
+    gx, gy = np.meshgrid(
+        np.linspace(lo[0], hi[0], nx + 1), np.linspace(lo[1], hi[1], ny + 1)
+    )
+    grid = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+
+    hull = Delaunay(vertices)
+    inside = hull.find_simplex(grid) >= 0
+    grid = grid[inside]
+
+    for attempt in range(max_retries):
+        clear = clearance * h * (1.0 + 0.5 * attempt)
+        dist = _point_segment_distance(grid, seg_a, seg_b)
+        keep = dist.min(axis=1) > clear
+        background = grid[keep]
+
+        n_fixed = len(vertices)
+        n_steiner = len(steiner)
+        all_points = np.concatenate([vertices, steiner, background], axis=0)
+
+        tri = Delaunay(all_points)
+        simplices = tri.simplices
+
+        # conformity check: every constraint sub-edge must be present
+        edge_set = set()
+        for t in simplices:
+            for i, j in ((0, 1), (1, 2), (0, 2)):
+                a, b = int(t[i]), int(t[j])
+                edge_set.add((min(a, b), max(a, b)))
+
+        ok = True
+        for a, idx, b in chains:
+            chain = [a] + [n_fixed + int(k) for k in idx] + [b]
+            for u, v in zip(chain[:-1], chain[1:]):
+                if (min(u, v), max(u, v)) not in edge_set:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            break
+    else:
+        raise RuntimeError(
+            "PSLG triangulation failed to conform to constraint segments "
+            f"after {max_retries} clearance expansions"
+        )
+
+    # drop zero-area slivers qhull may emit on collinear boundary points
+    p = all_points[simplices]
+    cross = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
+        p[:, 1, 1] - p[:, 0, 1]
+    ) * (p[:, 2, 0] - p[:, 0, 0])
+    good = np.abs(cross) > 1e-12 * h * h
+    simplices = simplices[good]
+    cross = cross[good]
+    # enforce positive orientation
+    flip = cross < 0
+    simplices[flip] = simplices[flip][:, [0, 2, 1]]
+
+    # vertex labels: max marker over incident constraint segments
+    labels = np.zeros(len(all_points), dtype=np.int64)
+    np.maximum.at(labels, segments[:, 0], segment_markers)
+    np.maximum.at(labels, segments[:, 1], segment_markers)
+    if n_steiner:
+        labels[n_fixed : n_fixed + n_steiner] = segment_markers[steiner_owner]
+
+    markers = (labels > 0).astype(np.int64)
+
+    return {
+        "vertices": all_points,
+        "triangles": simplices.astype(np.int64),
+        "vertex_markers": markers.reshape(-1, 1),
+        "vertex_labels": labels.reshape(-1, 1),
+        "h": h,
+    }

@@ -1,0 +1,149 @@
+"""General DFN builder: PSLG meshing, trace computation, network solves."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_fem_solver_tpu as fem
+from pytorch_fem_solver_tpu.mesh.dfn import build_fracture_network
+from pytorch_fem_solver_tpu.mesh.pslg import triangulate_pslg
+from pytorch_fem_solver_tpu.utils import (
+    build_benchmark_network,
+    load_seven_fractures_raw,
+    seven_fractures_rectangles,
+)
+
+
+def a_form(basis):
+    return basis.v_grad @ jnp.matrix_transpose(basis.v_grad)
+
+
+def test_pslg_conforming_and_area():
+    verts = np.array(
+        [[0, 0], [1, 0], [1, 1], [0, 1], [0.3, 0.0], [0.7, 1.0]], dtype=float
+    )
+    segs = np.array([[0, 4], [4, 1], [1, 2], [2, 5], [5, 3], [3, 0], [4, 5]])
+    marks = np.array([1, 1, 1, 1, 1, 1, 0])
+    out = triangulate_pslg(verts, segs, h=0.15, segment_markers=marks)
+    v, t = out["vertices"], out["triangles"]
+    p = v[t]
+    areas = 0.5 * (
+        (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+        - (p[:, 1, 1] - p[:, 0, 1]) * (p[:, 2, 0] - p[:, 0, 0])
+    )
+    assert (areas > 0).all()
+    assert abs(areas.sum() - 1.0) < 1e-12
+    # interior constraint vertices are NOT marked boundary
+    labels = out["vertex_labels"][:, 0]
+    markers = out["vertex_markers"][:, 0]
+    assert (markers == (labels > 0).astype(int)).all()
+
+
+def test_two_fracture_network_matches_manufactured_solution():
+    f1 = [[-1, 0, 0], [1, 0, 0], [1, 1, 0], [-1, 1, 0]]
+    f2 = [[0, 0, -1], [0, 0, 1], [0, 1, 1], [0, 1, -1]]
+    errs = []
+    for h in (0.25, 0.125):
+        mesh = build_fracture_network([f1, f2], h=h)
+        V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 4))
+
+        def rhs3(c):
+            x, y, z = c[..., 0:1], c[..., 1:2], c[..., 2:3]
+            return (
+                6.0 * (y - y**2) * jnp.abs(x)
+                - 2.0 * (jnp.abs(x) ** 3 - jnp.abs(x))
+                - 6.0 * (y - y**2) * jnp.abs(z)
+                + 2.0 * (jnp.abs(z) ** 3 - jnp.abs(z))
+            )
+
+        def exact3(c):
+            x, y, z = c[..., 0:1], c[..., 1:2], c[..., 2:3]
+            return -y * (1 - y) * jnp.abs(x) * (x**2 - 1) + y * (1 - y) * jnp.abs(
+                z
+            ) * (z**2 - 1)
+
+        u = V.solve(
+            V.integrate_bilinear_form(a_form),
+            V.solution_tensor(),
+            V.integrate_linear_form(lambda b: rhs3(b.integration_points) * b.v),
+        )
+        Iu, _ = V.interpolate(V, u)
+        num = jnp.sqrt(
+            V.integrate_functional(
+                lambda b, s: (exact3(b.integration_points) - s) ** 2, Iu
+            ).sum()
+        )
+        den = jnp.sqrt(
+            V.integrate_functional(
+                lambda b: exact3(b.integration_points) ** 2
+            ).sum()
+        )
+        errs.append(float(num / den))
+    # L2 error, O(h^2): each halving should cut the error ~4x (allow slack
+    # for unstructured meshes)
+    assert errs[0] / errs[1] > 2.5, errs
+    assert errs[1] < 0.06
+
+
+def test_trace_conformity_across_fractures():
+    """Trace Steiner points must be shared exactly (merged by the glue)."""
+    f1 = [[-1, 0, 0], [1, 0, 0], [1, 1, 0], [-1, 1, 0]]
+    f2 = [[0, 0, -1], [0, 0, 1], [0, 1, 1], [0, 1, -1]]
+    mesh = build_fracture_network([f1, f2], h=0.2)
+    counts = np.asarray(mesh["global", "ids"])[:, 0]
+    trace_ids = np.asarray(mesh["global", "traces_vertices_idx"])[:, 0]
+    trace_coords = np.asarray(mesh["global", "vertices_3d"])[trace_ids]
+    # all trace vertices on x = z = 0 and within y in [0, 1]
+    np.testing.assert_allclose(trace_coords[:, 0], 0.0, atol=1e-9)
+    np.testing.assert_allclose(trace_coords[:, 2], 0.0, atol=1e-9)
+    assert len(trace_ids) >= 1.0 / 0.2 + 1  # at least the sampled trace chain
+
+
+def test_benchmark_network_builds_and_solves():
+    mesh = build_benchmark_network(h=0.5)
+    assert mesh.n_fractures == 7
+    # triple points exist (e.g. (1,1,0) shared by z=0, x=1, y=1 planes)
+    tv = np.asarray(mesh["global", "vertices_3d"])[
+        np.asarray(mesh["global", "traces_vertices_idx"])[:, 0]
+    ]
+    d = np.linalg.norm(tv - np.array([1.0, 1.0, 0.0]), axis=1)
+    assert d.min() < 1e-9, "triple point (1,1,0) must be a glued vertex"
+
+    V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(a_form)
+    b = V.integrate_linear_form(lambda b_: b_.v)
+    u = V.solve_iterative(local, b, tol=1e-10)
+    u_host = np.asarray(u)
+    assert np.isfinite(u_host).all()
+    assert u_host.max() > 0
+    # maximum principle: -Δu = 1 with zero Dirichlet BC -> 0 <= u <= C
+    assert u_host.min() >= -1e-10
+
+
+def test_raw_dataset_loader():
+    raw = load_seven_fractures_raw()
+    assert len(raw) == 3  # the shipped dataset holds three fracture blocks
+    for f in raw:
+        assert f["vertices"].shape[1] == 2
+        assert f["segments"].shape[1] == 2
+        assert f["corners_3d"].shape == (3, 3)
+        assert f["segments"].max() < len(f["vertices"])
+    # fracture 1 is the horizontal plane y=0 patch [-2,2] x [0,1]
+    rects = seven_fractures_rectangles()
+    np.testing.assert_allclose(
+        rects[0],
+        [[-2, 0, 0], [2, 0, 0], [2, 0, 1], [-2, 0, 1]],
+        atol=1e-12,
+    )
+
+
+def test_raw_dataset_network_solve():
+    """Mesh the shipped geometry via derived rectangles + computed traces."""
+    rects = seven_fractures_rectangles()
+    mesh = build_fracture_network(rects, h=0.4)
+    V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(a_form)
+    b = V.integrate_linear_form(lambda b_: b_.v)
+    u = V.solve_iterative(local, b, tol=1e-9)
+    assert np.isfinite(np.asarray(u)).all()
+    assert float(jnp.abs(u).max()) > 0
