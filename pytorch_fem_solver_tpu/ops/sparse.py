@@ -32,8 +32,29 @@ class ELLStructure(NamedTuple):
     pad_mask: jnp.ndarray  # (n_inner, K) 1.0 where a real entry lives
     slots: jnp.ndarray  # (n_keep,) target slot (row * K + k) per kept entry
     keep: jnp.ndarray  # (n_keep,) indices into the flat element entries
+    gather: jnp.ndarray  # (n_inner * K, D) flat-entry ids per slot (pad = n_entries)
     n_inner: int
     n_entries: int  # total flat element-entry count (T * n_loc^2)
+
+
+def invert_scatter_map(target_ids, n_targets: int, source_positions, pad: int):
+    """Turn a scatter (entry -> target) into a gather table (target -> entries).
+
+    Returns (n_targets, D) of source positions, padded with ``pad``. This is
+    the TPU-native assembly transform: a scatter-add with duplicate indices
+    (slow, serialized on TPU) becomes a gather + small-axis reduce.
+    """
+    target_ids = np.asarray(target_ids)
+    source_positions = np.asarray(source_positions)
+    order = np.argsort(target_ids, kind="stable")
+    sorted_t = target_ids[order]
+    counts = np.bincount(sorted_t, minlength=n_targets)
+    D = max(1, int(counts.max(initial=0)))
+    table = np.full((n_targets, D), pad, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(sorted_t.size) - starts[sorted_t]
+    table[sorted_t, pos] = source_positions[order]
+    return table
 
 
 def build_ell_structure(dofs, n_dofs: int, inner) -> ELLStructure:
@@ -78,24 +99,31 @@ def build_ell_structure(dofs, n_dofs: int, inner) -> ELLStructure:
 
     slots = uniq_rows[entry_pair] * K + k_of_pair[entry_pair]
 
+    gather = invert_scatter_map(
+        slots, inner.size * K, keep, pad=int(rows.size)
+    )
+
     return ELLStructure(
         cols=jnp.asarray(ell_cols, dtype=config.index_dtype()),
         pad_mask=jnp.asarray(pad, dtype=config.default_dtype()),
         slots=jnp.asarray(slots, dtype=config.index_dtype()),
         keep=jnp.asarray(keep, dtype=config.index_dtype()),
+        gather=jnp.asarray(gather, dtype=config.index_dtype()),
         n_inner=int(inner.size),
         n_entries=int(rows.size),
     )
 
 
 def ell_values_from_local(structure: ELLStructure, local_matrices) -> jnp.ndarray:
-    """Assemble element matrices into the fixed ELL slots (one scatter)."""
+    """Assemble element matrices into the fixed ELL slots — gather-only.
+
+    ``gather`` inverts the entry->slot scatter on the host, so on device
+    assembly is one padded gather + a tiny-axis reduce (no scatter at all).
+    """
     flat = local_matrices.reshape(-1)
-    vals = flat[structure.keep]
+    flat = jnp.concatenate([flat, jnp.zeros((1,), dtype=flat.dtype)])
     K = structure.cols.shape[1]
-    out = jax.ops.segment_sum(
-        vals, structure.slots, num_segments=structure.n_inner * K
-    )
+    out = flat[structure.gather].sum(axis=-1)
     return out.reshape(structure.n_inner, K)
 
 
@@ -109,6 +137,32 @@ def ell_diagonal(structure: ELLStructure, values):
     row_ids = jnp.arange(structure.n_inner, dtype=structure.cols.dtype)[:, None]
     on_diag = (structure.cols == row_ids) & (structure.pad_mask > 0)
     return jnp.where(on_diag, values, 0.0).sum(axis=-1)
+
+
+class LoadStructure(NamedTuple):
+    """Gather table for scatter-free load-vector assembly."""
+
+    gather: jnp.ndarray  # (n_dofs, D) flat entry ids, pad = n_entries
+    n_entries: int
+
+
+def build_load_structure(dofs, n_dofs: int) -> LoadStructure:
+    """Host-built inverse of the linear-form scatter (dof -> entries)."""
+    flat_dofs = np.asarray(dofs).reshape(-1)
+    table = invert_scatter_map(
+        flat_dofs, n_dofs, np.arange(flat_dofs.size), pad=int(flat_dofs.size)
+    )
+    return LoadStructure(
+        gather=jnp.asarray(table, dtype=config.index_dtype()),
+        n_entries=int(flat_dofs.size),
+    )
+
+
+def load_from_local(structure: LoadStructure, local_vectors) -> jnp.ndarray:
+    """Assemble element load vectors (..., T, n_loc, 1) -> (n_dofs, 1)."""
+    flat = local_vectors.reshape(-1)
+    flat = jnp.concatenate([flat, jnp.zeros((1,), dtype=flat.dtype)])
+    return flat[structure.gather].sum(axis=-1)[:, None]
 
 
 def reduced_ell_operator(basis, local_matrices):
