@@ -1,0 +1,63 @@
+"""Step timing + JAX profiler helpers.
+
+The reference's only observability is a tqdm postfix (SURVEY.md §5); here
+training/solve loops can be timed per step and traced with the XLA profiler
+for TensorBoard.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import statistics
+import time
+from typing import Callable, Optional
+
+import jax
+
+
+class StepTimer:
+    """Accumulates wall-clock per step with device synchronization."""
+
+    def __init__(self):
+        self.times: list[float] = []
+        self._t0: Optional[float] = None
+
+    @contextlib.contextmanager
+    def step(self, result=None):
+        t0 = time.perf_counter()
+        yield
+        if result is not None:
+            jax.block_until_ready(result)
+        self.times.append(time.perf_counter() - t0)
+
+    def time_fn(self, fn: Callable, *args, warmup: int = 1, reps: int = 10):
+        """Median wall-clock of a jitted callable (compiles first)."""
+        for _ in range(warmup):
+            jax.block_until_ready(fn(*args))
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            self.times.append(time.perf_counter() - t0)
+        return self.summary()
+
+    def summary(self) -> dict:
+        if not self.times:
+            return {"count": 0}
+        return {
+            "count": len(self.times),
+            "median_s": statistics.median(self.times),
+            "mean_s": statistics.fmean(self.times),
+            "min_s": min(self.times),
+            "max_s": max(self.times),
+        }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax-trace"):
+    """Capture an XLA profiler trace viewable in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
