@@ -24,8 +24,10 @@ import time
 import numpy as np
 
 H = float(os.environ.get("BENCH_H", "0.03"))
-PCG_ITERS = int(os.environ.get("BENCH_PCG_ITERS", "300"))
+PCG_ITERS = int(os.environ.get("BENCH_PCG_ITERS", "600"))  # iteration cap
+TOL = float(os.environ.get("BENCH_TOL", "1e-6"))  # relative residual target
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+MAX_K = int(os.environ.get("BENCH_MAX_K", "8"))
 
 
 def log(*args):
@@ -69,66 +71,51 @@ def tpu_run(mesh):
         ell_values_from_local,
     )
 
+    from pytorch_fem_solver_tpu.ops.solvers import pcg
+
     structure = build_ell_structure(
-        np.asarray(V._global_dofs4elements), n, np.asarray(inner)
+        np.asarray(V._global_dofs4elements), n, np.asarray(inner), max_k=MAX_K
     )
-    log(f"ell: n_inner={structure.n_inner} K={structure.cols.shape[1]}")
+    log(
+        f"ell: n_inner={structure.n_inner} K={structure.cols.shape[1]} "
+        f"spill={structure.spill_rows.shape[0]}"
+    )
 
     @jax.jit
-    def assemble():
+    def assemble_and_solve():
         local = V.integrate_bilinear_form_local(a_form)
         b = V.integrate_linear_form(l_form)
         values = ell_values_from_local(structure, local)
         diag = ell_diagonal(structure, values)
-        return values, b, diag
-
-    @jax.jit
-    def pcg_fixed(values, b, diag):
         b_red = V.reduce(b)[..., 0]
-        inv_diag = 1.0 / jnp.where(diag != 0, diag, 1.0)
+        x, info = pcg(
+            lambda xr: ell_matvec(structure, values, xr),
+            b_red,
+            precond_diag=diag,
+            tol=TOL,
+            maxiter=PCG_ITERS,
+        )
+        return x, info.iterations, info.residual_norm / jnp.sqrt(
+            jnp.sum(b_red * b_red)
+        )
 
-        def matvec(xr):
-            return ell_matvec(structure, values, xr)
-
-        x = jnp.zeros_like(b_red)
-        r = b_red
-        z = inv_diag * r
-        p = z
-        rz = jnp.sum(r * z)
-
-        def body(_, state):
-            x, r, p, rz = state
-            ap = matvec(p)
-            alpha = rz / jnp.sum(p * ap)
-            x = x + alpha * p
-            r = r - alpha * ap
-            z = inv_diag * r
-            rz_new = jnp.sum(r * z)
-            p = z + (rz_new / rz) * p
-            return (x, r, p, rz_new)
-
-        x, r, _, _ = jax.lax.fori_loop(0, PCG_ITERS, body, (x, r, p, rz))
-        return x, jnp.sqrt(jnp.sum(r * r)) / jnp.sqrt(jnp.sum(b_red * b_red))
-
-    # warmup / compile
-    values, b, diag = jax.block_until_ready(assemble())
-    x, res = pcg_fixed(values, b, diag)
-    jax.block_until_ready((x, res))
-    log(f"tpu warmup: residual after {PCG_ITERS} iters = {float(res):.3e}")
+    # warmup / compile (np.asarray forces real synchronization on axon)
+    x, iters, res = assemble_and_solve()
+    x_host = np.asarray(x)
+    log(f"tpu warmup: converged in {int(iters)} iters, rel res {float(res):.3e}")
 
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        values, b, diag = assemble()
-        x, res = pcg_fixed(values, b, diag)
-        jax.block_until_ready((x, res))
+        x, iters, res = assemble_and_solve()
+        x_host = np.asarray(x)
         times.append(time.perf_counter() - t0)
     tpu_time = float(np.median(times))
     log(f"tpu times: {['%.4f' % t for t in times]} -> median {tpu_time:.4f}s")
 
     x_full = np.zeros(n, dtype=np.float64)
-    x_full[np.asarray(inner)] = np.asarray(x, dtype=np.float64)
-    return tpu_time, float(res), x_full
+    x_full[np.asarray(inner)] = x_host.astype(np.float64)
+    return tpu_time, float(res), int(iters), x_full
 
 
 def cpu_baseline(mesh):
@@ -181,10 +168,12 @@ def cpu_baseline(mesh):
         )
         return local, b, diag[inner]
 
-    def pcg_fixed(local, b, diag):
+    def pcg_tol(local, b, diag):
         b_red = b[inner]
         inv_diag = 1.0 / torch.where(diag != 0, diag, torch.ones_like(diag))
         flat_dofs = dofs.reshape(-1)
+        b_norm = torch.sqrt(torch.dot(b_red, b_red))
+        target = TOL * b_norm
 
         def matvec(xr):
             xf = torch.zeros(n)
@@ -199,41 +188,46 @@ def cpu_baseline(mesh):
         z = inv_diag * r
         p = z.clone()
         rz = torch.dot(r, z)
+        iters = 0
         for _ in range(PCG_ITERS):
             ap = matvec(p)
             alpha = rz / torch.dot(p, ap)
             x += alpha * p
             r -= alpha * ap
+            iters += 1
+            if torch.sqrt(torch.dot(r, r)) <= target:
+                break
             z = inv_diag * r
             rz_new = torch.dot(r, z)
             p = z + (rz_new / rz) * p
             rz = rz_new
-        return x, torch.sqrt(torch.dot(r, r)) / torch.sqrt(torch.dot(b_red, b_red))
+        rel = torch.sqrt(torch.dot(r, r)) / b_norm
+        return x, rel, iters
 
     # warmup
     local, b, diag = assemble()
-    x, res = pcg_fixed(local, b, diag)
-    log(f"cpu warmup: residual after {PCG_ITERS} iters = {float(res):.3e}")
+    x, res, iters = pcg_tol(local, b, diag)
+    log(f"cpu warmup: converged in {iters} iters, rel res {float(res):.3e}")
 
     times = []
     for _ in range(max(1, REPEATS // 2)):
         t0 = time.perf_counter()
         local, b, diag = assemble()
-        x, res = pcg_fixed(local, b, diag)
+        x, res, iters = pcg_tol(local, b, diag)
         times.append(time.perf_counter() - t0)
     cpu_time = float(np.median(times))
     log(f"cpu times: {['%.4f' % t for t in times]} -> median {cpu_time:.4f}s")
 
     x_full = np.zeros(n, dtype=np.float64)
     x_full[inner.numpy()] = x.numpy().astype(np.float64)
-    return cpu_time, float(res), x_full
+    return cpu_time, float(res), iters, x_full
 
 
 def main():
     mesh = build_mesh()
 
-    tpu_time, tpu_res, x_tpu = tpu_run(mesh)
-    cpu_time, cpu_res, x_cpu = cpu_baseline(mesh)
+    tpu_time, tpu_res, tpu_iters, x_tpu = tpu_run(mesh)
+    cpu_time, cpu_res, cpu_iters, x_cpu = cpu_baseline(mesh)
 
     denom = np.linalg.norm(x_cpu) or 1.0
     sol_diff = float(np.linalg.norm(x_tpu - x_cpu) / denom)
@@ -246,7 +240,9 @@ def main():
         "vs_baseline": cpu_time / tpu_time,
         "detail": {
             "h": H,
-            "pcg_iters": PCG_ITERS,
+            "tol": TOL,
+            "tpu_iters": tpu_iters,
+            "cpu_iters": cpu_iters,
             "cpu_baseline_s": cpu_time,
             "tpu_residual": tpu_res,
             "cpu_residual": cpu_res,

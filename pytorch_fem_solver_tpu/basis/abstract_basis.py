@@ -159,6 +159,20 @@ class AbstractBasis(abc.ABC):
         inner = self._basis_parameters["inner_dofs"]
         return solution.at[..., inner, :].add(update)
 
+    def dirichlet_lift(self, matrix, vector, boundary_values):
+        """Impose non-homogeneous Dirichlet data by lifting.
+
+        Given assembled (matrix, vector) and a DOF vector carrying the
+        boundary values (entries at interior DOFs are ignored), returns
+        ``(u_bc, rhs)`` with the boundary contribution moved to the right-
+        hand side: solve the reduced system with ``solve(matrix, u_bc, rhs)``
+        and the boundary values are exact in the result.
+        """
+        inner = self._basis_parameters["inner_dofs"]
+        u_bc = boundary_values.at[..., inner, :].set(0.0)
+        rhs = vector - matrix @ u_bc
+        return u_bc, rhs
+
     def solve_iterative(
         self,
         local_matrices: jnp.ndarray,

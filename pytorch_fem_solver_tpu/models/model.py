@@ -146,12 +146,26 @@ class Model:
 
         for _ in iterator:
             t0 = time.perf_counter()
-            nn, opt_state, loss, validation, accuracy = self._step(nn, opt_state)
+            nn_new, opt_state_new, loss, validation, accuracy = self._step(
+                nn, opt_state
+            )
 
             loss_value = float(loss)
             validation_value = float(validation)
             accuracy_value = float(accuracy)
             self._epoch_times.append(time.perf_counter() - t0)
+
+            # failure guard (SURVEY.md §5: the reference has none): a
+            # non-finite loss poisons parameters and the optimizer state —
+            # skip the update and fall back to the best snapshot
+            if not np.isfinite(loss_value):
+                nn = self.optimal_parameters
+                opt_state = self._tx.init(nn)
+                self._diverged_steps = getattr(self, "_diverged_steps", 0) + 1
+                if self._diverged_steps > 10:
+                    break
+                continue
+            nn, opt_state = nn_new, opt_state_new
 
             if self._use_early_stopping:
                 if loss_value < self._best_loss - self._min_delta:

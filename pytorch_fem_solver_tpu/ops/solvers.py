@@ -30,17 +30,21 @@ def pcg(
     b: jnp.ndarray,
     x0: Optional[jnp.ndarray] = None,
     precond_diag: Optional[jnp.ndarray] = None,
+    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     tol: float = 1e-10,
     maxiter: Optional[int] = None,
     dot: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = None,
 ):
-    """Jacobi-preconditioned conjugate gradients.
+    """Preconditioned conjugate gradients.
 
     Args:
       matvec: SPD operator action on a vector shaped like ``b``.
       b: right-hand side (n,).
       x0: initial guess (defaults to zeros).
       precond_diag: operator diagonal; Jacobi preconditioner M = diag(A).
+      precond: general SPD preconditioner application z = M^{-1} r
+        (overrides ``precond_diag``; e.g. the two-level preconditioner in
+        ``ops.precondition``).
       tol: relative residual tolerance ||r|| <= tol * ||b||.
       maxiter: iteration cap (defaults to 10 * n, a safe CG bound).
       dot: inner product — override with a psum-reducing dot when running
@@ -56,17 +60,19 @@ def pcg(
         dot = lambda u, v: jnp.sum(u * v)
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    if precond_diag is None:
-        inv_diag = jnp.ones_like(b)
-    else:
-        safe = jnp.where(precond_diag != 0, precond_diag, 1.0)
-        inv_diag = 1.0 / safe
+    if precond is None:
+        if precond_diag is None:
+            precond = lambda r: r
+        else:
+            safe = jnp.where(precond_diag != 0, precond_diag, 1.0)
+            inv_diag_arr = 1.0 / safe
+            precond = lambda r: inv_diag_arr * r
 
     b_norm = jnp.sqrt(dot(b, b))
     atol2 = (tol * jnp.maximum(b_norm, 1e-300)) ** 2
 
     r0 = b - matvec(x0)
-    z0 = inv_diag * r0
+    z0 = precond(r0)
     rz0 = dot(r0, z0)
 
     def cond(state):
@@ -79,7 +85,7 @@ def pcg(
         alpha = rz / dot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        z = inv_diag * r
+        z = precond(r)
         rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p

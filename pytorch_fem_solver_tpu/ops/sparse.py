@@ -26,13 +26,22 @@ from .. import config
 
 
 class ELLStructure(NamedTuple):
-    """Static (host-built) ELL layout for a reduced FEM operator."""
+    """Static (host-built) ELL layout for a reduced FEM operator.
+
+    Optionally *hybrid*: rows with degree > K spill their excess entries
+    into a COO tail (``spill_*``). On gather-cost-dominated TPUs this trims
+    the gathered element count by ~1/3 (mean P1 degree ~7 vs max ~15; the
+    heavy rows are fracture-trace DOFs).
+    """
 
     cols: jnp.ndarray  # (n_inner, K) reduced column ids (padding -> row 0)
     pad_mask: jnp.ndarray  # (n_inner, K) 1.0 where a real entry lives
     slots: jnp.ndarray  # (n_keep,) target slot (row * K + k) per kept entry
     keep: jnp.ndarray  # (n_keep,) indices into the flat element entries
-    gather: jnp.ndarray  # (n_inner * K, D) flat-entry ids per slot (pad = n_entries)
+    gather: jnp.ndarray  # (n_slots, D) flat-entry ids per slot (pad = n_entries)
+    spill_rows: jnp.ndarray  # (S,) reduced row ids of spilled pairs
+    spill_cols: jnp.ndarray  # (S,) reduced col ids of spilled pairs
+    spill_gather: jnp.ndarray  # (S, D2) flat-entry ids per spilled pair
     n_inner: int
     n_entries: int  # total flat element-entry count (T * n_loc^2)
 
@@ -57,13 +66,17 @@ def invert_scatter_map(target_ids, n_targets: int, source_positions, pad: int):
     return table
 
 
-def build_ell_structure(dofs, n_dofs: int, inner) -> ELLStructure:
-    """Host-side construction of the reduced ELL layout.
+def build_ell_structure(
+    dofs, n_dofs: int, inner, max_k: int | None = None
+) -> ELLStructure:
+    """Host-side construction of the reduced (hybrid) ELL layout.
 
     Args:
       dofs: (T, n_loc) global DOF ids per cell (device or host array).
       n_dofs: total global DOF count.
       inner: (n_inner,) interior DOF ids (Dirichlet rows/cols eliminated).
+      max_k: cap on entries-per-row in the ELL part; rows with more entries
+        spill the excess into the COO tail. None = no spill (pure ELL).
     """
     dofs = np.asarray(dofs).reshape(-1, np.asarray(dofs).shape[-1])
     inner = np.asarray(inner)
@@ -74,69 +87,110 @@ def build_ell_structure(dofs, n_dofs: int, inner) -> ELLStructure:
 
     rows = reduced_id[np.repeat(dofs, n_loc, axis=1).reshape(-1)]
     cols = reduced_id[np.tile(dofs, (1, n_loc)).reshape(-1)]
-    keep = np.nonzero((rows >= 0) & (cols >= 0))[0]
-    rows_k = rows[keep]
-    cols_k = cols[keep]
+    keep_all = np.nonzero((rows >= 0) & (cols >= 0))[0]
+    rows_k = rows[keep_all]
+    cols_k = cols[keep_all]
 
-    # unique (row, col) pairs -> one ELL slot each
+    # unique (row, col) pairs -> one slot each
     pair_key = rows_k * inner.size + cols_k
     uniq_keys, entry_pair = np.unique(pair_key, return_inverse=True)
     uniq_rows = uniq_keys // inner.size
     uniq_cols = uniq_keys % inner.size
 
     counts = np.bincount(uniq_rows, minlength=inner.size)
-    K = int(counts.max()) if counts.size else 1
+    K_full = int(counts.max()) if counts.size else 1
+    K = K_full if max_k is None else min(K_full, int(max_k))
 
-    # position of each unique pair within its row (keys are sorted, so pairs
-    # of one row are consecutive)
+    # position of each unique pair within its row (keys sorted -> pairs of
+    # one row are consecutive); keep the diagonal first so it never spills
     row_starts = np.concatenate([[0], np.cumsum(counts)])
     k_of_pair = np.arange(uniq_keys.size) - row_starts[uniq_rows]
+    # swap each row's diagonal pair into position 0 (so it never spills and
+    # the Jacobi diagonal always lives in the ELL part)
+    diag_mask = uniq_rows == uniq_cols
+    diag_pos = np.zeros(inner.size, dtype=np.int64)
+    diag_pos[uniq_rows[diag_mask]] = k_of_pair[diag_mask]
+    k_of_pair = np.where(
+        diag_mask,
+        0,
+        np.where(k_of_pair == 0, diag_pos[uniq_rows], k_of_pair),
+    )
+
+    in_ell = k_of_pair < K
+    ell_pairs = np.nonzero(in_ell)[0]
+    spill_pairs = np.nonzero(~in_ell)[0]
 
     ell_cols = np.zeros((inner.size, K), dtype=np.int64)
     pad = np.zeros((inner.size, K), dtype=np.float64)
-    ell_cols[uniq_rows, k_of_pair] = uniq_cols
-    pad[uniq_rows, k_of_pair] = 1.0
+    ell_cols[uniq_rows[ell_pairs], k_of_pair[ell_pairs]] = uniq_cols[ell_pairs]
+    pad[uniq_rows[ell_pairs], k_of_pair[ell_pairs]] = 1.0
 
-    slots = uniq_rows[entry_pair] * K + k_of_pair[entry_pair]
+    # slot id per unique pair: ELL pairs -> row*K + k; spilled pairs ->
+    # n_inner*K + spill_index
+    pair_slot = np.full(uniq_keys.size, -1, dtype=np.int64)
+    pair_slot[ell_pairs] = uniq_rows[ell_pairs] * K + k_of_pair[ell_pairs]
+    pair_slot[spill_pairs] = inner.size * K + np.arange(spill_pairs.size)
 
-    gather = invert_scatter_map(
-        slots, inner.size * K, keep, pad=int(rows.size)
-    )
+    slots = pair_slot[entry_pair]
+    n_slots = inner.size * K + spill_pairs.size
+
+    gather_full = invert_scatter_map(slots, n_slots, keep_all, pad=int(rows.size))
+    gather = gather_full[: inner.size * K]
+    spill_gather = gather_full[inner.size * K :]
 
     return ELLStructure(
         cols=jnp.asarray(ell_cols, dtype=config.index_dtype()),
         pad_mask=jnp.asarray(pad, dtype=config.default_dtype()),
         slots=jnp.asarray(slots, dtype=config.index_dtype()),
-        keep=jnp.asarray(keep, dtype=config.index_dtype()),
+        keep=jnp.asarray(keep_all, dtype=config.index_dtype()),
         gather=jnp.asarray(gather, dtype=config.index_dtype()),
+        spill_rows=jnp.asarray(uniq_rows[spill_pairs], dtype=config.index_dtype()),
+        spill_cols=jnp.asarray(uniq_cols[spill_pairs], dtype=config.index_dtype()),
+        spill_gather=jnp.asarray(spill_gather, dtype=config.index_dtype()),
         n_inner=int(inner.size),
         n_entries=int(rows.size),
     )
 
 
-def ell_values_from_local(structure: ELLStructure, local_matrices) -> jnp.ndarray:
-    """Assemble element matrices into the fixed ELL slots — gather-only.
+def ell_values_from_local(structure: ELLStructure, local_matrices):
+    """Assemble element matrices into the fixed slots — gather-only.
 
     ``gather`` inverts the entry->slot scatter on the host, so on device
     assembly is one padded gather + a tiny-axis reduce (no scatter at all).
+    Returns ``(ell_values (n_inner, K), spill_values (S,))``.
     """
     flat = local_matrices.reshape(-1)
     flat = jnp.concatenate([flat, jnp.zeros((1,), dtype=flat.dtype)])
     K = structure.cols.shape[1]
-    out = flat[structure.gather].sum(axis=-1)
-    return out.reshape(structure.n_inner, K)
+    ell = flat[structure.gather].sum(axis=-1).reshape(structure.n_inner, K)
+    if structure.spill_rows.shape[0]:
+        spill = flat[structure.spill_gather].sum(axis=-1)
+    else:
+        spill = jnp.zeros((0,), dtype=flat.dtype)
+    return ell, spill
 
 
 def ell_matvec(structure: ELLStructure, values, x):
-    """y = A_reduced @ x via gather + multiply-reduce (no scatter)."""
-    return (values * x[structure.cols]).sum(axis=-1)
+    """y = A_reduced @ x via gather + multiply-reduce (+ tiny COO tail)."""
+    ell, spill = values
+    y = (ell * x[structure.cols]).sum(axis=-1)
+    if structure.spill_rows.shape[0]:
+        # spill pairs are emitted in row-major key order -> sorted segments
+        y = y + jax.ops.segment_sum(
+            spill * x[structure.spill_cols],
+            structure.spill_rows,
+            num_segments=structure.n_inner,
+            indices_are_sorted=True,
+        )
+    return y
 
 
 def ell_diagonal(structure: ELLStructure, values):
-    """Diagonal of the reduced operator (for Jacobi preconditioning)."""
+    """Diagonal of the reduced operator (always in the ELL part, slot 0)."""
+    ell, _ = values
     row_ids = jnp.arange(structure.n_inner, dtype=structure.cols.dtype)[:, None]
     on_diag = (structure.cols == row_ids) & (structure.pad_mask > 0)
-    return jnp.where(on_diag, values, 0.0).sum(axis=-1)
+    return jnp.where(on_diag, ell, 0.0).sum(axis=-1)
 
 
 class LoadStructure(NamedTuple):
