@@ -28,6 +28,7 @@ PCG_ITERS = int(os.environ.get("BENCH_PCG_ITERS", "600"))  # iteration cap
 TOL = float(os.environ.get("BENCH_TOL", "1e-6"))  # relative residual target
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 MAX_K = int(os.environ.get("BENCH_MAX_K", "8"))
+PRECOND = os.environ.get("BENCH_PRECOND", "two_level")  # two_level | jacobi
 
 
 def log(*args):
@@ -81,6 +82,24 @@ def tpu_run(mesh):
         f"spill={structure.spill_rows.shape[0]}"
     )
 
+    # value-independent preconditioner structure: host-built once per basis
+    # (like the ELL layout itself); all value-dependent setup runs on device
+    # inside the timed jit
+    tl = None
+    if PRECOND == "two_level":
+        from pytorch_fem_solver_tpu.ops.precondition import (
+            build_two_level_structure,
+            two_level_from_values,
+        )
+
+        coords = np.asarray(V._coords4global_dofs)[np.asarray(inner)]
+        t0 = time.perf_counter()
+        tl = build_two_level_structure(structure, coords, leaf=32, kp=4)
+        log(
+            f"two-level structure: nc={tl.nc} "
+            f"({time.perf_counter() - t0:.2f}s host, one-time)"
+        )
+
     @jax.jit
     def assemble_and_solve():
         local = V.integrate_bilinear_form_local(a_form)
@@ -88,10 +107,15 @@ def tpu_run(mesh):
         values = ell_values_from_local(structure, local)
         diag = ell_diagonal(structure, values)
         b_red = V.reduce(b)[..., 0]
+        if tl is not None:
+            precond = two_level_from_values(tl, structure, values, diag)
+        else:
+            precond = None
         x, info = pcg(
             lambda xr: ell_matvec(structure, values, xr),
             b_red,
             precond_diag=diag,
+            precond=precond,
             tol=TOL,
             maxiter=PCG_ITERS,
         )

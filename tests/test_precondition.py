@@ -1,0 +1,106 @@
+"""Two-level preconditioners: SPD-validity, same solution, fewer iterations."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import pytorch_fem_solver_tpu as fem
+from pytorch_fem_solver_tpu.ops.precondition import (
+    build_smoothed_two_level,
+    build_two_level,
+    spatial_aggregates,
+)
+from pytorch_fem_solver_tpu.ops.solvers import pcg
+from pytorch_fem_solver_tpu.ops.sparse import (
+    build_ell_structure,
+    ell_diagonal,
+    ell_matvec,
+    ell_values_from_local,
+)
+
+
+def setup_problem(n=24):
+    mesh = fem.MeshTri(fem.unit_square(n=n))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(
+        lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+    )
+    inner = np.asarray(V._basis_parameters["inner_dofs"])
+    st = build_ell_structure(
+        np.asarray(V._global_dofs4elements), V.n_dofs, inner, max_k=7
+    )
+    vals = ell_values_from_local(st, local)
+    diag = ell_diagonal(st, vals)
+    b = V.reduce(V.integrate_linear_form(lambda b_: b_.v))[..., 0]
+    coords = np.asarray(V._coords4global_dofs)[inner]
+    return st, vals, diag, b, coords
+
+
+def test_spatial_aggregates_cover_and_bound():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(500, 3))
+    agg = spatial_aggregates(pts, leaf=16)
+    counts = np.bincount(agg)
+    assert counts.sum() == 500
+    assert counts.max() <= 16
+    assert (counts > 0).all()
+
+
+def test_smoothed_two_level_cuts_iterations():
+    st, vals, diag, b, coords = setup_problem()
+    mv = lambda x: ell_matvec(st, vals, x)
+
+    x_j, info_j = pcg(mv, b, precond_diag=diag, tol=1e-10)
+    M = build_smoothed_two_level(st, vals, coords, leaf=16, max_row_nnz=3)
+    x_t, info_t = pcg(mv, b, precond=M, tol=1e-10)
+
+    np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_j), atol=1e-8)
+    assert int(info_t.iterations) < int(info_j.iterations), (
+        int(info_t.iterations),
+        int(info_j.iterations),
+    )
+
+
+def test_smoothed_two_level_apply_is_spd():
+    st, vals, diag, _, coords = setup_problem(n=8)
+    M = build_smoothed_two_level(st, vals, coords, leaf=8)
+    n = st.n_inner
+    # materialize M^{-1} and check symmetry + positive definiteness
+    eye = np.eye(n)
+    Minv = np.stack([np.asarray(M(jnp.asarray(eye[i]))) for i in range(n)])
+    np.testing.assert_allclose(Minv, Minv.T, atol=1e-9)
+    eigs = np.linalg.eigvalsh(0.5 * (Minv + Minv.T))
+    assert eigs.min() > 0
+
+
+def test_device_two_level_setup_matches():
+    """Fully-device setup path: same solution, comparable iteration cut."""
+    import jax
+
+    from pytorch_fem_solver_tpu.ops.precondition import (
+        build_two_level_structure,
+        two_level_from_values,
+    )
+
+    st, vals, diag, b, coords = setup_problem(n=20)
+    mv = lambda x: ell_matvec(st, vals, x)
+    x_j, info_j = pcg(mv, b, precond_diag=diag, tol=1e-10)
+
+    tl = build_two_level_structure(st, coords, leaf=16, kp=4)
+    M = jax.jit(lambda v, d: two_level_from_values(tl, st, v, d))(vals, diag)
+    x_t, info_t = pcg(mv, b, precond=M, tol=1e-10)
+
+    np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_j), atol=1e-8)
+    assert bool(info_t.converged)
+    # the coarse correction pays off at scale (see the scipy-variant test);
+    # at this tiny size just require it not to blow up the iteration count
+    assert int(info_t.iterations) <= 2 * int(info_j.iterations)
+
+
+def test_plain_two_level_matches_jacobi_solution():
+    st, vals, diag, b, coords = setup_problem(n=12)
+    mv = lambda x: ell_matvec(st, vals, x)
+    M = build_two_level(st, vals, diag, block=64)
+    x_j, _ = pcg(mv, b, precond_diag=diag, tol=1e-10)
+    x_t, info = pcg(mv, b, precond=M, tol=1e-10)
+    np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_j), atol=1e-8)
+    assert bool(info.converged)
