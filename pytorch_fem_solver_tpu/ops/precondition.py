@@ -250,29 +250,38 @@ def build_two_level_structure(
     acols = agg[cols]  # (n, K) aggregate of each neighbor
     rows_agg = agg[np.arange(n)]
 
-    slot_pslot = np.full((n, K), kp, dtype=np.int64)
+    # vectorized per-row distinct-aggregate enumeration: own aggregate
+    # first, then in first-occurrence order, capped at kp (a first-occurrence
+    # policy instead of count-ranking — rows rarely touch > kp aggregates)
+    SENTINEL = nc + 1
+    acols_m = np.where(pad_mask, acols, SENTINEL)  # (n, K)
+    ext = np.concatenate([rows_agg[:, None], acols_m], axis=1)  # (n, K+1)
+
+    # first-occurrence flag per position: not equal to any earlier position
+    eq = ext[:, :, None] == ext[:, None, :]  # (n, K+1, K+1)
+    earlier = np.tril(np.ones((K + 1, K + 1), dtype=bool), k=-1)
+    seen_before = (eq & earlier[None]).any(axis=2)
+    is_first = (~seen_before) & (ext != SENTINEL)
+
+    # p-index of each first occurrence (own aggregate at position 0 -> p=0)
+    p_of_pos = np.cumsum(is_first, axis=1) - 1  # valid where is_first
+    p_of_pos = np.where(is_first, p_of_pos, kp)
+
+    # for every position, the p of its value = p at its first occurrence
+    first_pos = np.argmax(eq & is_first[:, None, :], axis=2)  # (n, K+1)
+    p_all = np.take_along_axis(p_of_pos, first_pos, axis=1)
+    p_all = np.where(ext == SENTINEL, kp, np.minimum(p_all, kp))
+
+    slot_pslot = np.where(p_all[:, 1:] < kp, p_all[:, 1:], kp)
+
     p_cols = np.zeros((n, kp), dtype=np.int64)
     p_mask = np.zeros((n, kp), dtype=np.float64)
+    rows_idx = np.repeat(np.arange(n), K + 1).reshape(n, K + 1)
+    sel = is_first & (p_of_pos < kp)
+    p_cols[rows_idx[sel], p_of_pos[sel]] = ext[sel]
+    p_mask[rows_idx[sel], p_of_pos[sel]] = 1.0
     is_self = np.zeros((n, kp), dtype=np.float64)
-
-    for i in range(n):
-        # distinct aggregates of row i, own aggregate first, then by
-        # contribution count (strength proxy)
-        row_aggs = acols[i][pad_mask[i]]
-        uniq, counts = np.unique(row_aggs, return_counts=True)
-        order = np.argsort(-counts, kind="stable")
-        uniq = uniq[order]
-        own = rows_agg[i]
-        uniq = np.concatenate([[own], uniq[uniq != own]])[:kp]
-        lookup = {int(a): p for p, a in enumerate(uniq)}
-        p_cols[i, : len(uniq)] = uniq
-        p_mask[i, : len(uniq)] = 1.0
-        is_self[i, : len(uniq)] = uniq == own
-        for k in range(K):
-            if pad_mask[i, k]:
-                p = lookup.get(int(acols[i, k]))
-                if p is not None:
-                    slot_pslot[i, k] = p
+    is_self[:, 0] = 1.0  # own aggregate always occupies slot 0
 
     # restrict tables: invert the (i, p) -> coarse column map
     flat_cols = p_cols.reshape(-1)
