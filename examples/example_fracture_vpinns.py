@@ -34,6 +34,7 @@ nn = fem.FeedForwardNeuralNetwork(
     nb_hidden_layers=4,
     neurons_per_layers=20,
     boundary_condition_modifier=boundary_modifier,
+    final_layer_scale=0.05,
 )
 
 mesh = build_fracture_network(common.two_fracture_geometry(), h=H)

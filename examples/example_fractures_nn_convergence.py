@@ -27,6 +27,7 @@ def boundary_modifier(pts):
 nn = fem.FeedForwardNeuralNetwork(
     3, 1, nb_hidden_layers=4, neurons_per_layers=20,
     boundary_condition_modifier=boundary_modifier,
+    final_layer_scale=0.05,
 )
 
 dofs_list, h1_list = [], []

@@ -181,21 +181,77 @@ class AbstractBasis(abc.ABC):
         tol: float = 1e-10,
         maxiter: Optional[int] = None,
         only_inner_dofs: bool = True,
+        method: str = "ell",
+        precondition: str = "jacobi",
     ) -> jnp.ndarray:
-        """Matrix-free Jacobi-preconditioned CG on the reduced system.
+        """Matrix-free preconditioned CG on the reduced system.
 
-        Never materializes the global matrix: the operator is
-        gather -> per-cell 3x3 matvec -> segment-sum, entirely fusible by XLA
-        and shardable over the cell axis.
+        Never materializes the global matrix. ``method="ell"`` (default)
+        assembles the unassembled element matrices into the gather-only
+        hybrid-ELL operator (the TPU fast path; the layout is cached on the
+        basis); ``method="segment"`` keeps the per-cell
+        gather/matvec/segment-sum operator (shard_map-friendly).
+        ``precondition="two_level"`` adds the smoothed aggregation coarse
+        correction (structure cached on the basis as well) — worthwhile for
+        large systems.
         """
-        from ..ops.operators import reduced_operator_from_local
         from ..ops.solvers import pcg
 
         if solution is None:
             solution = self.solution_tensor()
-        matvec, diag = reduced_operator_from_local(self, local_matrices)
         rhs = self.reduce(vector) if only_inner_dofs else vector
-        x, _ = pcg(matvec, rhs[..., 0], precond_diag=diag, tol=tol, maxiter=maxiter)
+
+        if method == "segment":
+            from ..ops.operators import reduced_operator_from_local
+
+            matvec, diag = reduced_operator_from_local(self, local_matrices)
+            precond = None
+        else:
+            from ..ops.sparse import (
+                ell_diagonal,
+                ell_matvec,
+                ell_values_from_local,
+            )
+
+            structure = getattr(self, "_ell_structure", None)
+            if structure is None:
+                from ..ops.sparse import build_ell_structure
+
+                structure = build_ell_structure(
+                    self._global_dofs4elements,
+                    self.n_dofs,
+                    np.asarray(self._basis_parameters["inner_dofs"]),
+                    max_k=8,
+                )
+                self._ell_structure = structure
+            values = ell_values_from_local(structure, local_matrices)
+            diag = ell_diagonal(structure, values)
+            matvec = lambda x: ell_matvec(structure, values, x)
+            precond = None
+            if precondition == "two_level":
+                from ..ops.precondition import (
+                    build_two_level_structure,
+                    two_level_from_values,
+                )
+
+                tl = getattr(self, "_two_level_structure", None)
+                if tl is None:
+                    inner_ids = np.asarray(
+                        self._basis_parameters["inner_dofs"]
+                    )
+                    coords = np.asarray(self._coords4global_dofs)[inner_ids]
+                    tl = build_two_level_structure(structure, coords)
+                    self._two_level_structure = tl
+                precond = two_level_from_values(tl, structure, values, diag)
+
+        x, _ = pcg(
+            matvec,
+            rhs[..., 0],
+            precond_diag=diag,
+            precond=precond,
+            tol=tol,
+            maxiter=maxiter,
+        )
         inner = self._basis_parameters["inner_dofs"]
         return solution.at[..., inner, 0].add(x)
 

@@ -51,6 +51,7 @@ class FeedForwardNeuralNetwork:
         use_xavier_initialization: bool = False,
         boundary_condition_modifier: Optional[Callable] = None,
         seed: int = 0,
+        final_layer_scale: float = 1.0,
         *,
         _params: Optional[tuple] = None,
     ):
@@ -91,6 +92,11 @@ class FeedForwardNeuralNetwork:
             biases.append(
                 jnp.asarray(rng.uniform(-b_bound, b_bound, size=(fan_out,)), dtype=dtype)
             )
+        if final_layer_scale != 1.0:
+            # shrinking the output layer starts training near u_theta = 0
+            # (relative error 1), which stabilizes variational losses
+            weights[-1] = weights[-1] * final_layer_scale
+            biases[-1] = biases[-1] * final_layer_scale
         self.weights = tuple(weights)
         self.biases = tuple(biases)
 

@@ -1,0 +1,64 @@
+"""P2 edge traces + direct MeshesTri batched use."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import pytorch_fem_solver_tpu as fem
+
+
+def test_p2_edge_traces_continuous_and_exact():
+    """P2 interpolant of a quadratic: exact traces, zero gradient jump."""
+    mesh = fem.MeshTri(fem.unit_square(n=4))
+    V = fem.Basis(mesh, fem.ElementTri(2, 4))
+    V_edges = fem.InteriorEdgesBasis(mesh, fem.ElementLine(1, 3))
+
+    coords = np.asarray(V._coords4global_dofs)
+
+    def f(x, y):
+        return 1.0 + 2 * x - y + 3 * x * y + x**2 - 2 * y**2
+
+    u = jnp.asarray(f(coords[:, 0], coords[:, 1]).reshape(-1, 1))
+    interp, interp_grad = V.interpolate(V_edges, u)
+
+    pts = np.asarray(V_edges.integration_points)  # (Ei, q, 1, 2)
+    exact_vals = f(pts[..., 0], pts[..., 1])  # (Ei, q, 1)
+    vals = np.asarray(interp)  # (Ei, 2, q, 1, 1)
+    for side in range(2):
+        np.testing.assert_allclose(
+            vals[:, side, :, 0, 0], exact_vals[:, :, 0], atol=1e-12
+        )
+
+    # gradient traces of the exact quadratic agree from both sides
+    grads = np.asarray(interp_grad)  # (Ei, 2, q, 1, 2)
+    np.testing.assert_allclose(grads[:, 0], grads[:, 1], atol=1e-11)
+    gx = 2.0 + 3 * pts[..., 1] + 2 * pts[..., 0]
+    gy = -1.0 + 3 * pts[..., 0] - 4 * pts[..., 1]
+    np.testing.assert_allclose(grads[:, 0, :, 0, 0], gx[:, :, 0], atol=1e-11)
+    np.testing.assert_allclose(grads[:, 0, :, 0, 1], gy[:, :, 0], atol=1e-11)
+
+
+def test_meshes_tri_direct_batch():
+    """MeshesTri stacks equal-topology meshes; batched gathers line up."""
+    t1 = fem.rectangle(3, 3)
+    t2 = fem.rectangle(3, 3, x0=2.0, x1=5.0, y0=1.0, y1=3.0)
+    batch = fem.MeshesTri([t1, t2])
+
+    assert batch.batch_size() == (2,)
+    assert batch["vertices", "coordinates"].shape[0] == 2
+    # geometry differs per batch entry, topology identical
+    np.testing.assert_array_equal(
+        np.asarray(batch["cells", "vertices"][0]),
+        np.asarray(batch["cells", "vertices"][1]),
+    )
+    c = batch.compute_coordinates_4_cells(
+        batch["vertices", "coordinates"], batch["cells", "vertices"]
+    )
+    assert c.shape == (2, 18, 3, 2)
+    # each entry's cell coords match its own single-mesh construction
+    single = fem.MeshTri(t2)
+    np.testing.assert_allclose(
+        np.asarray(c[1]), np.asarray(single["cells", "coordinates"]), atol=0
+    )
+    # per-mesh interior-edge normals are unit and oriented
+    normals = np.asarray(batch["interior_edges", "normals"])
+    np.testing.assert_allclose(np.linalg.norm(normals, axis=-1), 1.0, atol=1e-13)
