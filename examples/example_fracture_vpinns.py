@@ -57,9 +57,9 @@ _, interp_self_grad = V.interpolate(V)
 def tangential_projector(basis):
     """P = J (J^T J)^{-1} J^T per cell: projects ambient gradients in-plane."""
     cell_frac = basis.mesh["cells", "fracture"][:, 0]
-    jac = basis.mesh["fracture_map", "jacobian"][cell_frac][:, None, None]
-    inv = basis.mesh["fracture_map", "inv_jacobian"][cell_frac][:, None, None]
-    return jac @ inv  # (T, 1, 1, 3, 3), symmetric
+    jac = basis.mesh["fracture_map", "jacobian"][cell_frac][:, None]
+    inv = basis.mesh["fracture_map", "inv_jacobian"][cell_frac][:, None]
+    return jac @ inv  # (T, 1, 3, 3), symmetric
 
 
 def residual(basis, net):

@@ -54,8 +54,8 @@ for level in range(LEVELS):
     def h1_err(basis, net):
         pts = basis.integration_points
         cell_frac = basis.mesh["cells", "fracture"][:, 0]
-        jac = basis.mesh["fracture_map", "jacobian"][cell_frac][:, None, None]
-        inv = basis.mesh["fracture_map", "inv_jacobian"][cell_frac][:, None, None]
+        jac = basis.mesh["fracture_map", "jacobian"][cell_frac][:, None]
+        inv = basis.mesh["fracture_map", "inv_jacobian"][cell_frac][:, None]
         tangent = net.gradient(pts) @ (jac @ inv)
         return (net(pts) - common.dfn_exact(pts)) ** 2 + (
             (tangent - common.dfn_exact_grad(pts)) ** 2
