@@ -202,6 +202,10 @@ class AbstractBasis(abc.ABC):
         rhs = self.reduce(vector) if only_inner_dofs else vector
 
         if method == "segment":
+            if precondition == "two_level":
+                raise NotImplementedError(
+                    "precondition='two_level' requires method='ell'"
+                )
             from ..ops.operators import reduced_operator_from_local
 
             matvec, diag = reduced_operator_from_local(self, local_matrices)
@@ -276,9 +280,76 @@ class AbstractBasis(abc.ABC):
     def _compute_integration_points(self, mesh, bar_coords):
         """Physical quadrature points per element."""
 
-    @abc.abstractmethod
     def _compute_integral_weights(self, element, det_map_jacobian):
-        """Quadrature weights x reference measure x |det J| (x extra scales)."""
+        """Quadrature weights x reference measure x |det J| (x extra scales).
+
+        Default covers every non-fracture basis; fracture bases multiply an
+        additional area scale."""
+        return (
+            element.reference_element_area
+            * element.gaussian_weights
+            * det_map_jacobian
+        )
+
+    def _build_assembly_parameters(
+        self,
+        nb_global_dofs: int,
+        global_dofs4elements,
+        nodes4boundary_dofs,
+        batch_size: Optional[int] = None,
+    ) -> dict:
+        """Shared scatter-index / interior-DOF construction.
+
+        With ``batch_size`` set, shapes gain a leading batch axis and the
+        scatter tuple a batch index (patches/fracture-edge bases); boundary
+        markers must then be identical across the batch, since ``reduce``
+        applies one interior-DOF list to every entry.
+        """
+        from .. import config
+
+        nb_local_dofs = int(global_dofs4elements.shape[-1])
+        markers_all = self._as_host_index(nodes4boundary_dofs)
+        if batch_size is not None:
+            if not (markers_all == markers_all[:1]).all():
+                raise NotImplementedError(
+                    "batched bases require identical boundary markers across "
+                    "the batch (reduce() applies one interior-DOF list)"
+                )
+            markers = markers_all[0].reshape(-1)
+        else:
+            markers = markers_all.reshape(-1)
+        inner_dofs = jnp.asarray(
+            np.nonzero(markers != 1)[0], dtype=config.index_dtype()
+        )
+
+        dofs = global_dofs4elements
+        if batch_size is None:
+            rows_idx = jnp.repeat(dofs, nb_local_dofs, axis=-1).reshape(-1)
+            cols_idx = jnp.tile(dofs, (1, nb_local_dofs)).reshape(-1)
+            form_idx = dofs.reshape(-1)
+            return {
+                "bilinear_form_shape": (nb_global_dofs, nb_global_dofs),
+                "bilinear_form_idx": (rows_idx, cols_idx),
+                "linear_form_shape": (nb_global_dofs, 1),
+                "linear_form_idx": (form_idx,),
+                "inner_dofs": inner_dofs,
+                "nb_dofs": nb_global_dofs,
+            }
+
+        batch_idx = jnp.arange(batch_size, dtype=config.index_dtype())[:, None]
+        rows_idx = jnp.repeat(dofs, nb_local_dofs, axis=-1).reshape(
+            batch_size, -1
+        )
+        cols_idx = jnp.tile(dofs, (1, 1, nb_local_dofs)).reshape(batch_size, -1)
+        form_idx = dofs.reshape(batch_size, -1)
+        return {
+            "bilinear_form_shape": (batch_size, nb_global_dofs, nb_global_dofs),
+            "bilinear_form_idx": (batch_idx, rows_idx, cols_idx),
+            "linear_form_shape": (batch_size, nb_global_dofs, 1),
+            "linear_form_idx": (batch_idx, form_idx),
+            "inner_dofs": inner_dofs,
+            "nb_dofs": nb_global_dofs,
+        }
 
     # -- helpers ----------------------------------------------------------
 

@@ -50,27 +50,11 @@ class InteriorEdgesBasis(AbstractBasis):
     def _compute_basis_parameters(
         self, coords4global_dofs, global_dofs4elements, nodes4boundary_dofs
     ):
-        nb_global_dofs = int(coords4global_dofs.shape[-2])
-        nb_local_dofs = int(global_dofs4elements.shape[-1])
-
-        markers = self._as_host_index(nodes4boundary_dofs).reshape(-1)
-        inner_dofs = jnp.asarray(
-            np.nonzero(markers != 1)[0], dtype=config.index_dtype()
+        return self._build_assembly_parameters(
+            int(coords4global_dofs.shape[-2]),
+            global_dofs4elements,
+            nodes4boundary_dofs,
         )
-
-        dofs = global_dofs4elements
-        rows_idx = jnp.repeat(dofs, nb_local_dofs, axis=-1).reshape(-1)
-        cols_idx = jnp.tile(dofs, (1, nb_local_dofs)).reshape(-1)
-        form_idx = dofs.reshape(-1)
-
-        return {
-            "bilinear_form_shape": (nb_global_dofs, nb_global_dofs),
-            "bilinear_form_idx": (rows_idx, cols_idx),
-            "linear_form_shape": (nb_global_dofs, 1),
-            "linear_form_idx": (form_idx,),
-            "inner_dofs": inner_dofs,
-            "nb_dofs": nb_global_dofs,
-        }
 
     def _edge_coordinates(self, mesh):
         return mesh["interior_edges", "coordinates"]
@@ -85,9 +69,3 @@ class InteriorEdgesBasis(AbstractBasis):
             ..., None, :, :
         ]
 
-    def _compute_integral_weights(self, element, det_map_jacobian):
-        return (
-            element.reference_element_area
-            * element.gaussian_weights
-            * det_map_jacobian
-        )

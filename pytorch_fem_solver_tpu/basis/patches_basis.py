@@ -55,37 +55,12 @@ class PatchesBasis(AbstractBasis):
     def _compute_basis_parameters(
         self, coords4global_dofs, global_dofs4elements, nodes4boundary_dofs
     ):
-        nb_global_dofs = int(coords4global_dofs.shape[-2])
-        nb_local_dofs = int(global_dofs4elements.shape[-1])
-
-        # patch topology is identical across the batch: interior DOFs come
-        # from the first patch's markers
-        markers = self._as_host_index(nodes4boundary_dofs)[0].reshape(-1)
-        inner_dofs = jnp.asarray(
-            np.nonzero(markers != 1)[0], dtype=config.index_dtype()
+        return self._build_assembly_parameters(
+            int(coords4global_dofs.shape[-2]),
+            global_dofs4elements,
+            nodes4boundary_dofs,
+            batch_size=self.nb_patches,
         )
-
-        dofs = global_dofs4elements  # (B, T, n_loc)
-        rows_idx = jnp.repeat(dofs, nb_local_dofs, axis=-1).reshape(
-            self.nb_patches, -1
-        )
-        cols_idx = jnp.tile(dofs, (1, 1, nb_local_dofs)).reshape(
-            self.nb_patches, -1
-        )
-        form_idx = dofs.reshape(self.nb_patches, -1)
-
-        return {
-            "bilinear_form_shape": (
-                self.nb_patches,
-                nb_global_dofs,
-                nb_global_dofs,
-            ),
-            "bilinear_form_idx": (self.patches_idx, rows_idx, cols_idx),
-            "linear_form_shape": (self.nb_patches, nb_global_dofs, 1),
-            "linear_form_idx": (self.patches_idx, form_idx),
-            "inner_dofs": inner_dofs,
-            "nb_dofs": nb_global_dofs,
-        }
 
     def reshape_for_assembly(self, local, form: str):
         if form == "bilinear":
@@ -104,9 +79,3 @@ class PatchesBasis(AbstractBasis):
             ..., None, :, :
         ]
 
-    def _compute_integral_weights(self, element, det_map_jacobian):
-        return (
-            element.reference_element_area
-            * element.gaussian_weights
-            * det_map_jacobian
-        )

@@ -103,11 +103,11 @@ class FractureNetworkMesh(MeshTri):
             np.arange(F), [t.shape[0] for t in tris_list]
         )
 
-        # 3D lift per vertex through its fracture's map
+        # 3D lift per vertex through its own fracture's map
         flat_verts3d = (
-            np.einsum("fij,nj->nfi", jac, flat_verts2d)[
-                np.arange(len(flat_verts2d)), flat_vertex_fracture
-            ]
+            np.einsum(
+                "nij,nj->ni", jac[flat_vertex_fracture], flat_verts2d
+            )
             + trans[flat_vertex_fracture, :, 0]
         )
 
@@ -147,10 +147,12 @@ class FractureNetworkMesh(MeshTri):
             [t["interior_edges_vertices"].shape[0] for t in topo_parts],
         )
 
-        # interior-edge 3D geometry + lifted unit normals
+        # interior-edge 3D geometry + lifted unit normals; the normal
+        # transform is the pseudo-inverse transpose J (J^T J)^{-1} n — in
+        # plane and perpendicular to the lifted edge for anisotropic charts
         ie_coords3d = flat_verts3d[ie_vertices]
         lifted = np.einsum(
-            "eij,ej->ei", jac[ie_fracture], ie_normals[:, 0, :]
+            "eji,ej->ei", inv_jac[ie_fracture], ie_normals[:, 0, :]
         )
         lifted /= np.linalg.norm(lifted, axis=-1, keepdims=True)
 
@@ -172,10 +174,21 @@ class FractureNetworkMesh(MeshTri):
 
         trace_vertices = np.nonzero(counts > 1)[0]
 
-        # trace interior edges: both endpoints are trace vertices
-        is_trace_vertex = counts > 1
-        ie_global = global_ids[ie_vertices]
-        trace_edge_mask = is_trace_vertex[ie_global].all(axis=-1)
+        # trace edges: edges (as global vertex pairs) present in more than
+        # one fracture's edge list. (Endpoints-both-trace-vertices is NOT
+        # sufficient: near junctions an ordinary edge can connect vertices
+        # of two different traces.)
+        all_edges_global = np.sort(global_ids[edges_vertices], axis=-1)
+        pair_key = all_edges_global[:, 0] * n_global + all_edges_global[:, 1]
+        _, pair_inverse, pair_counts = np.unique(
+            pair_key, return_inverse=True, return_counts=True
+        )
+        shared_pairs = pair_counts > 1
+
+        ie_pairs = np.sort(global_ids[ie_vertices], axis=-1)
+        ie_key = ie_pairs[:, 0] * n_global + ie_pairs[:, 1]
+        shared_keys = np.unique(pair_key[shared_pairs[pair_inverse]])
+        trace_edge_mask = np.isin(ie_key, shared_keys)
 
         groups = {
             "vertices": {

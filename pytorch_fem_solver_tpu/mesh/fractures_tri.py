@@ -60,11 +60,13 @@ class FracturesTri(MeshesTri):
             self["vertices", "coordinates_3d"], self["interior_edges", "vertices"]
         )
 
-        # lift normals as directions (no translation), renormalized
+        # lift normals with the pseudo-inverse transpose J (J^T J)^{-1} n =
+        # (n_row @ inv_jac): in-plane AND perpendicular to the lifted edge
+        # for any (also anisotropic) affine chart; J @ n would only be
+        # correct for isometries
         normals = self["interior_edges", "normals"]  # (B, Ei, 1, 2)
-        lifted = jnp.matrix_transpose(
-            jac[:, None] @ jnp.matrix_transpose(normals)
-        )
+        inv_jac = self["inv_jacobian_fracture_map"]  # (B, 2, 3)
+        lifted = normals @ inv_jac[:, None]
         self["interior_edges", "normals_3d"] = lifted / jnp.linalg.norm(
             lifted, axis=-1, keepdims=True
         )
@@ -81,6 +83,23 @@ class FracturesTri(MeshesTri):
         else:
             vertices_2d = jnp.asarray(anchor_vertices_2d)[:, :3, :]
         vertices_3d = fractures_3d_data[:, :3, :]
+
+        # collinear anchors make the 3x3 system singular and would poison
+        # the whole mesh with silent NaNs (the default anchors — the first
+        # three mesh vertices — ARE collinear for structured grids)
+        v2 = np.asarray(vertices_2d)
+        area2 = np.abs(
+            (v2[:, 1, 0] - v2[:, 0, 0]) * (v2[:, 2, 1] - v2[:, 0, 1])
+            - (v2[:, 1, 1] - v2[:, 0, 1]) * (v2[:, 2, 0] - v2[:, 0, 0])
+        )
+        scale = np.maximum(np.abs(v2).max(axis=(1, 2)) ** 2, 1.0)
+        if (area2 < 1e-12 * scale).any():
+            bad = int(np.argmax(area2 < 1e-12 * scale))
+            raise ValueError(
+                f"fracture {bad}: anchor vertices are (nearly) collinear; "
+                "pass anchor_vertices_2d with three non-collinear points "
+                "matching rows of fractures_3d_data"
+            )
 
         extended = jnp.concatenate(
             [vertices_2d, jnp.ones_like(vertices_3d[..., :1])], axis=-1

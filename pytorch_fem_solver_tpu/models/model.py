@@ -165,8 +165,9 @@ class Model:
                 if self._diverged_steps > 10:
                     break
                 continue
-            nn, opt_state = nn_new, opt_state_new
 
+            # snapshot the parameters that ACHIEVED loss_value (the
+            # pre-update ones) before stepping
             if self._use_early_stopping:
                 if loss_value < self._best_loss - self._min_delta:
                     self._best_loss = loss_value
@@ -179,6 +180,8 @@ class Model:
             elif loss_value < self._best_loss:
                 self._best_loss = loss_value
                 self.optimal_parameters = nn
+
+            nn, opt_state = nn_new, opt_state_new
 
             if bar is not None:
                 bar.set_postfix(

@@ -36,8 +36,8 @@ class ELLStructure(NamedTuple):
 
     cols: jnp.ndarray  # (n_inner, K) reduced column ids (padding -> row 0)
     pad_mask: jnp.ndarray  # (n_inner, K) 1.0 where a real entry lives
-    slots: jnp.ndarray  # (n_keep,) target slot (row * K + k) per kept entry
-    keep: jnp.ndarray  # (n_keep,) indices into the flat element entries
+    slots: np.ndarray  # host-side: target slot (row * K + k) per kept entry
+    keep: np.ndarray  # host-side: indices into the flat element entries
     gather: jnp.ndarray  # (n_slots, D) flat-entry ids per slot (pad = n_entries)
     spill_rows: jnp.ndarray  # (S,) reduced row ids of spilled pairs
     spill_cols: jnp.ndarray  # (S,) reduced col ids of spilled pairs
@@ -141,8 +141,8 @@ def build_ell_structure(
     return ELLStructure(
         cols=jnp.asarray(ell_cols, dtype=config.index_dtype()),
         pad_mask=jnp.asarray(pad, dtype=config.default_dtype()),
-        slots=jnp.asarray(slots, dtype=config.index_dtype()),
-        keep=jnp.asarray(keep_all, dtype=config.index_dtype()),
+        slots=np.asarray(slots, dtype=np.int64),
+        keep=np.asarray(keep_all, dtype=np.int64),
         gather=jnp.asarray(gather, dtype=config.index_dtype()),
         spill_rows=jnp.asarray(uniq_rows[spill_pairs], dtype=config.index_dtype()),
         spill_cols=jnp.asarray(uniq_cols[spill_pairs], dtype=config.index_dtype()),

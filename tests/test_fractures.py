@@ -223,3 +223,30 @@ def test_edge_functional_total_length_3d():
     e3 = np.asarray(mesh["interior_edges", "coordinates_3d"])
     expect = np.linalg.norm(e3[:, :, 1] - e3[:, :, 0], axis=-1).sum()
     assert abs(total - expect) < 1e-12
+
+
+def test_anisotropic_normals_perpendicular_to_lifted_edges():
+    """Normals must stay in-plane and perpendicular for non-isometric charts."""
+    tri = fem.rectangle(4, 4)
+    anchors = np.array([[[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]])
+    # chart stretches x by 2 and y by 0.5: J = [[2,0],[0,0.5],[0,0]]
+    f3d = np.array([[[0.0, 0.0, 0.0], [2.0, 0.0, 0.0], [0.0, 0.5, 0.0]]])
+    mesh = fem.FracturesTri([tri], f3d, anchor_vertices_2d=anchors)
+
+    n3 = np.asarray(mesh["interior_edges", "normals_3d"])  # (1, Ei, 1, 3)
+    e3 = np.asarray(mesh["interior_edges", "coordinates_3d"])
+    vec = e3[:, :, 1] - e3[:, :, 0]
+    np.testing.assert_allclose(np.linalg.norm(n3, axis=-1), 1.0, atol=1e-12)
+    np.testing.assert_allclose(
+        (n3[:, :, 0] * vec).sum(-1), 0.0, atol=1e-12
+    )
+    # in-plane: z component zero for this planar chart
+    np.testing.assert_allclose(n3[..., 2], 0.0, atol=1e-12)
+
+
+def test_collinear_anchor_rejection():
+    tri = fem.rectangle(3, 3)
+    f3d = np.array([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [2.0, 0.0, 0.0]]])
+    with pytest.raises(ValueError, match="collinear"):
+        # default anchors = first three grid vertices, which are collinear
+        fem.FracturesTri([tri], f3d)
