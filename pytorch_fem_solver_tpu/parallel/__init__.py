@@ -5,6 +5,7 @@ from .sharding import (
     make_device_mesh,
     shard_basis_cells,
     solve_pcg_sharded,
+    solve_pcg_sharded_ell,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "make_device_mesh",
     "shard_basis_cells",
     "solve_pcg_sharded",
+    "solve_pcg_sharded_ell",
 ]

@@ -126,6 +126,114 @@ def solve_pcg_sharded(
     return solution.at[..., inner, 0].add(x)
 
 
+def solve_pcg_sharded_ell(
+    basis,
+    local_matrices,
+    vector,
+    device_mesh: Optional[Mesh] = None,
+    tol: float = 1e-10,
+    maxiter: Optional[int] = None,
+    max_k: int = 8,
+):
+    """Jacobi-PCG with the hybrid-ELL operator row-sharded over the mesh.
+
+    The TPU fast path's multi-chip variant: each device owns a block of
+    reduced rows (ELL values + cols), the iterate is replicated, matvecs
+    produce row-block partials combined with one tiled ``all_gather`` per
+    iteration; the small COO spill tail is evaluated redundantly on every
+    device (cheap, avoids a second collective).
+    """
+    import numpy as onp
+
+    from ..ops.sparse import (
+        build_ell_structure,
+        ell_diagonal,
+        ell_values_from_local,
+    )
+
+    if device_mesh is None:
+        device_mesh = make_device_mesh()
+    axis = device_mesh.axis_names[0]
+    n_shards = device_mesh.devices.size
+
+    structure = getattr(basis, "_ell_structure", None)
+    if structure is None:
+        structure = build_ell_structure(
+            basis._global_dofs4elements,
+            basis.n_dofs,
+            onp.asarray(basis._basis_parameters["inner_dofs"]),
+            max_k=max_k,
+        )
+        basis._ell_structure = structure
+
+    values = ell_values_from_local(structure, local_matrices)
+    ell, spill = values
+    diag = ell_diagonal(structure, values)
+    b_reduced = basis.reduce(vector)[..., 0]
+
+    n = structure.n_inner
+    pad = (-n) % n_shards
+    n_pad = n + pad
+    K = structure.cols.shape[1]
+
+    ell_p = jnp.concatenate(
+        [ell, jnp.zeros((pad, K), dtype=ell.dtype)], axis=0
+    )
+    cols_p = jnp.concatenate(
+        [structure.cols, jnp.zeros((pad, K), dtype=structure.cols.dtype)], axis=0
+    )
+    diag_p = jnp.concatenate([diag, jnp.ones((pad,), dtype=diag.dtype)])
+    b_p = jnp.concatenate([b_reduced, jnp.zeros((pad,), dtype=b_reduced.dtype)])
+
+    if maxiter is None:
+        maxiter = max(10 * n, 100)
+
+    spill_rows = structure.spill_rows
+    spill_cols = structure.spill_cols
+    has_spill = bool(spill_rows.shape[0])
+    rows_per_shard = n_pad // n_shards
+
+    @partial(
+        shard_map,
+        mesh=device_mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P()),
+        out_specs=P(),
+        # the result is mathematically replicated (all_gather each matvec)
+        # but the varying-axis tracker cannot prove it
+        check_vma=False,
+    )
+    def run(ell_chunk, cols_chunk, b_full, diag_full, spill_vals):
+        my_start = jax.lax.axis_index(axis) * rows_per_shard
+
+        # matvec outputs are tagged varying over the mesh axis (they pass
+        # through per-shard data before the all_gather), so the while_loop
+        # carry must start varying too
+        b_full = jax.lax.pcast(b_full, (axis,), to="varying")
+        diag_full = jax.lax.pcast(diag_full, (axis,), to="varying")
+
+        def matvec(x):
+            y_local = (ell_chunk * x[cols_chunk]).sum(axis=-1)
+            if has_spill:
+                y_spill = jax.ops.segment_sum(
+                    spill_vals * x[spill_cols],
+                    spill_rows,
+                    num_segments=n_pad,
+                    indices_are_sorted=True,
+                )
+                y_local = y_local + jax.lax.dynamic_slice(
+                    y_spill, (my_start,), (rows_per_shard,)
+                )
+            return jax.lax.all_gather(y_local, axis, tiled=True)
+
+        x, _ = pcg(matvec, b_full, precond_diag=diag_full, tol=tol, maxiter=maxiter)
+        return x
+
+    x = run(ell_p, cols_p, b_p, diag_p, spill)[:n]
+    solution = basis.solution_tensor()
+    inner = basis._basis_parameters["inner_dofs"]
+    return solution.at[..., inner, 0].add(x)
+
+
 def shard_basis_cells(basis, device_mesh: Optional[Mesh] = None):
     """Place a basis's per-cell quadrature arrays sharded over the mesh.
 

@@ -10,6 +10,7 @@ from pytorch_fem_solver_tpu.parallel import (
     make_device_mesh,
     shard_basis_cells,
     solve_pcg_sharded,
+    solve_pcg_sharded_ell,
 )
 
 
@@ -92,3 +93,25 @@ def test_sharded_basis_training_step(eight_devices):
     g_sharded = jax.jit(jax.grad(loss_fn))(nn, V_sharded)
     for a, b_ in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_sharded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-10)
+
+
+def test_sharded_ell_pcg_matches_single_device(eight_devices):
+    """Row-sharded hybrid-ELL PCG == single-device, incl. the spill tail."""
+    tri = fem.rectangle(10, 5, x0=-1.0, x1=1.0, y0=0.0, y1=1.0)
+    anchors = np.array([[[-1.0, 0.0], [1.0, 0.0], [-1.0, 1.0]]] * 2)
+    f3d = np.array(
+        [
+            [[-1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [-1.0, 1.0, 0.0]],
+            [[0.0, 0.0, -1.0], [0.0, 0.0, 1.0], [0.0, 1.0, -1.0]],
+        ]
+    )
+    dfn = fem.FracturesTri([tri, tri], f3d, anchor_vertices_2d=anchors)
+    V = fem.FractureBasis(dfn, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(stiffness)
+    b = V.integrate_linear_form(load)
+
+    u_single = V.solve_iterative(local, b, tol=1e-13)
+    u_sharded = solve_pcg_sharded_ell(V, local, b, eight_devices, tol=1e-13, max_k=6)
+    np.testing.assert_allclose(
+        np.asarray(u_sharded), np.asarray(u_single), atol=1e-11
+    )
