@@ -5,8 +5,8 @@ input-gradient at all quadrature points, weighted scatter into the residual
 vector, Gram-preconditioned loss, double backward, Adam step. This script
 times that epoch on (a) this framework on the TPU (whole step in one jit)
 and (b) an equivalent torch-CPU implementation mirroring the reference's
-``Model.train`` structure (TorchScript MLP, autograd.grad with create_graph,
-index_put_ scatter).
+``Model.train`` structure (torch.jit.script-ed MLP like model.py:27,
+autograd.grad with create_graph, index_put_ scatter).
 
 Not run by the driver (bench.py is the primary metric); prints one JSON line
 for the record.
@@ -109,6 +109,7 @@ def cpu_epoch_time(n_cells_expected):
         np.asarray(V._basis_parameters["inner_dofs"]).astype(np.int64)
     )
     n_dofs = V.n_dofs
+    assert mesh.n_cells == n_cells_expected, "CPU run rebuilt a different mesh"
 
     import jax.numpy as jnp
 
@@ -130,11 +131,22 @@ def cpu_epoch_time(n_cells_expected):
         layers.append(torch.nn.Linear(a, b))
         if i < len(dims) - 2:
             layers.append(torch.nn.Tanh())
-    net = torch.nn.Sequential(*layers)
+
+    class BCNet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = torch.nn.Sequential(*layers)
+
+        def forward(self, x):
+            xx, yy = x[..., 0:1], x[..., 1:2]
+            return self.net(x) * (xx * (xx - 1) * yy * (yy - 1))
+
+    module = BCNet()
+    scripted = torch.jit.script(module)  # the reference scripts its MLP
+    net = module  # keep eager params for the optimizer
 
     def forward(x):
-        xx, yy = x[..., 0:1], x[..., 1:2]
-        return net(x) * (xx * (xx - 1) * yy * (yy - 1))
+        return scripted(x)
 
     opt = torch.optim.Adam(net.parameters(), lr=1e-3)
 

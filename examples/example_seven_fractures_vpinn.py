@@ -15,10 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import pytorch_fem_solver_tpu as fem
-from pytorch_fem_solver_tpu.utils import (
-    benchmark_seven_fracture_geometry,
-    build_benchmark_network,
-)
+from pytorch_fem_solver_tpu.utils import build_benchmark_network
 
 EPOCHS = int(os.environ.get("FEM_EPOCHS", 2000))
 H = float(os.environ.get("FEM_H", 0.25))
@@ -102,7 +99,7 @@ model = fem.Model(
     optimizer_kwargs={"lr": 1e-3},
 )
 model.train()
-nn = model.load_optimal_parameters()
+model.load_optimal_parameters()
 loss_hist, _, acc_hist = model.get_training_history()
 print(
     f"final loss {loss_hist[-1]:.6e}  relative H1 distance to FEM "

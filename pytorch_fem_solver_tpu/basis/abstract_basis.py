@@ -215,19 +215,10 @@ class AbstractBasis(abc.ABC):
                 ell_diagonal,
                 ell_matvec,
                 ell_values_from_local,
+                get_ell_structure,
             )
 
-            structure = getattr(self, "_ell_structure", None)
-            if structure is None:
-                from ..ops.sparse import build_ell_structure
-
-                structure = build_ell_structure(
-                    self._global_dofs4elements,
-                    self.n_dofs,
-                    np.asarray(self._basis_parameters["inner_dofs"]),
-                    max_k=8,
-                )
-                self._ell_structure = structure
+            structure = get_ell_structure(self, max_k=8)
             values = ell_values_from_local(structure, local_matrices)
             diag = ell_diagonal(structure, values)
             matvec = lambda x: ell_matvec(structure, values, x)

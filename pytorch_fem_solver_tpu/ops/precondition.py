@@ -145,7 +145,7 @@ def build_smoothed_two_level(
             shape=(n, n),
         )
 
-    D = A.diagonal()
+    D = np.where(A.diagonal() != 0, A.diagonal(), 1.0)
     agg = spatial_aggregates(coords, leaf)
     nc = int(agg.max()) + 1
     P0 = sp.csr_matrix(
@@ -293,7 +293,7 @@ def build_two_level_structure(
     pt_rows = np.where(table < n * kp, table // kp, n)
 
     rows = np.repeat(np.arange(n), K)
-    ac_bins = rows_agg[rows] * nc + agg[cols.reshape(-1)]
+    ac_bins = rows_agg[rows].astype(np.int64) * nc + agg[cols.reshape(-1)]
     if structure.spill_rows.shape[0]:
         ac_spill_bins = (
             agg[np.asarray(structure.spill_rows)] * nc
@@ -304,6 +304,8 @@ def build_two_level_structure(
 
     i_t = config.index_dtype()
     f_t = config.default_dtype()
+    # bin ids reach nc^2 - 1 and would wrap int32 for nc > 46340
+    bin_t = np.int64 if nc * nc > np.iinfo(np.int32).max else i_t
     return TwoLevelStructure(
         slot_pslot=jnp.asarray(slot_pslot, dtype=i_t),
         p_cols=jnp.asarray(p_cols, dtype=i_t),
@@ -311,8 +313,8 @@ def build_two_level_structure(
         is_self=jnp.asarray(is_self, dtype=f_t),
         pt_rows=jnp.asarray(pt_rows, dtype=i_t),
         pt_gather=jnp.asarray(pt_gather, dtype=i_t),
-        ac_bins=jnp.asarray(ac_bins, dtype=i_t),
-        ac_spill_bins=jnp.asarray(ac_spill_bins, dtype=i_t),
+        ac_bins=jnp.asarray(ac_bins, dtype=bin_t),
+        ac_spill_bins=jnp.asarray(ac_spill_bins, dtype=bin_t),
         nc=nc,
         kp=kp,
     )

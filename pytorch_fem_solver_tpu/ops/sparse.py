@@ -219,20 +219,36 @@ def load_from_local(structure: LoadStructure, local_vectors) -> jnp.ndarray:
     return flat[structure.gather].sum(axis=-1)[:, None]
 
 
+def get_ell_structure(basis, max_k: int | None = None) -> ELLStructure:
+    """Cached-per-basis ELL layout, keyed by ``max_k``.
+
+    The single cache point for every consumer (``solve_iterative``,
+    ``reduced_ell_operator``, the sharded solvers) — a plain attribute cache
+    would silently hand back a layout built for a different ``max_k``.
+    """
+    cache = getattr(basis, "_ell_structures", None)
+    if cache is None:
+        cache = {}
+        basis._ell_structures = cache
+    structure = cache.get(max_k)
+    if structure is None:
+        structure = build_ell_structure(
+            basis._global_dofs4elements,
+            basis.n_dofs,
+            np.asarray(basis._basis_parameters["inner_dofs"]),
+            max_k=max_k,
+        )
+        cache[max_k] = structure
+    return structure
+
+
 def reduced_ell_operator(basis, local_matrices):
     """ELL (matvec, diagonal) for a basis's reduced bilinear operator.
 
     Drop-in alternative to ``ops.operators.reduced_operator_from_local`` with
     a scatter-free matvec; structure is cached on the basis.
     """
-    structure = getattr(basis, "_ell_structure", None)
-    if structure is None:
-        structure = build_ell_structure(
-            basis._global_dofs4elements,
-            basis.n_dofs,
-            np.asarray(basis._basis_parameters["inner_dofs"]),
-        )
-        basis._ell_structure = structure
+    structure = get_ell_structure(basis)
     values = ell_values_from_local(structure, local_matrices)
 
     def matvec(x):

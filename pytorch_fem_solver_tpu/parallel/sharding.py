@@ -33,7 +33,7 @@ try:  # JAX >= 0.6 moved shard_map out of experimental
 except (ImportError, AttributeError):  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from ..ops.operators import operator_diagonal
+from ..ops.operators import local_matvec, operator_diagonal
 from ..ops.solvers import pcg
 
 CELL_AXIS = "cells"
@@ -111,11 +111,7 @@ def solve_pcg_sharded(
             x_full = jnp.zeros((n,), dtype=x_reduced.dtype).at[inner].set(
                 x_reduced
             )
-            x_loc = x_full[dofs_chunk]
-            y_loc = jnp.einsum("tij,tj->ti", local_chunk, x_loc)
-            y_partial = jax.ops.segment_sum(
-                y_loc.reshape(-1), dofs_chunk.reshape(-1), num_segments=n
-            )
+            y_partial = local_matvec(local_chunk, dofs_chunk, n, x_full)
             return jax.lax.psum(y_partial, axis)[inner]
 
         x, _ = pcg(matvec, b_full, precond_diag=diag_full, tol=tol, maxiter=maxiter)
@@ -146,9 +142,9 @@ def solve_pcg_sharded_ell(
     import numpy as onp
 
     from ..ops.sparse import (
-        build_ell_structure,
         ell_diagonal,
         ell_values_from_local,
+        get_ell_structure,
     )
 
     if device_mesh is None:
@@ -156,15 +152,7 @@ def solve_pcg_sharded_ell(
     axis = device_mesh.axis_names[0]
     n_shards = device_mesh.devices.size
 
-    structure = getattr(basis, "_ell_structure", None)
-    if structure is None:
-        structure = build_ell_structure(
-            basis._global_dofs4elements,
-            basis.n_dofs,
-            onp.asarray(basis._basis_parameters["inner_dofs"]),
-            max_k=max_k,
-        )
-        basis._ell_structure = structure
+    structure = get_ell_structure(basis, max_k=max_k)
 
     values = ell_values_from_local(structure, local_matrices)
     ell, spill = values
@@ -247,16 +235,22 @@ def shard_basis_cells(basis, device_mesh: Optional[Mesh] = None):
         device_mesh = make_device_mesh()
     axis = device_mesh.axis_names[0]
 
+    n_cells = int(basis.integration_points.shape[-4])
+    batched = basis.integration_points.ndim > 4
+
     def shard_leading(x):
         if not isinstance(x, jax.Array) or x.ndim == 0:
             return x
+        # shard the CELL axis only (axis 0 flat, axis 1 behind a batch);
+        # anything else (quadrature, batch) must stay replicated — sharding
+        # it would force cross-device traffic into every per-cell op
+        cell_axis = 1 if (batched and x.ndim >= 2 and x.shape[1] == n_cells) else 0
+        if x.shape[cell_axis] != n_cells:
+            return x
+        if x.shape[cell_axis] % device_mesh.devices.size != 0:
+            return x  # not divisible: leave replicated rather than mis-shard
         spec = [None] * x.ndim
-        # cell axis: axis 0 for single meshes, axis 1 behind the fracture
-        # batch for batched bases — shard whichever is divisible
-        for cand in range(min(2, x.ndim)):
-            if x.shape[cand] % device_mesh.devices.size == 0 and x.shape[cand] > 1:
-                spec[cand] = axis
-                break
+        spec[cell_axis] = axis
         return jax.device_put(x, NamedSharding(device_mesh, P(*spec)))
 
     import copy

@@ -29,8 +29,8 @@ def test_ell_matches_dense_unit_square():
     np.testing.assert_allclose(np.asarray(matvec(x)), A @ np.asarray(x), atol=1e-12)
     np.testing.assert_allclose(np.asarray(diag), np.diag(A), atol=1e-12)
 
-    # structure is cached on the basis
-    assert V._ell_structure is not None
+    # structure is cached on the basis (keyed by max_k)
+    assert V._ell_structures
     matvec2, _ = reduced_ell_operator(V, local)
     np.testing.assert_allclose(
         np.asarray(matvec2(x)), np.asarray(matvec(x)), atol=0
