@@ -124,36 +124,41 @@ def triangulate_pslg(
     inside = hull.find_simplex(grid) >= 0
     grid = grid[inside]
 
+    n_fixed = len(vertices)
+    n_steiner = len(steiner)
+
+    # constraint sub-edges as vertex-index pairs (attempt-independent)
+    chain_edges = []
+    for a, idx, b in chains:
+        chain = np.concatenate(([a], n_fixed + idx, [b]))
+        chain_edges.append(np.stack([chain[:-1], chain[1:]], axis=-1))
+    chain_edges = (
+        np.concatenate(chain_edges, axis=0)
+        if chain_edges
+        else np.zeros((0, 2), dtype=np.int64)
+    )
+    chain_edges = np.sort(chain_edges, axis=1)
+
+    grid_dist = _point_segment_distance(grid, seg_a, seg_b).min(axis=1)
+
     for attempt in range(max_retries):
         clear = clearance * h * (1.0 + 0.5 * attempt)
-        dist = _point_segment_distance(grid, seg_a, seg_b)
-        keep = dist.min(axis=1) > clear
-        background = grid[keep]
+        background = grid[grid_dist > clear]
 
-        n_fixed = len(vertices)
-        n_steiner = len(steiner)
         all_points = np.concatenate([vertices, steiner, background], axis=0)
 
         tri = Delaunay(all_points)
         simplices = tri.simplices
 
-        # conformity check: every constraint sub-edge must be present
-        edge_set = set()
-        for t in simplices:
-            for i, j in ((0, 1), (1, 2), (0, 2)):
-                a, b = int(t[i]), int(t[j])
-                edge_set.add((min(a, b), max(a, b)))
-
-        ok = True
-        for a, idx, b in chains:
-            chain = [a] + [n_fixed + int(k) for k in idx] + [b]
-            for u, v in zip(chain[:-1], chain[1:]):
-                if (min(u, v), max(u, v)) not in edge_set:
-                    ok = False
-                    break
-            if not ok:
-                break
-        if ok:
+        # conformity check: every constraint sub-edge must be present.
+        # Encode undirected edges as a*N+b (a<b) and set-compare in NumPy.
+        n_pts = len(all_points)
+        edges = np.sort(
+            simplices[:, [0, 1, 1, 2, 0, 2]].reshape(-1, 2), axis=1
+        ).astype(np.int64)
+        tri_codes = edges[:, 0] * n_pts + edges[:, 1]
+        want_codes = chain_edges[:, 0] * n_pts + chain_edges[:, 1]
+        if np.isin(want_codes, tri_codes, assume_unique=False).all():
             break
     else:
         raise RuntimeError(
