@@ -23,16 +23,39 @@ integrands broadcast over trailing dims (..., n_cells, n_quad, n_loc, n_dim).
 from __future__ import annotations
 
 import abc
+import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
+
+
+def _construct_on_host(init):
+    """Run a basis constructor under the CPU device (see
+    ``config.setup_device_context``): eager construction on a remote-tunneled
+    TPU pays ~31 ms RTT per op — minutes per basis — while the jitted compute
+    path picks the arrays up at compile time either way."""
+
+    @functools.wraps(init)
+    def wrapped(self, *args, **kwargs):
+        with config.setup_device_context():
+            return init(self, *args, **kwargs)
+
+    return wrapped
+
 
 class AbstractBasis(abc.ABC):
     """Couples a mesh and a reference element into an integration/assembly op set."""
 
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        if "__init__" in cls.__dict__:
+            cls.__init__ = _construct_on_host(cls.__dict__["__init__"])
+
+    @_construct_on_host
     def __init__(self, mesh, element):
         self._element = element
         self.mesh = mesh
@@ -181,25 +204,61 @@ class AbstractBasis(abc.ABC):
         tol: float = 1e-10,
         maxiter: Optional[int] = None,
         only_inner_dofs: bool = True,
-        method: str = "ell",
+        method: str = "bsr",
         precondition: str = "jacobi",
     ) -> jnp.ndarray:
         """Matrix-free preconditioned CG on the reduced system.
 
-        Never materializes the global matrix. ``method="ell"`` (default)
-        assembles the unassembled element matrices into the gather-only
-        hybrid-ELL operator (the TPU fast path; the layout is cached on the
-        basis); ``method="segment"`` keeps the per-cell
-        gather/matvec/segment-sum operator (shard_map-friendly).
-        ``precondition="two_level"`` adds the smoothed aggregation coarse
-        correction (structure cached on the basis as well) — worthwhile for
-        large systems.
+        Never materializes the global matrix. ``method="bsr"`` (default)
+        assembles into the 8x8 block-sparse operator with spatially
+        reordered DOFs (``ops.bsr`` — block row-gathers, the fastest layout
+        on gather-bound TPUs); ``method="ell"`` uses the scalar-gather
+        hybrid-ELL operator (also the row-sharded multi-chip layout);
+        ``method="segment"`` keeps the per-cell gather/matvec/segment-sum
+        operator (shard_map-friendly). Structures are cached on the basis.
+        ``precondition="two_level"`` adds the smoothed-aggregation coarse
+        correction — worthwhile for large systems.
         """
         from ..ops.solvers import pcg
 
         if solution is None:
             solution = self.solution_tensor()
         rhs = self.reduce(vector) if only_inner_dofs else vector
+
+        if method == "bsr":
+            from ..ops.bsr import (
+                bsr_diagonal,
+                bsr_expand,
+                bsr_matvec,
+                bsr_reduce,
+                bsr_values_from_local,
+                get_bsr_structure,
+            )
+
+            structure = get_bsr_structure(self)
+            values = bsr_values_from_local(structure, local_matrices)
+            diag = bsr_diagonal(structure, values)
+            precond = None
+            if precondition == "two_level":
+                from ..ops.precondition import smoothed_two_level_matrix_free
+
+                precond = smoothed_two_level_matrix_free(
+                    structure, values, diag
+                )
+            if not only_inner_dofs:
+                raise NotImplementedError(
+                    "method='bsr' solves the reduced (interior-DOF) system"
+                )
+            b_pad = bsr_reduce(structure, vector)
+            x, _ = pcg(
+                lambda v: bsr_matvec(structure, values, v),
+                b_pad,
+                precond_diag=diag,
+                precond=precond,
+                tol=tol,
+                maxiter=maxiter,
+            )
+            return solution + bsr_expand(structure, x, self.n_dofs)
 
         if method == "segment":
             if precondition == "two_level":

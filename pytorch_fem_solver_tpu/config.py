@@ -51,3 +51,24 @@ def default_dtype() -> jnp.dtype:
 def index_dtype() -> jnp.dtype:
     """Integer dtype for connectivity / DOF indices (int32 fits MXU-era TPUs)."""
     return jnp.dtype(jnp.int32)
+
+
+def setup_device_context():
+    """Device context for *eager construction* math (mesh/basis build).
+
+    Construction runs op-by-op outside jit; on remote-tunneled accelerators
+    (the axon TPU plugin) every eager dispatch pays the tunnel round trip
+    (~31 ms), turning a 2-second basis build into minutes. Construction-time
+    arrays are therefore committed to the host CPU backend; jitted compute
+    closes over them and XLA ships them to the accelerator once at compile
+    time, so the hot path is unaffected.
+    """
+    import contextlib
+
+    try:
+        cpu = jax.local_devices(backend="cpu")
+    except RuntimeError:
+        return contextlib.nullcontext()
+    if not cpu:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu[0])

@@ -1,7 +1,17 @@
 """Compute ops: matrix-free operators, sparse formats, solvers, kernels."""
 
+from .bsr import (
+    build_bsr_structure,
+    bsr_diagonal,
+    bsr_expand,
+    bsr_matvec,
+    bsr_reduce,
+    bsr_values_from_local,
+    get_bsr_structure,
+)
 from .operators import local_matvec, operator_diagonal, reduced_operator_from_local
 from .precondition import (
+    block_two_level_from_values,
     build_smoothed_two_level,
     build_two_level,
     build_two_level_structure,
@@ -38,4 +48,12 @@ __all__ = [
     "build_two_level_structure",
     "spatial_aggregates",
     "two_level_from_values",
+    "build_bsr_structure",
+    "bsr_diagonal",
+    "bsr_expand",
+    "bsr_matvec",
+    "bsr_reduce",
+    "bsr_values_from_local",
+    "get_bsr_structure",
+    "block_two_level_from_values",
 ]

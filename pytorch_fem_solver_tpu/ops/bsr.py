@@ -1,0 +1,259 @@
+"""Block-sparse (BSR) operators: row-gather SpMV for the PCG hot loop.
+
+Measured on the target TPU, gathers cost ~7.6 ns per *scalar* index but only
+~3.5 ns per *row-of-8* index (~0.45 ns/float) — the hardware charges per
+gather descriptor, not per float. The ELL SpMV in ``ops.sparse`` issues one
+scalar index per stored entry (~8n indices); this module reformulates the
+reduced operator as 8x8 block-sparse with the unknowns laid out as
+``(n/8, 8)`` so the SpMV gathers whole x-blocks:
+
+    y_block[r] = sum_b  A[r, b] (8x8)  @  x2[bcols[r, b]] (8,)
+
+which is ``nb * B`` row gathers (~n * B/8 indices, B ~ 6-10 distinct
+neighbor blocks per block-row) plus a batched 8x8 matvec that XLA maps onto
+the VPU. At bench scale this is a ~6x faster SpMV than ELL.
+
+Block locality comes from a spatial reordering of the interior DOFs
+(coordinate-bisection clusters, reused from ``ops.precondition
+.spatial_aggregates``): neighbors of the 8 rows in a block then fall into a
+handful of shared blocks. The same ordering makes *contiguous, fixed-size*
+aggregates spatially coherent, so the companion two-level preconditioner
+(``ops.precondition.block_two_level_from_values``) restricts/prolongs with
+pure reshapes — zero gathers.
+
+Fills the performance role of the reference's dense assembly + LU
+(``/root/reference/torch_fem/basis/abstract_basis.py:74-195``) for large
+systems; host-side structure build mirrors the split used everywhere else in
+this package (value-independent tables on host once, value-dependent
+assembly as one jitted gather + sorted scatter).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+
+
+class BSRStructure(NamedTuple):
+    """Static (host-built) block-sparse layout for a reduced FEM operator.
+
+    The reduced system is permuted by ``perm`` (spatial ordering) and padded
+    to ``n_pad`` (identity rows); all device tables index the permuted,
+    padded numbering.
+    """
+
+    bcols: jnp.ndarray  # (nb, B) block-column ids; own block at b=0; pad -> 0
+    entry_take: jnp.ndarray  # (n_kept,) flat element-entry ids, slot-sorted
+    entry_slots: jnp.ndarray  # (n_kept,) BSR value slot per entry, ascending
+    perm: np.ndarray  # (n_inner,) permuted position -> original reduced id
+    inner_perm: np.ndarray  # (n_inner,) global DOF id at each permuted slot
+    n_inner: int
+    n_pad: int
+    nb: int
+    block: int
+    n_values: int  # nb * B * block * block
+
+
+def spatial_order(coords: np.ndarray, group: int = 32) -> np.ndarray:
+    """Coordinate-bisection ordering with group-aligned splits.
+
+    Returns a permutation such that every consecutive ``group``-sized range
+    of the new order is a spatially compact cluster (split points are
+    multiples of ``group``, so clusters never straddle a range boundary —
+    unlike sorting ``precondition.spatial_aggregates`` ids, whose variable
+    cluster sizes would desynchronize from fixed-size aggregates).
+    """
+    coords = np.asarray(coords)
+    n = coords.shape[0]
+    perm = np.empty(n, dtype=np.int64)
+    out = [0]
+
+    stack = [np.arange(n)]
+    while stack:
+        idx = stack.pop()
+        if idx.size <= group:
+            perm[out[0] : out[0] + idx.size] = idx
+            out[0] += idx.size
+            continue
+        spans = coords[idx].max(0) - coords[idx].min(0)
+        ax = int(np.argmax(spans))
+        order = idx[np.argsort(coords[idx, ax], kind="stable")]
+        # split at a group multiple nearest the median so every completed
+        # left part is whole groups
+        half = max(group, ((idx.size // 2) // group) * group)
+        # LIFO stack: push right first so the left half is emitted first
+        stack.append(order[half:])
+        stack.append(order[:half])
+    return perm
+
+
+def build_bsr_structure(
+    dofs,
+    n_dofs: int,
+    inner,
+    coords,
+    block: int = 8,
+    pad_to: int = 32,
+    leaf: int = 32,
+) -> BSRStructure:
+    """Host-side construction of the permuted block-sparse layout.
+
+    Args:
+      dofs: (T, n_loc) global DOF ids per cell.
+      n_dofs: total global DOF count.
+      inner: (n_inner,) interior DOF ids (Dirichlet eliminated).
+      coords: (n_inner, d) coordinates of the interior DOFs, used for the
+        spatial reordering that gives block locality.
+      block: block edge (8 = VPU-lane friendly row-gather width).
+      pad_to: pad the permuted system to a multiple of this (32 keeps the
+        two-level aggregates an integer number of blocks).
+      leaf: spatial-bisection cluster size for the ordering.
+    """
+    dofs = np.asarray(dofs).reshape(-1, np.asarray(dofs).shape[-1])
+    inner = np.asarray(inner)
+    coords = np.asarray(coords)
+    n_loc = dofs.shape[1]
+    n_inner = int(inner.size)
+
+    # spatial ordering: bisection with group-aligned split points, so every
+    # consecutive ``leaf``-sized index range is one spatial cluster — the
+    # two-level aggregates then coincide with the clusters while remaining
+    # pure reshapes
+    perm = spatial_order(coords, group=leaf)
+    inner_perm = inner[perm]
+
+    pad_to = int(np.lcm(np.lcm(block, pad_to), leaf))
+    n_pad = -(-max(n_inner, 1) // pad_to) * pad_to
+    nb = n_pad // block
+
+    new_id = np.full(n_dofs, -1, dtype=np.int64)
+    new_id[inner_perm] = np.arange(n_inner)
+
+    rows = new_id[np.repeat(dofs, n_loc, axis=1).reshape(-1)]
+    cols = new_id[np.tile(dofs, (1, n_loc)).reshape(-1)]
+    keep = np.nonzero((rows >= 0) & (cols >= 0))[0]
+    rows_k = rows[keep]
+    cols_k = cols[keep]
+
+    # distinct neighbor blocks per block-row, own (diagonal) block first
+    brow = rows_k // block
+    bcol = cols_k // block
+    bkeys = np.unique(brow * nb + bcol)
+    ubr = bkeys // nb
+    ubc = bkeys % nb
+    counts = np.bincount(ubr, minlength=nb)
+    B = max(1, int(counts.max(initial=0)))
+
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    b_of = np.arange(bkeys.size) - starts[ubr]
+    # swap each row's diagonal block into position 0 so the Jacobi diagonal
+    # and the padded identity rows always live at b=0
+    diag = ubr == ubc
+    diag_pos = np.zeros(nb, dtype=np.int64)
+    diag_pos[ubr[diag]] = b_of[diag]
+    b_of = np.where(diag, 0, np.where(b_of == 0, diag_pos[ubr], b_of))
+
+    bcols = np.zeros((nb, B), dtype=np.int64)
+    bcols[:, 0] = np.arange(nb)  # empty block-rows keep a harmless self ref
+    bcols[ubr, b_of] = ubc
+
+    # slot of every kept element entry: block pair -> (b index), then the
+    # in-block position
+    pair_rank = np.searchsorted(bkeys, brow * nb + bcol)
+    b_idx = b_of[pair_rank]
+    slots = (brow * B + b_idx) * (block * block) + (rows_k % block) * block + (
+        cols_k % block
+    )
+
+    order = np.argsort(slots, kind="stable")
+
+    i_t = config.index_dtype()
+    return BSRStructure(
+        bcols=jnp.asarray(bcols, dtype=i_t),
+        entry_take=jnp.asarray(keep[order], dtype=i_t),
+        entry_slots=jnp.asarray(slots[order], dtype=i_t),
+        perm=perm,
+        inner_perm=inner_perm,
+        n_inner=n_inner,
+        n_pad=int(n_pad),
+        nb=int(nb),
+        block=int(block),
+        n_values=int(nb * B * block * block),
+    )
+
+
+def bsr_values_from_local(structure: BSRStructure, local_matrices):
+    """Assemble element matrices into the block layout.
+
+    One gather brings the kept entries into slot order; one *sorted*
+    scatter-add lands them (duplicates hit the same slot consecutively, the
+    cheap case for TPU scatters). Returns (nb, B, block, block).
+    """
+    flat = local_matrices.reshape(-1)
+    vals = flat[structure.entry_take]
+    values = (
+        jnp.zeros((structure.n_values,), dtype=flat.dtype)
+        .at[structure.entry_slots]
+        .add(vals, indices_are_sorted=True)
+    )
+    nb, B = structure.bcols.shape
+    k = structure.block
+    return values.reshape(nb, B, k, k)
+
+
+def bsr_matvec(structure: BSRStructure, values, x):
+    """y = A @ x via block row-gather + batched 8x8 matvec (no scatter).
+
+    ``x`` is the permuted padded vector (n_pad,). Padding blocks point at
+    block 0 with all-zero values, so they contribute nothing.
+    """
+    x2 = x.reshape(structure.nb, structure.block)
+    xb = x2[structure.bcols]  # (nb, B, k) row gathers
+    y = jnp.einsum("rbij,rbj->ri", values, xb)
+    return y.reshape(-1)
+
+
+def bsr_diagonal(structure: BSRStructure, values):
+    """Operator diagonal (own block is always at b=0); padded rows -> 0."""
+    return jnp.diagonal(values[:, 0], axis1=-2, axis2=-1).reshape(-1)
+
+
+def bsr_reduce(structure: BSRStructure, b):
+    """Full load vector (n_dofs,...) -> permuted padded reduced rhs (n_pad,)."""
+    b = b.reshape(-1)
+    red = b[jnp.asarray(structure.inner_perm)]
+    return jnp.pad(red, (0, structure.n_pad - structure.n_inner))
+
+
+def bsr_expand(structure: BSRStructure, x, n_dofs: int):
+    """Permuted padded solution (n_pad,) -> full DOF vector (n_dofs, 1)."""
+    full = jnp.zeros((n_dofs,), dtype=x.dtype)
+    full = full.at[jnp.asarray(structure.inner_perm)].set(x[: structure.n_inner])
+    return full[:, None]
+
+
+def get_bsr_structure(basis, block: int = 8, leaf: int = 32) -> BSRStructure:
+    """Cached-per-basis BSR layout, keyed by (block, leaf)."""
+    cache = getattr(basis, "_bsr_structures", None)
+    if cache is None:
+        cache = {}
+        basis._bsr_structures = cache
+    key = (block, leaf)
+    structure = cache.get(key)
+    if structure is None:
+        inner = np.asarray(basis._basis_parameters["inner_dofs"])
+        coords = np.asarray(basis._coords4global_dofs)[inner]
+        structure = build_bsr_structure(
+            basis._global_dofs4elements,
+            basis.n_dofs,
+            inner,
+            coords,
+            block=block,
+            leaf=leaf,
+        )
+        cache[key] = structure
+    return structure

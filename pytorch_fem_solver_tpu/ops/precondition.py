@@ -78,6 +78,113 @@ def spatial_aggregates(coords: np.ndarray, leaf: int = 32) -> np.ndarray:
     return agg
 
 
+class BlockTwoLevel(NamedTuple):
+    """M^{-1} = D^{-1} + P0 A_c^{-1} P0^T on a BSR-permuted system.
+
+    The BSR layout (``ops.bsr``) orders unknowns by spatial bisection
+    clusters, so piecewise-constant aggregates can be *contiguous fixed-size
+    groups*: restriction is a reshape-sum and prolongation a repeat — zero
+    gathers per iteration, vs the n*kp scalar gathers of ``SmoothedTwoLevel``.
+    The coarse solve is one dense (nc, nc) matvec against a precomputed
+    inverse. Additive combination of SPD terms, so CG theory applies.
+    """
+
+    inv_diag: jnp.ndarray  # (n_pad,)
+    coarse_inv: jnp.ndarray  # (nc, nc)
+    g: int  # aggregate size (fine DOFs per coarse unknown)
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        fine = self.inv_diag * r
+        r_c = r.reshape(-1, self.g).sum(axis=-1)
+        z_c = self.coarse_inv @ r_c
+        z = jnp.repeat(z_c, self.g, total_repeat_length=r.shape[0])
+        return fine + z
+
+
+def block_two_level_from_values(structure, values, diag, g: int = 32):
+    """Jittable numeric setup of the block two-level preconditioner.
+
+    Every 8x8 value block lies entirely inside one (coarse row, coarse col)
+    pair because aggregates are whole groups of blocks, so the Galerkin
+    coarse matrix P0^T A P0 is a segment-sum of per-block sums — nb*B
+    scattered scalars, ~64x fewer than the entry-level ELL path.
+
+    Args:
+      structure: ``ops.bsr.BSRStructure`` (requires g % block == 0 and
+        n_pad % g == 0, guaranteed by the builder's pad_to).
+      values: assembled (nb, B, block, block) BSR values.
+      diag: operator diagonal (n_pad,) (zeros on padded rows are safe).
+      g: aggregate size; larger -> cheaper coarse solve, more iterations.
+    """
+    block = structure.block
+    if g % block or structure.n_pad % g:
+        raise ValueError(
+            f"aggregate size {g} must be a multiple of block {block} and "
+            f"divide n_pad {structure.n_pad}"
+        )
+    bpa = g // block
+    nc = structure.n_pad // g
+    nb, B = structure.bcols.shape
+
+    rows_c = (jnp.arange(nb, dtype=structure.bcols.dtype) // bpa)[:, None]
+    bins = (rows_c * nc + structure.bcols // bpa).reshape(-1)
+    block_sums = values.sum(axis=(-1, -2)).reshape(-1)
+    coarse = jax.ops.segment_sum(block_sums, bins, num_segments=nc * nc)
+    coarse = coarse.reshape(nc, nc)
+    coarse = 0.5 * (coarse + coarse.T)
+    # aggregates made purely of padding rows are all-zero: shift keeps the
+    # inverse finite without affecting preconditioning quality
+    shift_scale = jnp.maximum(jnp.trace(coarse) / nc, 1.0)
+    coarse_inv = jnp.linalg.inv(
+        coarse + 1e-7 * shift_scale * jnp.eye(nc, dtype=coarse.dtype)
+    )
+
+    safe = jnp.where(diag != 0, diag, 1.0)
+    return BlockTwoLevel(inv_diag=1.0 / safe, coarse_inv=coarse_inv, g=g)
+
+
+def smoothed_two_level_matrix_free(
+    structure, values, diag, g: int = 32, omega: float = 0.67
+):
+    """Smoothed-aggregation two-level M^{-1} with matrix-free P applies.
+
+    M^{-1} = D^{-1} + P A_c^{-1} P^T with P = (I - omega D^{-1} A) P0 —
+    but P is never stored: the prolongator apply is ``repeat`` + one BSR
+    SpMV, the restriction a BSR SpMV + ``reshape-sum``. Per CG iteration
+    this costs two extra SpMVs and zero scalar gathers, vs the n*kp
+    gather-entries of ``SmoothedTwoLevel`` — the winning trade on gather-
+    bound TPUs once the SpMV itself is block-gathered (``ops.bsr``). It is
+    also *exact* smoothed aggregation (no per-row kp truncation).
+
+    A_c = P0^T A P0 (one segment-sum of per-block sums, like
+    ``block_two_level_from_values``); the additive combination of SPD terms
+    keeps CG theory intact. Returns a closure usable as ``pcg(precond=...)``.
+    """
+    from .bsr import bsr_matvec
+
+    block = structure.block
+    if g % block or structure.n_pad % g:
+        raise ValueError(
+            f"aggregate size {g} must be a multiple of block {block} and "
+            f"divide n_pad {structure.n_pad}"
+        )
+    base = block_two_level_from_values(structure, values, diag, g=g)
+    inv_diag, coarse_inv = base.inv_diag, base.coarse_inv
+    n_pad = structure.n_pad
+
+    def apply(r):
+        # P^T r = P0^T (I - omega A D^{-1}) r
+        rs = r - omega * bsr_matvec(structure, values, inv_diag * r)
+        r_c = rs.reshape(-1, g).sum(axis=-1)
+        z_c = coarse_inv @ r_c
+        # P z_c = (I - omega D^{-1} A) (P0 z_c)
+        z0 = jnp.repeat(z_c, g, total_repeat_length=n_pad)
+        z = z0 - omega * inv_diag * bsr_matvec(structure, values, z0)
+        return inv_diag * r + z
+
+    return apply
+
+
 class SmoothedTwoLevel(NamedTuple):
     """M^{-1} = D^{-1} + P A_c^{-1} P^T with a smoothed-aggregation P.
 
