@@ -69,6 +69,7 @@ def tpu_run_bsr(mesh):
         get_bsr_structure,
     )
     from pytorch_fem_solver_tpu.ops.precondition import (
+        block_two_level_from_values,
         smoothed_two_level_matrix_free,
     )
     from pytorch_fem_solver_tpu.ops.solvers import pcg
@@ -94,10 +95,17 @@ def tpu_run_bsr(mesh):
         values = bsr_values_from_local(st, local)
         diag = bsr_diagonal(st, values)
         b_pad = bsr_reduce(st, b)
-        if PRECOND == "two_level":
-            precond = smoothed_two_level_matrix_free(
-                st, values, diag, g=AGG, omega=OMEGA
-            )
+        if PRECOND in ("two_level", "smoothed"):
+            if PRECOND == "smoothed":
+                # matrix-free smoothed aggregation: fewest iterations, but
+                # two extra SpMVs per iteration — loses to the plain coarse
+                # correction once the SpMV is the dominant cost
+                precond = smoothed_two_level_matrix_free(
+                    st, values, diag, g=AGG, omega=OMEGA
+                )
+            else:
+                # block-Jacobi fine + aggregate coarse: 1 SpMV/iteration
+                precond = block_two_level_from_values(st, values, diag, g=AGG)
             x, info = pcg(
                 lambda v: bsr_matvec(st, values, v),
                 b_pad,

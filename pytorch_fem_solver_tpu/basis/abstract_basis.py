@@ -23,7 +23,7 @@ integrands broadcast over trailing dims (..., n_cells, n_quad, n_loc, n_dim).
 from __future__ import annotations
 
 import abc
-import functools
+
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -33,29 +33,18 @@ import numpy as np
 from .. import config
 
 
-def _construct_on_host(init):
-    """Run a basis constructor under the CPU device (see
-    ``config.setup_device_context``): eager construction on a remote-tunneled
-    TPU pays ~31 ms RTT per op — minutes per basis — while the jitted compute
-    path picks the arrays up at compile time either way."""
-
-    @functools.wraps(init)
-    def wrapped(self, *args, **kwargs):
-        with config.setup_device_context():
-            return init(self, *args, **kwargs)
-
-    return wrapped
-
-
 class AbstractBasis(abc.ABC):
     """Couples a mesh and a reference element into an integration/assembly op set."""
 
     def __init_subclass__(cls, **kwargs):
+        # construction math runs on the host CPU device: eager dispatch to a
+        # tunneled TPU costs ~31 ms RTT per op — minutes per basis — while
+        # jitted compute picks the arrays up at compile time either way
         super().__init_subclass__(**kwargs)
         if "__init__" in cls.__dict__:
-            cls.__init__ = _construct_on_host(cls.__dict__["__init__"])
+            cls.__init__ = config.construct_on_host(cls.__dict__["__init__"])
 
-    @_construct_on_host
+    @config.construct_on_host
     def __init__(self, mesh, element):
         self._element = element
         self.mesh = mesh
@@ -240,11 +229,12 @@ class AbstractBasis(abc.ABC):
             diag = bsr_diagonal(structure, values)
             precond = None
             if precondition == "two_level":
-                from ..ops.precondition import smoothed_two_level_matrix_free
+                # block-Jacobi fine + aggregate coarse correction: one SpMV
+                # per CG iteration (the matrix-free smoothed variant needs
+                # three and loses end-to-end; ops/precondition.py)
+                from ..ops.precondition import block_two_level_from_values
 
-                precond = smoothed_two_level_matrix_free(
-                    structure, values, diag
-                )
+                precond = block_two_level_from_values(structure, values, diag)
             if not only_inner_dofs:
                 raise NotImplementedError(
                     "method='bsr' solves the reduced (interior-DOF) system"

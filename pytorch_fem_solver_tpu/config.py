@@ -53,6 +53,22 @@ def index_dtype() -> jnp.dtype:
     return jnp.dtype(jnp.int32)
 
 
+def construct_on_host(init):
+    """Decorator: run a constructor under ``setup_device_context()``.
+
+    Applied to mesh/basis ``__init__`` so eager construction math never
+    dispatches op-by-op to a remote accelerator (see below).
+    """
+    import functools
+
+    @functools.wraps(init)
+    def wrapped(self, *args, **kwargs):
+        with setup_device_context():
+            return init(self, *args, **kwargs)
+
+    return wrapped
+
+
 def setup_device_context():
     """Device context for *eager construction* math (mesh/basis build).
 

@@ -40,17 +40,27 @@ def build_tri_topology(
     triangles = np.asarray(triangles, dtype=np.int64)
 
     local_edges = triangles[:, TRI_EDGE_PERMUTATIONS]  # (T, 3, 2)
-    flat = np.sort(local_edges.reshape(-1, 2), axis=1)  # (3T, 2)
-    edges, inverse, counts = np.unique(
-        flat, axis=0, return_inverse=True, return_counts=True
-    )
-    n_edges = edges.shape[0]
-    if counts.max(initial=0) > 2:
-        raise ValueError("non-manifold mesh: an edge is shared by >2 triangles")
 
-    # adjacency: positions of each unique edge in the flattened (cell, local)
-    # list, grouped via a stable argsort of the inverse index — O(E log E)
-    order = np.argsort(inverse, kind="stable")
+    from ..native import unique_edges as native_unique_edges
+
+    native_result = native_unique_edges(triangles, vertices.shape[0])
+    if native_result is not None:
+        # single-pass C++ radix dedup (native/src/fem_native.cpp); output is
+        # byte-identical to the NumPy path below (tests/test_native.py)
+        edges, inverse, counts, order = native_result
+    else:
+        flat = np.sort(local_edges.reshape(-1, 2), axis=1)  # (3T, 2)
+        edges, inverse, counts = np.unique(
+            flat, axis=0, return_inverse=True, return_counts=True
+        )
+        if counts.max(initial=0) > 2:
+            raise ValueError(
+                "non-manifold mesh: an edge is shared by >2 triangles"
+            )
+        # adjacency: positions of each unique edge in the flattened
+        # (cell, local) list, grouped via a stable argsort of the inverse
+        order = np.argsort(inverse, kind="stable")
+    n_edges = edges.shape[0]
     cells_of_occurrence = order // 3  # flattened position -> owning cell
     offsets = np.concatenate([[0], np.cumsum(counts)])
 

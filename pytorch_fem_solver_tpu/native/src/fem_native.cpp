@@ -1,0 +1,148 @@
+// Native host-side kernels for construction-time structure building.
+//
+// The framework's host/device split (see docs/architecture.md) puts every
+// dynamic-shape computation — mesh topology, DOF dedup, sparse-layout
+// construction — on the host, once per mesh/basis. Those builders are
+// dominated by argsort/unique over int64 keys (NumPy: comparison sorts,
+// multiple passes). This translation unit provides the two primitives they
+// share, as a plain C ABI consumed via ctypes (no pybind11 dependency):
+//
+//   fem_sort_unique   : stable radix argsort + unique/inverse/counts in one
+//                       pass over 64-bit keys (LSD, 8x8-bit, skips passes
+//                       whose byte is constant).
+//   fem_unique_edges  : triangle-mesh edge dedup + occurrence grouping (the
+//                       front half of mesh/topology.build_tri_topology).
+//
+// The Python callers keep a pure-NumPy fallback with identical outputs
+// (tests assert exact equality), so the native library is a transparent
+// accelerator, not a correctness dependency.
+//
+// Reference equivalent: none — the reference is pure Python/torch
+// (SURVEY.md §2 "Native components: NONE"); its torch.unique-based setup
+// (/root/reference/torch_fem/mesh/abstract_mesh.py:76-255) is the workload
+// these kernels speed up.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Stable LSD radix argsort of 64-bit keys.
+// order must hold n entries; filled with the stable ascending permutation.
+// (key, index) pairs move together through the passes — all memory access is
+// streaming — and all 8 histograms are taken in one initial sweep; passes
+// whose byte is constant across the data are skipped entirely.
+void fem_radix_argsort(const int64_t* keys, int64_t n, int64_t* order) {
+  if (n <= 0) return;
+  struct KV {
+    uint64_t k;
+    int64_t i;
+  };
+  std::vector<KV> a(n), b(n);
+
+  // One sweep: biased copy (negative keys sort correctly) + all histograms.
+  int64_t hist[8][256];
+  std::memset(hist, 0, sizeof(hist));
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t k = static_cast<uint64_t>(keys[i]) ^ (1ull << 63);
+    a[i] = {k, i};
+    for (int p = 0; p < 8; ++p) ++hist[p][(k >> (p * 8)) & 0xff];
+  }
+
+  KV* src = a.data();
+  KV* dst = b.data();
+  for (int pass = 0; pass < 8; ++pass) {
+    int64_t* h = hist[pass];
+    // constant byte -> pass is the identity permutation
+    bool constant = false;
+    for (int v = 0; v < 256; ++v)
+      if (h[v] == n) {
+        constant = true;
+        break;
+      }
+    if (constant) continue;
+
+    int64_t sum = 0;
+    int64_t offs[256];
+    for (int v = 0; v < 256; ++v) {
+      offs[v] = sum;
+      sum += h[v];
+    }
+    const int shift = pass * 8;
+    for (int64_t i = 0; i < n; ++i)
+      dst[offs[(src[i].k >> shift) & 0xff]++] = src[i];
+    KV* s = src;
+    src = dst;
+    dst = s;
+  }
+  for (int64_t i = 0; i < n; ++i) order[i] = src[i].i;
+}
+
+// Radix argsort + unique decomposition of 64-bit keys.
+//   order   (n)  : stable ascending argsort of keys
+//   uniq    (<=n): unique key values, ascending
+//   inverse (n)  : unique id of each original position
+//   counts  (<=n): occurrences per unique key
+// Returns the number of unique keys.
+int64_t fem_sort_unique(const int64_t* keys, int64_t n, int64_t* order,
+                        int64_t* uniq, int64_t* inverse, int64_t* counts) {
+  if (n <= 0) return 0;
+  fem_radix_argsort(keys, n, order);
+
+  int64_t nu = 0;
+  int64_t prev = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t k = keys[order[i]];
+    if (i == 0 || k != prev) {
+      uniq[nu] = k;
+      counts[nu] = 0;
+      ++nu;
+      prev = k;
+    }
+    ++counts[nu - 1];
+    inverse[order[i]] = nu - 1;
+  }
+  return nu;
+}
+
+// Unique undirected edges of a triangle mesh.
+//   cells (T, 3) vertex ids; edges are the local pairs (0,1), (1,2), (0,2)
+//   in that order (matching TRI_EDGE_PERMUTATIONS).
+// Outputs (caller allocates 3T upper bounds):
+//   edges   (<=3T, 2): unique (min, max) pairs, lexicographically ascending
+//   inverse (3T)     : edge id per flattened (cell, local-edge) occurrence
+//   counts  (<=3T)   : triangles sharing each edge
+//   order   (3T)     : stable ascending argsort of the encoded edge keys
+//                      (occurrences of one edge are consecutive)
+// Returns the edge count E, or -1 if an edge is shared by >2 triangles.
+int64_t fem_unique_edges(const int64_t* cells, int64_t T, int64_t n_vertices,
+                         int64_t* edges, int64_t* inverse, int64_t* counts,
+                         int64_t* order) {
+  const int64_t n = 3 * T;
+  if (n <= 0) return 0;
+  static const int LO[3] = {0, 1, 0};
+  static const int HI[3] = {1, 2, 2};
+
+  std::vector<int64_t> keys(n);
+  for (int64_t t = 0; t < T; ++t) {
+    const int64_t* tri = cells + 3 * t;
+    for (int e = 0; e < 3; ++e) {
+      int64_t a = tri[LO[e]], b = tri[HI[e]];
+      if (a > b) { int64_t s = a; a = b; b = s; }
+      keys[3 * t + e] = a * n_vertices + b;
+    }
+  }
+
+  std::vector<int64_t> uniq(n);
+  const int64_t E =
+      fem_sort_unique(keys.data(), n, order, uniq.data(), inverse, counts);
+  for (int64_t e = 0; e < E; ++e) {
+    if (counts[e] > 2) return -1;
+    edges[2 * e] = uniq[e] / n_vertices;
+    edges[2 * e + 1] = uniq[e] % n_vertices;
+  }
+  return E;
+}
+
+}  // extern "C"

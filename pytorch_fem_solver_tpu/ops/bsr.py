@@ -139,10 +139,17 @@ def build_bsr_structure(
     rows_k = rows[keep]
     cols_k = cols[keep]
 
+    from ..native import sort_unique as native_sort_unique
+
     # distinct neighbor blocks per block-row, own (diagonal) block first
     brow = rows_k // block
     bcol = cols_k // block
-    bkeys = np.unique(brow * nb + bcol)
+    entry_bkey = brow * nb + bcol
+    native_result = native_sort_unique(entry_bkey)
+    if native_result is not None:
+        _, bkeys, pair_rank_all, _ = native_result
+    else:
+        bkeys, pair_rank_all = np.unique(entry_bkey, return_inverse=True)
     ubr = bkeys // nb
     ubc = bkeys % nb
     counts = np.bincount(ubr, minlength=nb)
@@ -163,13 +170,16 @@ def build_bsr_structure(
 
     # slot of every kept element entry: block pair -> (b index), then the
     # in-block position
-    pair_rank = np.searchsorted(bkeys, brow * nb + bcol)
-    b_idx = b_of[pair_rank]
+    b_idx = b_of[pair_rank_all]
     slots = (brow * B + b_idx) * (block * block) + (rows_k % block) * block + (
         cols_k % block
     )
 
-    order = np.argsort(slots, kind="stable")
+    from ..native import radix_argsort as native_radix_argsort
+
+    order = native_radix_argsort(slots)
+    if order is None:
+        order = np.argsort(slots, kind="stable")
 
     i_t = config.index_dtype()
     return BSRStructure(

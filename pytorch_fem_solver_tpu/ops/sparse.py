@@ -53,9 +53,13 @@ def invert_scatter_map(target_ids, n_targets: int, source_positions, pad: int):
     the TPU-native assembly transform: a scatter-add with duplicate indices
     (slow, serialized on TPU) becomes a gather + small-axis reduce.
     """
+    from ..native import radix_argsort as native_radix_argsort
+
     target_ids = np.asarray(target_ids)
     source_positions = np.asarray(source_positions)
-    order = np.argsort(target_ids, kind="stable")
+    order = native_radix_argsort(target_ids)
+    if order is None:
+        order = np.argsort(target_ids, kind="stable")
     sorted_t = target_ids[order]
     counts = np.bincount(sorted_t, minlength=n_targets)
     D = max(1, int(counts.max(initial=0)))
