@@ -5,6 +5,7 @@ from .sharding import (
     make_device_mesh,
     shard_basis_cells,
     solve_pcg_sharded,
+    solve_pcg_sharded_bsr,
     solve_pcg_sharded_ell,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "make_device_mesh",
     "shard_basis_cells",
     "solve_pcg_sharded",
+    "solve_pcg_sharded_bsr",
     "solve_pcg_sharded_ell",
 ]
