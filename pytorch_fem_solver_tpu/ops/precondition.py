@@ -108,6 +108,25 @@ class BlockTwoLevel(NamedTuple):
         return fine + z
 
 
+def batched_small_inv(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse of small SPD matrices via unrolled Gauss-Jordan.
+
+    ``jnp.linalg.inv`` lowers to a batched LU that costs ~30 ms for 13k 8x8
+    blocks on the target TPU; this unrolled elimination is pure elementwise
+    VPU work (~1 ms). No pivoting — the intended inputs are SPD diagonal
+    blocks of an assembled stiffness operator, where diagonal pivots are the
+    stable choice anyway (Cholesky-grade growth bounds).
+    """
+    n = a.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    aug = jnp.concatenate([a, eye], axis=-1)  # (..., n, 2n)
+    for k in range(n):
+        pivot_row = aug[..., k, :] / aug[..., k, k : k + 1]
+        aug = aug - aug[..., :, k : k + 1] * pivot_row[..., None, :]
+        aug = aug.at[..., k, :].set(pivot_row)
+    return aug[..., n:]
+
+
 def block_two_level_from_values(
     structure, values, diag, g: int = 32, fine: str = "block_jacobi"
 ):
@@ -160,7 +179,7 @@ def block_two_level_from_values(
         # batched inverse stays finite (their residual is identically zero)
         zero_d = jnp.diagonal(blk, axis1=-2, axis2=-1) == 0
         blk = blk + jnp.eye(block, dtype=blk.dtype) * zero_d[:, None, :]
-        blk_inv = jnp.linalg.inv(blk)
+        blk_inv = batched_small_inv(blk)
     elif fine != "jacobi":
         raise ValueError(f"unknown fine smoother: {fine!r}")
     return BlockTwoLevel(
