@@ -28,6 +28,7 @@ PCG_ITERS = int(os.environ.get("BENCH_PCG_ITERS", "600"))  # iteration cap
 TOL = float(os.environ.get("BENCH_TOL", "1e-6"))  # relative residual target
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 MAX_K = int(os.environ.get("BENCH_MAX_K", "8"))
+MAX_B = int(os.environ.get("BENCH_MAX_B", "8"))  # tier-1 block cap (bsr format)
 PRECOND = os.environ.get("BENCH_PRECOND", "two_level")  # two_level | jacobi
 FORMAT = os.environ.get("BENCH_FORMAT", "bsr")  # bsr | ell
 OMEGA = float(os.environ.get("BENCH_OMEGA", "0.8"))
@@ -51,11 +52,13 @@ def build_mesh():
 
 
 def tpu_run_bsr(mesh):
-    """BSR path: block row-gather SpMV + matrix-free smoothed two-level.
+    """BSR path: hybrid block row-gather SpMV + block-Jacobi/aggregate M.
 
     Row gathers cost ~3.5 ns/index vs ~7.6 ns per scalar index on this TPU,
-    so the 8x8-block layout (ops.bsr) is ~6x cheaper per SpMV than ELL, and
-    the preconditioner transfers are reshapes (zero gathers).
+    so the 8x8-block layout (ops.bsr) is ~6x cheaper per SpMV than ELL;
+    heavy (fracture-trace) block-rows spill past MAX_B into a small second
+    tier. The preconditioner transfers are reshapes (zero gathers) and the
+    fine smoother is a batched 8x8 block-Jacobi.
     """
     import jax
     import jax.numpy as jnp
@@ -76,9 +79,10 @@ def tpu_run_bsr(mesh):
 
     V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 2))
     t0 = time.perf_counter()
-    st = get_bsr_structure(V)
+    st = get_bsr_structure(V, max_b=MAX_B)
     log(
         f"bsr: n_pad={st.n_pad} nb={st.nb} B={st.bcols.shape[1]} "
+        f"spill_rows={st.heavy_rows.shape[0]} "
         f"({time.perf_counter() - t0:.1f}s host, one-time)"
     )
 

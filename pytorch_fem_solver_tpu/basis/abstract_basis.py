@@ -224,7 +224,7 @@ class AbstractBasis(abc.ABC):
                 get_bsr_structure,
             )
 
-            structure = get_bsr_structure(self)
+            structure = get_bsr_structure(self, max_b=8)
             values = bsr_values_from_local(structure, local_matrices)
             diag = bsr_diagonal(structure, values)
             precond = None

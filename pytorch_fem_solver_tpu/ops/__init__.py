@@ -11,8 +11,10 @@ from .bsr import (
 )
 from .operators import local_matvec, operator_diagonal, reduced_operator_from_local
 from .precondition import (
+    batched_small_inv,
     block_two_level_from_values,
     build_smoothed_two_level,
+    smoothed_two_level_matrix_free,
     build_two_level,
     build_two_level_structure,
     spatial_aggregates,
@@ -56,4 +58,6 @@ __all__ = [
     "bsr_values_from_local",
     "get_bsr_structure",
     "block_two_level_from_values",
+    "batched_small_inv",
+    "smoothed_two_level_matrix_free",
 ]

@@ -14,9 +14,9 @@ neighbor blocks per block-row) plus a batched 8x8 matvec that XLA maps onto
 the VPU. At bench scale this is a ~6x faster SpMV than ELL.
 
 Block locality comes from a spatial reordering of the interior DOFs
-(coordinate-bisection clusters, reused from ``ops.precondition
-.spatial_aggregates``): neighbors of the 8 rows in a block then fall into a
-handful of shared blocks. The same ordering makes *contiguous, fixed-size*
+(``spatial_order``: coordinate bisection with group-aligned splits):
+neighbors of the 8 rows in a block then fall into a handful of shared
+blocks. The same ordering makes *contiguous, fixed-size*
 aggregates spatially coherent, so the companion two-level preconditioner
 (``ops.precondition.block_two_level_from_values``) restricts/prolongs with
 pure reshapes — zero gathers.
@@ -44,18 +44,26 @@ class BSRStructure(NamedTuple):
     The reduced system is permuted by ``perm`` (spatial ordering) and padded
     to ``n_pad`` (identity rows); all device tables index the permuted,
     padded numbering.
+
+    Optionally *hybrid*: with ``max_b`` set, block-rows touching more than
+    ``max_b`` neighbor blocks (fracture-trace rows — mean block degree ~7.6
+    vs max ~24 on the DFN benchmark) spill their excess blocks into a small
+    second tier (``bcols2``/``heavy_rows``), trimming the padded tier-1
+    storage the SpMV streams every iteration.
     """
 
     bcols: jnp.ndarray  # (nb, B) block-column ids; own block at b=0; pad -> 0
     entry_take: jnp.ndarray  # (n_kept,) flat element-entry ids, slot-sorted
-    entry_slots: jnp.ndarray  # (n_kept,) BSR value slot per entry, ascending
+    entry_slots: jnp.ndarray  # (n_kept,) value slot per entry, ascending
     perm: np.ndarray  # (n_inner,) permuted position -> original reduced id
     inner_perm: np.ndarray  # (n_inner,) global DOF id at each permuted slot
     n_inner: int
     n_pad: int
     nb: int
     block: int
-    n_values: int  # nb * B * block * block
+    n_values: int  # total value slots: (nb * B + nh * B2) * block^2
+    bcols2: jnp.ndarray  # (nh, B2) spilled block-column ids (nh = 0: no tier)
+    heavy_rows: jnp.ndarray  # (nh,) block-rows owning the spilled blocks
 
 
 def spatial_order(coords: np.ndarray, group: int = 32) -> np.ndarray:
@@ -99,6 +107,7 @@ def build_bsr_structure(
     block: int = 8,
     pad_to: int = 32,
     leaf: int = 32,
+    max_b: int | None = None,
 ) -> BSRStructure:
     """Host-side construction of the permuted block-sparse layout.
 
@@ -112,6 +121,8 @@ def build_bsr_structure(
       pad_to: pad the permuted system to a multiple of this (32 keeps the
         two-level aggregates an integer number of blocks).
       leaf: spatial-bisection cluster size for the ordering.
+      max_b: cap on neighbor blocks per block-row in tier 1; rows over the
+        cap spill the excess blocks to the second tier. None = no cap.
     """
     dofs = np.asarray(dofs).reshape(-1, np.asarray(dofs).shape[-1])
     inner = np.asarray(inner)
@@ -153,7 +164,8 @@ def build_bsr_structure(
     ubr = bkeys // nb
     ubc = bkeys % nb
     counts = np.bincount(ubr, minlength=nb)
-    B = max(1, int(counts.max(initial=0)))
+    B_full = max(1, int(counts.max(initial=0)))
+    B = B_full if max_b is None else min(B_full, int(max_b))
 
     starts = np.concatenate([[0], np.cumsum(counts)])
     b_of = np.arange(bkeys.size) - starts[ubr]
@@ -166,13 +178,29 @@ def build_bsr_structure(
 
     bcols = np.zeros((nb, B), dtype=np.int64)
     bcols[:, 0] = np.arange(nb)  # empty block-rows keep a harmless self ref
-    bcols[ubr, b_of] = ubc
+    tier1 = b_of < B
+    bcols[ubr[tier1], b_of[tier1]] = ubc[tier1]
 
-    # slot of every kept element entry: block pair -> (b index), then the
-    # in-block position
+    # second tier: the spilled blocks of heavy rows, compacted to (nh, B2)
+    heavy_rows = np.unique(ubr[~tier1])
+    nh = heavy_rows.size
+    B2 = max(int(counts.max(initial=0)) - B, 0) if nh else 0
+    heavy_rank = np.zeros(nb, dtype=np.int64)
+    heavy_rank[heavy_rows] = np.arange(nh)
+    bcols2 = np.zeros((nh, B2), dtype=np.int64)
+    bcols2[heavy_rank[ubr[~tier1]], b_of[~tier1] - B] = ubc[~tier1]
+
+    # slot of every kept element entry: block pair -> tier + b index, then
+    # the in-block position; tier-2 slots live past the tier-1 block
+    n_values1 = nb * B * block * block
     b_idx = b_of[pair_rank_all]
-    slots = (brow * B + b_idx) * (block * block) + (rows_k % block) * block + (
-        cols_k % block
+    in_block = (rows_k % block) * block + (cols_k % block)
+    slots = np.where(
+        b_idx < B,
+        (brow * B + b_idx) * (block * block) + in_block,
+        n_values1
+        + (heavy_rank[brow] * B2 + (b_idx - B)) * (block * block)
+        + in_block,
     )
 
     from ..native import radix_argsort as native_radix_argsort
@@ -192,7 +220,9 @@ def build_bsr_structure(
         n_pad=int(n_pad),
         nb=int(nb),
         block=int(block),
-        n_values=int(nb * B * block * block),
+        n_values=int(n_values1 + nh * B2 * block * block),
+        bcols2=jnp.asarray(bcols2, dtype=i_t),
+        heavy_rows=jnp.asarray(heavy_rows, dtype=i_t),
     )
 
 
@@ -201,7 +231,8 @@ def bsr_values_from_local(structure: BSRStructure, local_matrices):
 
     One gather brings the kept entries into slot order; one *sorted*
     scatter-add lands them (duplicates hit the same slot consecutively, the
-    cheap case for TPU scatters). Returns (nb, B, block, block).
+    cheap case for TPU scatters). Returns ``(tier1, tier2)``:
+    ``(nb, B, k, k)`` and ``(nh, B2, k, k)`` (tier2 empty without ``max_b``).
     """
     flat = local_matrices.reshape(-1)
     vals = flat[structure.entry_take]
@@ -211,25 +242,38 @@ def bsr_values_from_local(structure: BSRStructure, local_matrices):
         .add(vals, indices_are_sorted=True)
     )
     nb, B = structure.bcols.shape
+    nh, B2 = structure.bcols2.shape
     k = structure.block
-    return values.reshape(nb, B, k, k)
+    split = nb * B * k * k
+    return (
+        values[:split].reshape(nb, B, k, k),
+        values[split:].reshape(nh, B2, k, k),
+    )
 
 
 def bsr_matvec(structure: BSRStructure, values, x):
-    """y = A @ x via block row-gather + batched 8x8 matvec (no scatter).
+    """y = A @ x via block row-gather + batched 8x8 matvec.
 
     ``x`` is the permuted padded vector (n_pad,). Padding blocks point at
-    block 0 with all-zero values, so they contribute nothing.
+    block 0 with all-zero values, so they contribute nothing. The tier-2
+    contribution (spilled blocks of heavy rows) rejoins with one small
+    sorted row scatter-add (~free: scatters are charged per row descriptor).
     """
+    v1, v2 = values
     x2 = x.reshape(structure.nb, structure.block)
     xb = x2[structure.bcols]  # (nb, B, k) row gathers
-    y = jnp.einsum("rbij,rbj->ri", values, xb)
+    y = jnp.einsum("rbij,rbj->ri", v1, xb)
+    if structure.heavy_rows.shape[0]:
+        y2 = jnp.einsum("rbij,rbj->ri", v2, x2[structure.bcols2])
+        y = y.at[structure.heavy_rows].add(
+            y2, indices_are_sorted=True, unique_indices=True
+        )
     return y.reshape(-1)
 
 
 def bsr_diagonal(structure: BSRStructure, values):
     """Operator diagonal (own block is always at b=0); padded rows -> 0."""
-    return jnp.diagonal(values[:, 0], axis1=-2, axis2=-1).reshape(-1)
+    return jnp.diagonal(values[0][:, 0], axis1=-2, axis2=-1).reshape(-1)
 
 
 def bsr_reduce(structure: BSRStructure, b):
@@ -246,13 +290,15 @@ def bsr_expand(structure: BSRStructure, x, n_dofs: int):
     return full[:, None]
 
 
-def get_bsr_structure(basis, block: int = 8, leaf: int = 32) -> BSRStructure:
-    """Cached-per-basis BSR layout, keyed by (block, leaf)."""
+def get_bsr_structure(
+    basis, block: int = 8, leaf: int = 32, max_b: int | None = None
+) -> BSRStructure:
+    """Cached-per-basis BSR layout, keyed by (block, leaf, max_b)."""
     cache = getattr(basis, "_bsr_structures", None)
     if cache is None:
         cache = {}
         basis._bsr_structures = cache
-    key = (block, leaf)
+    key = (block, leaf, max_b)
     structure = cache.get(key)
     if structure is None:
         inner = np.asarray(basis._basis_parameters["inner_dofs"])
@@ -264,6 +310,7 @@ def get_bsr_structure(basis, block: int = 8, leaf: int = 32) -> BSRStructure:
             coords,
             block=block,
             leaf=leaf,
+            max_b=max_b,
         )
         cache[key] = structure
     return structure

@@ -158,10 +158,19 @@ def block_two_level_from_values(
     nc = structure.n_pad // g
     nb, B = structure.bcols.shape
 
+    v1, v2 = values
     rows_c = (jnp.arange(nb, dtype=structure.bcols.dtype) // bpa)[:, None]
     bins = (rows_c * nc + structure.bcols // bpa).reshape(-1)
-    block_sums = values.sum(axis=(-1, -2)).reshape(-1)
+    block_sums = v1.sum(axis=(-1, -2)).reshape(-1)
     coarse = jax.ops.segment_sum(block_sums, bins, num_segments=nc * nc)
+    if structure.heavy_rows.shape[0]:
+        bins2 = (
+            (structure.heavy_rows // bpa)[:, None] * nc
+            + structure.bcols2 // bpa
+        ).reshape(-1)
+        coarse = coarse + jax.ops.segment_sum(
+            v2.sum(axis=(-1, -2)).reshape(-1), bins2, num_segments=nc * nc
+        )
     coarse = coarse.reshape(nc, nc)
     coarse = 0.5 * (coarse + coarse.T)
     # aggregates made purely of padding rows are all-zero: shift keeps the
@@ -174,7 +183,7 @@ def block_two_level_from_values(
     safe = jnp.where(diag != 0, diag, 1.0)
     blk_inv = None
     if fine == "block_jacobi":
-        blk = values[:, 0]  # diagonal block always lives at b=0
+        blk = v1[:, 0]  # diagonal block always lives at b=0 in tier 1
         # padded rows have zero diagonals: pin them to identity so the
         # batched inverse stays finite (their residual is identically zero)
         zero_d = jnp.diagonal(blk, axis1=-2, axis2=-1) == 0

@@ -256,8 +256,11 @@ def solve_pcg_sharded_bsr(
     axis = device_mesh.axis_names[0]
     n_shards = device_mesh.devices.size
 
-    structure = get_bsr_structure(basis)
-    values = bsr_values_from_local(structure, local_matrices)
+    # the sharded path uses the uncapped layout (no tier-2 spill): the
+    # capped hybrid only trims replicated-side streaming, while here the
+    # big arrays are already sharded
+    structure = get_bsr_structure(basis, max_b=None)
+    values, _ = bsr_values_from_local(structure, local_matrices)
     b_pad = bsr_reduce(structure, vector)
 
     nb = structure.nb
@@ -277,9 +280,10 @@ def solve_pcg_sharded_bsr(
     padded = structure._replace(
         bcols=bcols_p, nb=nb_pad, n_pad=nb_pad * k
     )
-    diag_p = bsr_diagonal(padded, values_p)
+    values_pair = (values_p, jnp.zeros((0, 0, k, k), dtype=values_p.dtype))
+    diag_p = bsr_diagonal(padded, values_pair)
     if precondition == "two_level":
-        precond = block_two_level_from_values(padded, values_p, diag_p)
+        precond = block_two_level_from_values(padded, values_pair, diag_p)
     elif precondition == "jacobi":
         safe = jnp.where(diag_p != 0, diag_p, 1.0)
         inv_diag = 1.0 / safe

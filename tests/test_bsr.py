@@ -32,10 +32,10 @@ def dense_reduced(V):
     return np.asarray(V.reduce(V.integrate_bilinear_form(a_form)))
 
 
-def check_against_dense(V, atol=1e-11):
+def check_against_dense(V, atol=1e-11, max_b=None):
     A = dense_reduced(V)
     n = A.shape[0]
-    st = get_bsr_structure(V)
+    st = get_bsr_structure(V, max_b=max_b)
     assert st.n_inner == n
     local = V.integrate_bilinear_form_local(a_form)
     values = bsr_values_from_local(st, local)
@@ -74,6 +74,37 @@ def test_bsr_on_fracture_network():
     mesh = build_fracture_network([f1, f2], h=0.2)
     V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 2))
     check_against_dense(V)
+
+
+def test_hybrid_bsr_spill_tier_matches_dense():
+    """A tight max_b forces heavy rows into the spill tier; still exact."""
+    f1 = [[-1, 0, 0], [1, 0, 0], [1, 1, 0], [-1, 1, 0]]
+    f2 = [[0, 0, -1], [0, 0, 1], [0, 1, 1], [0, 1, -1]]
+    from pytorch_fem_solver_tpu.mesh.dfn import build_fracture_network
+
+    mesh = build_fracture_network([f1, f2], h=0.2)
+    V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 2))
+    st, values = check_against_dense(V, max_b=3)
+    assert st.heavy_rows.shape[0] > 0, "max_b=3 should force a spill tier"
+    assert values[1].shape[0] == st.heavy_rows.shape[0]
+
+    # capped and uncapped layouts solve identically through the public API
+    b = V.integrate_linear_form(l_form)
+    local = V.integrate_bilinear_form_local(a_form)
+    diag = bsr_diagonal(st, values)
+    precond = block_two_level_from_values(st, values, diag, g=32)
+    b_pad = bsr_reduce(st, b)
+    x_pad, info = pcg(
+        lambda v: bsr_matvec(st, values, v),
+        b_pad,
+        precond=precond,
+        tol=1e-12,
+        maxiter=2000,
+    )
+    assert bool(info.converged)
+    u_hybrid = np.asarray(bsr_expand(st, x_pad, V.n_dofs))
+    u_plain = np.asarray(V.solve_iterative(local, b, tol=1e-12))[:, 0]
+    np.testing.assert_allclose(u_hybrid[:, 0], u_plain, atol=1e-9)
 
 
 def test_bsr_pcg_block_two_level_matches_dense_solve():
