@@ -32,7 +32,7 @@ MAX_B = int(os.environ.get("BENCH_MAX_B", "8"))  # tier-1 block cap (bsr format)
 PRECOND = os.environ.get("BENCH_PRECOND", "two_level")  # two_level | jacobi
 FORMAT = os.environ.get("BENCH_FORMAT", "bsr")  # bsr | ell
 OMEGA = float(os.environ.get("BENCH_OMEGA", "0.8"))
-AGG = int(os.environ.get("BENCH_AGG", "32"))
+AGG = int(os.environ.get("BENCH_AGG", "0")) or None  # None = adaptive
 
 
 def log(*args):

@@ -13,6 +13,7 @@ from .operators import local_matvec, operator_diagonal, reduced_operator_from_lo
 from .precondition import (
     batched_small_inv,
     block_two_level_from_values,
+    default_aggregate_size,
     build_smoothed_two_level,
     smoothed_two_level_matrix_free,
     build_two_level,
@@ -59,5 +60,6 @@ __all__ = [
     "get_bsr_structure",
     "block_two_level_from_values",
     "batched_small_inv",
+    "default_aggregate_size",
     "smoothed_two_level_matrix_free",
 ]
