@@ -51,6 +51,27 @@ def build_mesh():
     return mesh
 
 
+def timed_solve(assemble_and_solve):
+    """Shared warmup + repeat protocol: median of host-synced wall-clocks.
+
+    np.asarray forces real synchronization on axon (block_until_ready is a
+    no-op there); the warmup also reports convergence.
+    """
+    x, iters, res = assemble_and_solve()
+    x_host = np.asarray(x)
+    log(f"tpu warmup: converged in {int(iters)} iters, rel res {float(res):.3e}")
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        x, iters, res = assemble_and_solve()
+        x_host = np.asarray(x)
+        times.append(time.perf_counter() - t0)
+    tpu_time = float(np.median(times))
+    log(f"tpu times: {['%.4f' % t for t in times]} -> median {tpu_time:.4f}s")
+    return tpu_time, float(res), int(iters), x_host
+
+
 def tpu_run_bsr(mesh):
     """BSR path: hybrid block row-gather SpMV + block-Jacobi/aggregate M.
 
@@ -128,22 +149,10 @@ def tpu_run_bsr(mesh):
         rel = info.residual_norm / jnp.sqrt(jnp.sum(b_pad * b_pad))
         return x, info.iterations, rel
 
-    x, iters, res = assemble_and_solve()
-    x_host = np.asarray(x)
-    log(f"tpu warmup: converged in {int(iters)} iters, rel res {float(res):.3e}")
-
-    times = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        x, iters, res = assemble_and_solve()
-        x_host = np.asarray(x)
-        times.append(time.perf_counter() - t0)
-    tpu_time = float(np.median(times))
-    log(f"tpu times: {['%.4f' % t for t in times]} -> median {tpu_time:.4f}s")
-
+    tpu_time, res, iters, x_host = timed_solve(assemble_and_solve)
     x_full = np.zeros(V.n_dofs, dtype=np.float64)
     x_full[st.inner_perm] = x_host[: st.n_inner].astype(np.float64)
-    return tpu_time, float(res), int(iters), x_full
+    return tpu_time, res, iters, x_full
 
 
 def tpu_run(mesh):
@@ -222,23 +231,10 @@ def tpu_run(mesh):
             jnp.sum(b_red * b_red)
         )
 
-    # warmup / compile (np.asarray forces real synchronization on axon)
-    x, iters, res = assemble_and_solve()
-    x_host = np.asarray(x)
-    log(f"tpu warmup: converged in {int(iters)} iters, rel res {float(res):.3e}")
-
-    times = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        x, iters, res = assemble_and_solve()
-        x_host = np.asarray(x)
-        times.append(time.perf_counter() - t0)
-    tpu_time = float(np.median(times))
-    log(f"tpu times: {['%.4f' % t for t in times]} -> median {tpu_time:.4f}s")
-
+    tpu_time, res, iters, x_host = timed_solve(assemble_and_solve)
     x_full = np.zeros(n, dtype=np.float64)
     x_full[np.asarray(inner)] = x_host.astype(np.float64)
-    return tpu_time, float(res), int(iters), x_full
+    return tpu_time, res, iters, x_full
 
 
 def cpu_baseline(mesh):

@@ -33,18 +33,14 @@ import numpy as np
 from .. import config
 
 
-class AbstractBasis(abc.ABC):
-    """Couples a mesh and a reference element into an integration/assembly op set."""
+class AbstractBasis(config.HostConstructed, abc.ABC):
+    """Couples a mesh and a reference element into an integration/assembly op set.
 
-    def __init_subclass__(cls, **kwargs):
-        # construction math runs on the host CPU device: eager dispatch to a
-        # tunneled TPU costs ~31 ms RTT per op — minutes per basis — while
-        # jitted compute picks the arrays up at compile time either way
-        super().__init_subclass__(**kwargs)
-        if "__init__" in cls.__dict__:
-            cls.__init__ = config.construct_on_host(cls.__dict__["__init__"])
+    Construction math runs on the host CPU device (``config.HostConstructed``):
+    eager dispatch to a tunneled TPU costs ~31 ms RTT per op — minutes per
+    basis — while jitted compute picks the arrays up at compile time.
+    """
 
-    @config.construct_on_host
     def __init__(self, mesh, element):
         self._element = element
         self.mesh = mesh
@@ -212,9 +208,17 @@ class AbstractBasis(abc.ABC):
 
         if solution is None:
             solution = self.solution_tensor()
-        rhs = self.reduce(vector) if only_inner_dofs else vector
 
         if method == "bsr":
+            if not only_inner_dofs:
+                raise NotImplementedError(
+                    "method='bsr' solves the reduced (interior-DOF) system"
+                )
+            if precondition not in ("two_level", "jacobi"):
+                raise ValueError(
+                    f"unknown precondition: {precondition!r} "
+                    "(expected 'two_level' or 'jacobi')"
+                )
             from ..ops.bsr import (
                 bsr_diagonal,
                 bsr_expand,
@@ -235,10 +239,6 @@ class AbstractBasis(abc.ABC):
                 from ..ops.precondition import block_two_level_from_values
 
                 precond = block_two_level_from_values(structure, values, diag)
-            if not only_inner_dofs:
-                raise NotImplementedError(
-                    "method='bsr' solves the reduced (interior-DOF) system"
-                )
             b_pad = bsr_reduce(structure, vector)
             x, _ = pcg(
                 lambda v: bsr_matvec(structure, values, v),
@@ -249,6 +249,8 @@ class AbstractBasis(abc.ABC):
                 maxiter=maxiter,
             )
             return solution + bsr_expand(structure, x, self.n_dofs)
+
+        rhs = self.reduce(vector) if only_inner_dofs else vector
 
         if method == "segment":
             if precondition == "two_level":

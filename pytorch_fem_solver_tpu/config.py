@@ -69,6 +69,21 @@ def construct_on_host(init):
     return wrapped
 
 
+class HostConstructed:
+    """Mixin: every (sub)class ``__init__`` runs under the host CPU device.
+
+    Base classes for meshes and bases inherit this once; the hook wraps each
+    class's own ``__init__`` (including the direct subclass of the mixin) in
+    ``construct_on_host``, so eager construction math never pays the remote
+    accelerator's per-op round trip.
+    """
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        if "__init__" in cls.__dict__:
+            cls.__init__ = construct_on_host(cls.__dict__["__init__"])
+
+
 def setup_device_context():
     """Device context for *eager construction* math (mesh/basis build).
 

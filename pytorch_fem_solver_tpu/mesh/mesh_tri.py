@@ -40,20 +40,16 @@ def _freeze(tree):
     return jax.tree_util.tree_map(leaf, tree)
 
 
-class MeshTri:
-    """A single 2D triangle mesh with fully precomputed topology."""
+class MeshTri(config.HostConstructed):
+    """A single 2D triangle mesh with fully precomputed topology.
+
+    Construction math runs on the host CPU device (``config.HostConstructed``)
+    — eager dispatch to a tunneled TPU costs ~31 ms RTT per op.
+    """
 
     #: local vertex pairs of the 3 triangle edges
     edge_permutations = TRI_EDGE_PERMUTATIONS
 
-    def __init_subclass__(cls, **kwargs):
-        # construction math runs on the host CPU device: eager dispatch to a
-        # tunneled TPU costs ~31 ms RTT per op (config.setup_device_context)
-        super().__init_subclass__(**kwargs)
-        if "__init__" in cls.__dict__:
-            cls.__init__ = config.construct_on_host(cls.__dict__["__init__"])
-
-    @config.construct_on_host
     def __init__(self, triangulation: dict[str, Any] | None = None, *, _groups=None):
         if _groups is not None:
             self._t = _groups

@@ -37,6 +37,7 @@ _tried = False
 def _build_and_load():
     """Compile (if stale) and dlopen the native library; None on failure."""
     lib_path = Path(__file__).parent / _LIB_NAME
+    tmp_path = None
     try:
         if (
             not lib_path.exists()
@@ -59,10 +60,14 @@ def _build_and_load():
             ]
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             tmp_path.replace(lib_path)
+            tmp_path = None
 
         lib = ctypes.CDLL(str(lib_path))
     except (OSError, subprocess.SubprocessError, ValueError):
         return None
+    finally:
+        if tmp_path is not None:
+            tmp_path.unlink(missing_ok=True)
 
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.fem_radix_argsort.argtypes = [i64p, ctypes.c_int64, i64p]

@@ -165,6 +165,8 @@ def build_bsr_structure(
     ubc = bkeys % nb
     counts = np.bincount(ubr, minlength=nb)
     B_full = max(1, int(counts.max(initial=0)))
+    if max_b is not None and int(max_b) < 1:
+        raise ValueError(f"max_b must be >= 1, got {max_b}")
     B = B_full if max_b is None else min(B_full, int(max_b))
 
     starts = np.concatenate([[0], np.cumsum(counts)])

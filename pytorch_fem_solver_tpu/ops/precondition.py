@@ -227,13 +227,17 @@ def smoothed_two_level_matrix_free(
     but P is never stored: the prolongator apply is ``repeat`` + one BSR
     SpMV, the restriction a BSR SpMV + ``reshape-sum``. Per CG iteration
     this costs two extra SpMVs and zero scalar gathers, vs the n*kp
-    gather-entries of ``SmoothedTwoLevel`` — the winning trade on gather-
-    bound TPUs once the SpMV itself is block-gathered (``ops.bsr``). It is
-    also *exact* smoothed aggregation (no per-row kp truncation).
+    gather-entries of ``SmoothedTwoLevel``. The P applies are exact (no
+    per-row kp truncation), and the coarse matrix is the *tentative*
+    Galerkin A_c = P0^T A P0 — the same choice as the table-based
+    ``two_level_from_values``, but NOT the smoothed Galerkin P^T A P of
+    ``build_smoothed_two_level``, so iteration counts differ slightly
+    between those two. The additive combination of SPD terms keeps CG
+    theory intact. Returns a closure usable as ``pcg(precond=...)``.
 
-    A_c = P0^T A P0 (one segment-sum of per-block sums, like
-    ``block_two_level_from_values``); the additive combination of SPD terms
-    keeps CG theory intact. Returns a closure usable as ``pcg(precond=...)``.
+    Note: with the BSR SpMV this is usually a net LOSS vs the plain
+    ``block_two_level_from_values`` (1 SpMV/iteration) — kept as the
+    lowest-iteration-count option for expensive operators.
     """
     from .bsr import bsr_matvec
 

@@ -168,3 +168,18 @@ def test_bsr_rejects_bad_aggregate_size():
 
     with pytest.raises(ValueError):
         block_two_level_from_values(st, values, diag, g=12)
+
+
+def test_bsr_argument_validation():
+    import pytest
+
+    mesh = fem.MeshTri(fem.unit_square(n=5))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(a_form)
+    b = V.integrate_linear_form(l_form)
+    with pytest.raises(ValueError, match="max_b"):
+        get_bsr_structure(V, max_b=0)
+    with pytest.raises(ValueError, match="precondition"):
+        V.solve_iterative(local, b, precondition="two-level")
+    with pytest.raises(NotImplementedError):
+        V.solve_iterative(local, b, only_inner_dofs=False)

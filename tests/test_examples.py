@@ -51,6 +51,7 @@ def run_example(name, env_extra, timeout=600):
         "example_patches.py",
         "example_fractures_fem.py",
         "example_seven_fractures_vpinn.py",
+        "example_seven_fractures_fem.py",
     ],
 )
 def test_example_runs(name):
