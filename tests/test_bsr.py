@@ -170,6 +170,36 @@ def test_bsr_rejects_bad_aggregate_size():
         block_two_level_from_values(st, values, diag, g=12)
 
 
+def test_spatial_order_is_group_aligned_permutation():
+    from pytorch_fem_solver_tpu.ops.bsr import spatial_order
+
+    rng = np.random.default_rng(3)
+    for n in (1, 31, 32, 33, 100, 1000):
+        coords = rng.normal(size=(n, 2))
+        perm = spatial_order(coords, group=32)
+        # a valid permutation
+        assert sorted(perm.tolist()) == list(range(n))
+        # every full 32-range is spatially compact: its bounding-box area is
+        # far below the full cloud's (loose sanity factor, exact for leaves)
+        if n >= 64:
+            full = np.prod(coords.max(0) - coords.min(0))
+            for s in range(0, n - 32, 32):
+                c = coords[perm[s : s + 32]]
+                assert np.prod(c.max(0) - c.min(0)) < full
+
+
+def test_default_aggregate_size_bounds_coarse_level():
+    from types import SimpleNamespace
+
+    from pytorch_fem_solver_tpu.ops.precondition import default_aggregate_size
+
+    for n_pad in (32, 4096, 103936, 235008, 1 << 20, 1 << 22):
+        st = SimpleNamespace(n_pad=n_pad, block=8)
+        g = default_aggregate_size(st)
+        assert n_pad % g == 0 and g % 32 == 0
+        assert n_pad // g <= 4096
+
+
 def test_bsr_argument_validation():
     import pytest
 
