@@ -53,8 +53,8 @@ class BSRStructure(NamedTuple):
     """
 
     bcols: jnp.ndarray  # (nb, B) block-column ids; own block at b=0; pad -> 0
-    entry_take: jnp.ndarray  # (n_kept,) flat element-entry ids, slot-sorted
-    entry_slots: jnp.ndarray  # (n_kept,) value slot per entry, ascending
+    entry_slot: jnp.ndarray  # (T*n_loc^2,) value slot per flat element entry;
+    #   entries touching Dirichlet DOFs point at n_values (dropped)
     perm: np.ndarray  # (n_inner,) permuted position -> original reduced id
     inner_perm: np.ndarray  # (n_inner,) global DOF id at each permuted slot
     n_inner: int
@@ -205,24 +205,25 @@ def build_bsr_structure(
         + in_block,
     )
 
-    from ..native import radix_argsort as native_radix_argsort
-
-    order = native_radix_argsort(slots)
-    if order is None:
-        order = np.argsort(slots, kind="stable")
+    n_values = int(n_values1 + nh * B2 * block * block)
+    # slot per ORIGINAL flat entry position; boundary-touching entries point
+    # one past the end and are dropped by the scatter's OOB mode — this
+    # avoids both a 2M-element pre-sort gather on device and the host sort
+    # (measured: unsorted scatter-add 20 ms vs gather+sorted scatter 30 ms)
+    entry_slot = np.full(rows.size, n_values, dtype=np.int64)
+    entry_slot[keep] = slots
 
     i_t = config.index_dtype()
     return BSRStructure(
         bcols=jnp.asarray(bcols, dtype=i_t),
-        entry_take=jnp.asarray(keep[order], dtype=i_t),
-        entry_slots=jnp.asarray(slots[order], dtype=i_t),
+        entry_slot=jnp.asarray(entry_slot, dtype=i_t),
         perm=perm,
         inner_perm=inner_perm,
         n_inner=n_inner,
         n_pad=int(n_pad),
         nb=int(nb),
         block=int(block),
-        n_values=int(n_values1 + nh * B2 * block * block),
+        n_values=n_values,
         bcols2=jnp.asarray(bcols2, dtype=i_t),
         heavy_rows=jnp.asarray(heavy_rows, dtype=i_t),
     )
@@ -231,17 +232,16 @@ def build_bsr_structure(
 def bsr_values_from_local(structure: BSRStructure, local_matrices):
     """Assemble element matrices into the block layout.
 
-    One gather brings the kept entries into slot order; one *sorted*
-    scatter-add lands them (duplicates hit the same slot consecutively, the
-    cheap case for TPU scatters). Returns ``(tier1, tier2)``:
-    ``(nb, B, k, k)`` and ``(nh, B2, k, k)`` (tier2 empty without ``max_b``).
+    One scatter-add in original entry order; boundary-touching entries carry
+    an out-of-range slot and are dropped by ``mode='drop'``. Returns
+    ``(tier1, tier2)``: ``(nb, B, k, k)`` and ``(nh, B2, k, k)`` (tier2
+    empty without ``max_b``).
     """
     flat = local_matrices.reshape(-1)
-    vals = flat[structure.entry_take]
     values = (
         jnp.zeros((structure.n_values,), dtype=flat.dtype)
-        .at[structure.entry_slots]
-        .add(vals, indices_are_sorted=True)
+        .at[structure.entry_slot]
+        .add(flat, mode="drop")
     )
     nb, B = structure.bcols.shape
     nh, B2 = structure.bcols2.shape
