@@ -328,8 +328,10 @@ def cpu_baseline(mesh):
     x, res, iters = pcg_tol(local, b, diag)
     log(f"cpu warmup: converged in {iters} iters, rel res {float(res):.3e}")
 
+    # the shared 1-core host is noisy: median of >= 3 runs keeps the
+    # recorded ratio from swinging with background load
     times = []
-    for _ in range(max(1, REPEATS // 2)):
+    for _ in range(max(3, REPEATS // 2)):
         t0 = time.perf_counter()
         local, b, diag = assemble()
         x, res, iters = pcg_tol(local, b, diag)
