@@ -421,36 +421,65 @@ def _is_array_leaf(x) -> bool:
     return isinstance(x, (jnp.ndarray, np.ndarray, jax.Array))
 
 
+#: derived solver-layout caches a basis may carry; never part of its pytree
+_CACHE_ATTRS = ("_bsr_structures", "_ell_structures", "_two_level_structure")
+
+
+def _is_static_value(x) -> bool:
+    """True for hashable scalars that must stay static under jit (sizes,
+    shape tuples, flags) — everything else is a dynamic child."""
+    if isinstance(x, (bool, int, float, str, bytes, type(None))):
+        return True
+    return isinstance(x, tuple) and all(_is_static_value(v) for v in x)
+
+
 def _basis_flatten(basis: AbstractBasis):
     """Split state into traced array leaves and static aux (shapes, element).
 
-    Shape tuples inside ``_basis_parameters`` must stay static under jit, so
-    the parameter dict is partitioned entry-wise.
+    Partitioned entry-wise: array(-containing) values are dynamic children;
+    plain scalars (batch sizes like ``nb_patches``, shape tuples inside
+    ``_basis_parameters``) are static aux — leaving them dynamic would turn
+    sizes used as reshape targets into tracers under jit. Solver-layout
+    caches (``ops.bsr``/``ops.sparse`` structures, host index tables) are
+    dropped entirely: they are derived state, rebuilt on demand, and keeping
+    them would change the pytree structure after the first solve (silent
+    recompiles for any jitted function taking the basis as an argument).
     """
     state = dict(basis.__dict__)
     element = state.pop("_element")
     params = state.pop("_basis_parameters", None)
+    for cache_key in _CACHE_ATTRS:
+        state.pop(cache_key, None)
 
-    dyn_params, static_params = {}, {}
-    if params is not None:
-        for key, value in params.items():
-            if _is_array_leaf(value) or (
-                isinstance(value, tuple) and value and _is_array_leaf(value[0])
-            ):
-                dyn_params[key] = value
+    def partition(items):
+        dyn, static = {}, {}
+        for key, value in items:
+            if _is_static_value(value):
+                static[key] = value
             else:
-                static_params[key] = value
+                dyn[key] = value
+        return dyn, static
 
-    children = {"state": state, "params": dyn_params}
-    return (children,), (type(basis), element, tuple(sorted(static_params.items())))
+    dyn_params, static_params = partition(params.items() if params else ())
+    dyn_state, static_state = partition(state.items())
+
+    children = {"state": dyn_state, "params": dyn_params}
+    aux = (
+        type(basis),
+        element,
+        tuple(sorted(static_params.items())),
+        tuple(sorted(static_state.items())),
+    )
+    return (children,), aux
 
 
 def _basis_unflatten(aux, children):
-    cls, element, static_items = aux
+    cls, element, static_params, static_state = aux
     obj = cls.__new__(cls)
+    obj.__dict__.update(dict(static_state))
     obj.__dict__.update(children[0]["state"])
     obj._element = element
-    params = dict(static_items)
+    params = dict(static_params)
     params.update(children[0]["params"])
     obj._basis_parameters = params
     return obj

@@ -47,10 +47,13 @@ class Basis(AbstractBasis):
             # P2 shape function order 4*l1*l2, 4*l2*l3, 4*l3*l1) to the
             # unique-edge ids
             local = np.sort(cells[:, [[0, 1], [1, 2], [0, 2]]], axis=-1)
-            edge_lookup = {tuple(e): i for i, e in enumerate(np.sort(edges, axis=-1))}
-            cell_edges = np.array(
-                [[edge_lookup[tuple(e)] for e in ce] for ce in local], dtype=np.int64
-            )
+            edges_sorted = np.sort(edges, axis=-1)
+            edge_codes = edges_sorted[:, 0] * n_vertices + edges_sorted[:, 1]
+            code_order = np.argsort(edge_codes)
+            local_codes = local[..., 0] * n_vertices + local[..., 1]
+            cell_edges = code_order[
+                np.searchsorted(edge_codes[code_order], local_codes)
+            ]
 
             midpoints = verts[edges].mean(axis=1)
             coords_4_global_dofs = jnp.asarray(

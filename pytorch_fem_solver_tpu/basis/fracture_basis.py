@@ -28,10 +28,18 @@ from .abstract_basis import AbstractBasis, register_basis_pytree
 from .interior_edges_fracture_basis import InteriorEdgesFractureBasis
 
 
-def _quantize(coords: np.ndarray, tol: float) -> np.ndarray:
-    """Round coordinates to a tolerance grid for robust row dedup."""
+def _group_rows(coords: np.ndarray, tol: float):
+    """(group_ids, counts) of coordinate rows equal within tolerance.
+
+    Tolerance-robust (``mesh.dedup.tolerant_group``): an exact rounding grid
+    would split one physical vertex whose float copies straddle a cell
+    boundary, silently breaking trace continuity.
+    """
+    from ..mesh.dedup import tolerant_group
+
     scale = max(1.0, float(np.abs(coords).max()))
-    return np.round(coords / (tol * scale)).astype(np.int64)
+    ids = tolerant_group(coords, tol * scale)
+    return ids, np.bincount(ids)
 
 
 def build_global_triangulation(mesh, tol: float = 1e-9) -> dict:
@@ -57,11 +65,8 @@ def build_global_triangulation(mesh, tol: float = 1e-9) -> dict:
     nb_edges = edges.shape[-2]
 
     flat3d = coords3d.reshape(-1, 3)
-    keys = _quantize(flat3d, tol)
-    uniq_keys, global2local_idx, vertex_counts = np.unique(
-        keys, axis=0, return_inverse=True, return_counts=True
-    )
-    nb_global = uniq_keys.shape[0]
+    global2local_idx, vertex_counts = _group_rows(flat3d, tol)
+    nb_global = vertex_counts.shape[0]
 
     # canonical (minimal) local flat index per global vertex
     local2global_idx = np.full(nb_global, flat3d.shape[0], dtype=np.int64)

@@ -185,11 +185,17 @@ def build_fracture_network(
             if seg is not None:
                 raw_traces[(i, j)] = seg
 
-    # split all traces at mutual intersection points (triple points)
+    # split all traces at mutual intersection points (triple points) AND at
+    # other traces' endpoints: partially overlapping *collinear* traces
+    # (three fractures sharing a line over different extents) have no
+    # transversal intersection point, but must still break at each other's
+    # ends so the per-fracture duplicate-segment dedup below sees exact
+    # copies instead of un-meshable partial overlaps
     all_segs = list(raw_traces.values())
     cross_points = _segment_intersections_3d(all_segs)
+    endpoints = [s[0] for s in all_segs] + [s[1] for s in all_segs]
     traces_per_pair = {
-        pair: _split_segments_at_points([seg], cross_points)
+        pair: _split_segments_at_points([seg], cross_points + endpoints)
         for pair, seg in raw_traces.items()
     }
 
@@ -231,12 +237,15 @@ def build_fracture_network(
         segs3d = sides_split + my_traces
         markers = side_marks_split + [0] * len(my_traces)
 
-        # vertex pool (2D, deduped)
+        # vertex pool (2D, deduped; tolerance-robust — trace endpoints and
+        # rectangle corners reach the same point through different float
+        # paths, see mesh/dedup.py)
+        from .dedup import tolerant_group
+
         pts3d = np.concatenate([s for s in segs3d], axis=0)  # (2S, 3)
         pts2d = _to2d(pts3d, o, e1, e2)
         scale = max(1.0, np.abs(pts2d).max())
-        keys = np.round(pts2d / (tol * scale)).astype(np.int64)
-        _, inv = np.unique(keys, axis=0, return_inverse=True)
+        inv = tolerant_group(pts2d, tol * scale)
         order = np.unique(inv, return_index=True)[1]
         remap = {int(g): k for k, g in enumerate(inv[np.sort(order)])}
         vert2d = pts2d[np.sort(order)]

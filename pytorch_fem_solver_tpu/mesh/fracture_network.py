@@ -157,11 +157,14 @@ class FractureNetworkMesh(MeshTri):
         lifted /= np.linalg.norm(lifted, axis=-1, keepdims=True)
 
         # ---- global glue: dedup 3D coords -> global DOF ids --------------
+        # tolerance-robust grouping: a plain rounding grid can split one
+        # physical trace vertex whose float copies straddle a cell boundary
+        # (see mesh/dedup.py)
+        from .dedup import tolerant_group
+
         scale = max(1.0, float(np.abs(flat_verts3d).max()))
-        keys = np.round(flat_verts3d / (tol * scale)).astype(np.int64)
-        _, global_ids, counts = np.unique(
-            keys, axis=0, return_inverse=True, return_counts=True
-        )
+        global_ids = tolerant_group(flat_verts3d, tol * scale)
+        counts = np.bincount(global_ids)
         n_global = counts.shape[0]
 
         canonical = np.full(n_global, len(flat_verts3d), dtype=np.int64)

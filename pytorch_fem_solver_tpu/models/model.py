@@ -154,6 +154,11 @@ class Model:
             validation_value = float(validation)
             accuracy_value = float(accuracy)
             self._epoch_times.append(time.perf_counter() - t0)
+            # history first, aligned with _epoch_times — the guard/early-stop
+            # paths below must not drop the epoch they evaluated
+            self._loss_history.append(loss_value)
+            self._validation_loss_history.append(validation_value)
+            self._accuracy_history.append(accuracy_value)
 
             # failure guard (SURVEY.md §5: the reference has none): a
             # non-finite loss poisons parameters and the optimizer state —
@@ -191,10 +196,6 @@ class Model:
                         "Accuracy": f"{accuracy_value:.8f}",
                     }
                 )
-
-            self._loss_history.append(loss_value)
-            self._validation_loss_history.append(validation_value)
-            self._accuracy_history.append(accuracy_value)
 
         self._neural_network = nn
         self._opt_state = opt_state

@@ -133,11 +133,12 @@ def p1_local_stiffness_load(cell_coords, scale=None, *, use_pallas=None,
                             interpret=False):
     """P1 local stiffness (T, 3, 3), load (T, 3) for f=1, and areas (T,).
 
-    ``use_pallas`` defaults to True on TPU backends, False elsewhere; the
+    ``use_pallas`` defaults to True on TPU backends (the axon plugin also
+    reports "tpu"), False elsewhere; the
     XLA fallback computes identical math from the same SoA layout.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = jax.default_backend() == "tpu"
     T = cell_coords.shape[0]
     soa = coords_to_soa(cell_coords, scale)
     if use_pallas:

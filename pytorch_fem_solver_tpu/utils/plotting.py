@@ -101,19 +101,41 @@ def plot_network_3d(mesh, vertex_values=None, show_traces: bool = True, ax=None)
 
 
 def plot_trace_profile(mesh, edge_values, label: str = "", ax=None):
-    """Values along trace edges, sorted by arc position (jump plots)."""
+    """Values along trace edges, one polyline per trace line (jump plots).
+
+    Trace edges of different traces must not be interleaved into one sorted
+    sequence: edges are grouped by the straight 3D line they lie on
+    (quantized direction + anchor point), then each group is plotted against
+    its own arc-length parameter.
+    """
     plt = _plt()
     if ax is None:
         _, ax = plt.subplots()
     tm = np.asarray(mesh["interior_edges", "trace_mask"])[:, 0].astype(bool)
-    mids = np.asarray(mesh["interior_edges", "coordinates_3d"]).mean(axis=1)[tm]
+    coords = np.asarray(mesh["interior_edges", "coordinates_3d"])[tm]
+    mids = coords.mean(axis=1)
     vals = np.asarray(edge_values).reshape(-1)[tm]
-    # order by the dominant coordinate direction of the trace
-    spans = mids.max(axis=0) - mids.min(axis=0)
-    axis_dim = int(np.argmax(spans))
-    order = np.argsort(mids[:, axis_dim])
-    ax.plot(mids[order, axis_dim], vals[order], "o-", label=label or None)
-    ax.set_xlabel("xyz"[axis_dim] + " along trace")
+
+    vec = coords[:, 1] - coords[:, 0]
+    d = vec / np.maximum(np.linalg.norm(vec, axis=-1, keepdims=True), 1e-300)
+    # canonical sign: first nonzero component positive
+    lead = np.argmax(np.abs(d) > 1e-9, axis=-1)
+    sign = np.sign(d[np.arange(len(d)), lead])
+    d = d * sign[:, None]
+    anchor = mids - (mids * d).sum(-1, keepdims=True) * d
+    scale = max(float(np.abs(coords).max()), 1.0)
+    key = np.round(np.concatenate([d, anchor / scale], axis=1) / 1e-6)
+    _, group = np.unique(key, axis=0, return_inverse=True)
+
+    for gid in np.unique(group):
+        sel = group == gid
+        t = (mids[sel] * d[sel]).sum(-1)
+        order = np.argsort(t)
+        lbl = label or None
+        if label and np.unique(group).size > 1:
+            lbl = f"{label} (trace {gid})"
+        ax.plot(t[order], vals[sel][order], "o-", label=lbl)
+    ax.set_xlabel("arc position along trace")
     if label:
         ax.legend()
     return ax

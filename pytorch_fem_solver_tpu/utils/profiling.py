@@ -13,6 +13,7 @@ import time
 from typing import Callable, Optional
 
 import jax
+import numpy as np
 
 
 class StepTimer:
@@ -22,22 +23,31 @@ class StepTimer:
         self.times: list[float] = []
         self._t0: Optional[float] = None
 
+    @staticmethod
+    def _sync(result):
+        """Force completion with a host copy: jax.block_until_ready is a
+        NO-OP on the axon TPU backend (docs/performance.md), and unsynced
+        timings report dispatch time, not execution time."""
+        if result is None:
+            return
+        for leaf in jax.tree_util.tree_leaves(result):
+            np.asarray(leaf)
+
     @contextlib.contextmanager
     def step(self, result=None):
         t0 = time.perf_counter()
         yield
-        if result is not None:
-            jax.block_until_ready(result)
+        self._sync(result)
         self.times.append(time.perf_counter() - t0)
 
     def time_fn(self, fn: Callable, *args, warmup: int = 1, reps: int = 10):
         """Median wall-clock of a jitted callable (compiles first)."""
         for _ in range(warmup):
-            jax.block_until_ready(fn(*args))
+            self._sync(fn(*args))
         for _ in range(reps):
             t0 = time.perf_counter()
             out = fn(*args)
-            jax.block_until_ready(out)
+            self._sync(out)
             self.times.append(time.perf_counter() - t0)
         return self.summary()
 

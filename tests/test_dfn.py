@@ -169,3 +169,58 @@ def test_trace_mask_excludes_junction_bridges():
             and any(abs(p0[ax] - v) < 1e-6 for v in planes[ax])
         ]
         assert len(const_axes) >= 2, (p0, p1)
+
+
+def test_partially_overlapping_collinear_traces():
+    """Three fractures sharing one line over different extents must mesh:
+    collinear partial overlaps have no transversal intersection point, so
+    traces must split at each other's endpoints (dfn.py)."""
+    import jax.numpy as jnp
+
+    from pytorch_fem_solver_tpu.mesh.dfn import build_fracture_network
+
+    f1 = [[0, 0, 0], [2, 0, 0], [2, 2, 0], [0, 2, 0]]
+    f2 = [[0, 1, -1], [2, 1, -1], [2, 1, 1], [0, 1, 1]]
+    f3 = [[0.5, 1, 0], [1.5, 1, 0], [1.5, 2, 1], [0.5, 2, 1]]
+    mesh = build_fracture_network([f1, f2, f3], h=0.5)
+    assert mesh.n_cells > 0
+
+    import pytorch_fem_solver_tpu as fem
+
+    V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 2))
+    u = V.solve_iterative(
+        V.integrate_bilinear_form_local(
+            lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+        ),
+        V.integrate_linear_form(lambda b: b.v),
+        tol=1e-10,
+        precondition="two_level",
+    )
+    u_host = np.asarray(u)
+    assert np.isfinite(u_host).all() and u_host.max() > 0
+
+
+def test_tolerant_group_handles_grid_boundary_straddle():
+    """The failure mode of plain grid rounding: two float copies of one
+    physical point on opposite sides of a rounding boundary must still
+    coalesce into one group."""
+    from pytorch_fem_solver_tpu.mesh.dedup import tolerant_group
+
+    tol = 1e-9
+    # 1.5 * tol sits exactly on the round(c/tol) boundary between cells 1, 2
+    base = 1.5 * tol
+    pts = np.array(
+        [
+            [base - 1e-16, 0.0, 0.0],  # rounds down
+            [base + 1e-16, 0.0, 0.0],  # rounds up -> different cell
+            [5.0, 0.0, 0.0],  # genuinely distinct
+            [5.0, 0.0, 0.0],
+        ]
+    )
+    ids = tolerant_group(pts, tol)
+    assert ids[0] == ids[1], "boundary-straddling duplicates must merge"
+    assert ids[2] == ids[3]
+    assert ids[0] != ids[2]
+    # plain rounding demonstrably splits them (documents why this exists)
+    keys = np.round(pts / tol).astype(np.int64)
+    assert not np.array_equal(keys[0], keys[1])
