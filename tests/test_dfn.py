@@ -224,3 +224,39 @@ def test_tolerant_group_handles_grid_boundary_straddle():
     # plain rounding demonstrably splits them (documents why this exists)
     keys = np.round(pts / tol).astype(np.int64)
     assert not np.array_equal(keys[0], keys[1])
+
+
+def test_random_network_fuzz():
+    """Seeded fuzz: arbitrary-orientation rectangle networks mesh and solve.
+
+    Exercises the full geometry pipeline (plane intersections, trace
+    splitting, conforming PSLGs, tolerant glue) away from the axis-aligned
+    benchmark family.
+    """
+    import jax.numpy as jnp
+
+    import pytorch_fem_solver_tpu as fem
+    from pytorch_fem_solver_tpu.mesh.dfn import build_fracture_network
+
+    def random_rect(rng):
+        c = rng.uniform(-1, 1, 3)
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        e1, e2 = q[:, 0], q[:, 1]
+        w, h = rng.uniform(0.8, 2.0, 2)
+        o = c - 0.5 * w * e1 - 0.5 * h * e2
+        return np.stack([o, o + w * e1, o + w * e1 + h * e2, o + h * e2])
+
+    for seed in (0, 3, 7):
+        rng = np.random.default_rng(seed)
+        rects = [random_rect(rng) for _ in range(3)]
+        mesh = build_fracture_network(rects, h=0.4)
+        V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 2))
+        u = V.solve_iterative(
+            V.integrate_bilinear_form_local(
+                lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+            ),
+            V.integrate_linear_form(lambda b: b.v),
+            tol=1e-8,
+        )
+        u_host = np.asarray(u)
+        assert np.isfinite(u_host).all()
