@@ -24,7 +24,15 @@ if not os.environ.get("FEM_EXAMPLES_TPU"):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
-SHOW_PLOTS = bool(os.environ.get("FEM_SHOW_PLOTS"))
+def env_flag(name: str, default: bool = False) -> bool:
+    """Truthy env parse: '0'/'false'/'no'/'' disable (bool("0") is True!)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    return raw.strip().lower() not in ("", "0", "false", "no", "off")
+
+
+SHOW_PLOTS = env_flag("FEM_SHOW_PLOTS")
 
 PI = math.pi
 
@@ -96,6 +104,44 @@ def h1_error_of_fields(basis, uh, uh_grad):
         + (uh_grad[..., 0:1] - exact_dx(x, y)) ** 2
         + (uh_grad[..., 1:2] - exact_dy(x, y)) ** 2
     )
+
+
+def make_edge_jump(V, V_edges):
+    """A-posteriori edge term: ``jump(_, normals, edge_size, net)`` plus the
+    mesh sizes (h_T, h_E, n_E) — the reference's h_E (⟦∇u·n⟧)^2 estimator
+    (/root/reference/examples/example_jump.py:75-88), built once from the
+    two-sided edge-trace interpolator."""
+    _, interp_to_edges_grad = V.interpolate(V_edges)
+    h_T = V.mesh["cells", "length"]
+    h_E = V.mesh["interior_edges", "length"][..., None, :, :]
+    n_E = V.mesh["interior_edges", "normals"][..., None, :, :]
+
+    def jump(_, normals, edge_size, net):
+        grad = interp_to_edges_grad(net)
+        return (
+            edge_size
+            * (
+                (grad[:, 0] * normals).sum(-1, keepdims=True)
+                + (grad[:, 1] * -normals).sum(-1, keepdims=True)
+            )
+            ** 2
+        )
+
+    return jump, h_T, h_E, n_E
+
+
+def dfn_boundary_modifier(pts):
+    """Vanishes exactly on both fractures' outer boundaries, not the trace."""
+    x, y, z = pts[..., 0:1], pts[..., 1:2], pts[..., 2:3]
+    return y * (1 - y) * (x**2 - 1) * (z**2 - 1)
+
+
+def tangential_projector(basis):
+    """P = J (J^T J)^{-1} J^T per cell: projects ambient gradients in-plane."""
+    cell_frac = basis.mesh["cells", "fracture"][:, 0]
+    jac = basis.mesh["fracture_map", "jacobian"][cell_frac][:, None]
+    inv = basis.mesh["fracture_map", "inv_jacobian"][cell_frac][:, None]
+    return jac @ inv  # (T, 1, 3, 3), symmetric
 
 
 def maybe_show(plt):

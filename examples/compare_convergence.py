@@ -3,14 +3,15 @@
 Port of /root/reference/examples/compare_convergence.py:7-61.
 """
 
+import pathlib
 import pickle
 
 import common  # noqa: F401  (configures platform/x64)
 import numpy as np
 
-with open("H1_norm_converge_FEM.pkl", "rb") as fh:
+with open(pathlib.Path(__file__).parent / "H1_norm_converge_FEM.pkl", "rb") as fh:
     fem_dofs, fem_h1 = pickle.load(fh)
-with open("H1_norm_converge_NN.pkl", "rb") as fh:
+with open(pathlib.Path(__file__).parent / "H1_norm_converge_NN.pkl", "rb") as fh:
     nn_dofs, nn_h1 = pickle.load(fh)
 
 fem_rate = np.polyfit(np.log(fem_dofs), np.log(fem_h1), 1)[0]

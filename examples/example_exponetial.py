@@ -76,28 +76,13 @@ nn = fem.FeedForwardNeuralNetwork(
 mesh = fem.MeshTri(fem.unit_square(max_area=0.5**8))
 V = fem.Basis(mesh, fem.ElementTri(1, 4))
 V_edges = fem.InteriorEdgesBasis(mesh, fem.ElementLine(1, 2))
-_, interp_to_edges_grad = V.interpolate(V_edges)
+jump, h_T, h_E, n_E = common.make_edge_jump(V, V_edges)
 
 gram_inverse = jnp.linalg.inv(
     V.reduce(V.integrate_bilinear_form(common.stiffness_form))
 )
 exact_norm = jnp.sqrt(V.integrate_functional(h1_exact).sum())
 
-h_T = V.mesh["cells", "length"]
-h_E = V.mesh["interior_edges", "length"][..., None, :, :]
-n_E = V.mesh["interior_edges", "normals"][..., None, :, :]
-
-
-def jump(_, normals, edge_size, net):
-    grad = interp_to_edges_grad(net)
-    return (
-        edge_size
-        * (
-            (grad[:, 0] * normals).sum(-1, keepdims=True)
-            + (grad[:, 1] * -normals).sum(-1, keepdims=True)
-        )
-        ** 2
-    )
 
 
 def bulk(basis, triangle_size, net):

@@ -19,13 +19,10 @@ from pytorch_fem_solver_tpu.mesh.dfn import build_fracture_network
 
 EPOCHS = int(os.environ.get("FEM_EPOCHS", 2000))
 H = float(os.environ.get("FEM_H", 0.125))
-USE_INTERPOLANT = bool(os.environ.get("FEM_USE_INTERPOLANT"))
+USE_INTERPOLANT = common.env_flag("FEM_USE_INTERPOLANT")
 
 
-def boundary_modifier(pts):
-    """Vanishes exactly on both fractures' outer boundaries, not on the trace."""
-    x, y, z = pts[..., 0:1], pts[..., 1:2], pts[..., 2:3]
-    return y * (1 - y) * (x**2 - 1) * (z**2 - 1)
+boundary_modifier = common.dfn_boundary_modifier
 
 
 nn = fem.FeedForwardNeuralNetwork(
@@ -54,12 +51,7 @@ exact_norm = jnp.sqrt(V.integrate_functional(common.dfn_h1_exact).sum())
 _, interp_self_grad = V.interpolate(V)
 
 
-def tangential_projector(basis):
-    """P = J (J^T J)^{-1} J^T per cell: projects ambient gradients in-plane."""
-    cell_frac = basis.mesh["cells", "fracture"][:, 0]
-    jac = basis.mesh["fracture_map", "jacobian"][cell_frac][:, None]
-    inv = basis.mesh["fracture_map", "inv_jacobian"][cell_frac][:, None]
-    return jac @ inv  # (T, 1, 3, 3), symmetric
+tangential_projector = common.tangential_projector
 
 
 def residual(basis, net):

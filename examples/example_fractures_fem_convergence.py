@@ -4,6 +4,7 @@ Port of /root/reference/examples/example_fractures_fem_convergence.py:195-253.
 """
 
 import os
+import pathlib
 import pickle
 
 import common
@@ -44,6 +45,6 @@ for level in range(LEVELS):
 slope = np.polyfit(np.log(dofs_list), np.log(h1_list), 1)[0]
 print(f"fitted decay rate vs #DOFs: {slope:.3f} (theory -0.5)")
 
-with open("H1_norm_converge_FEM.pkl", "wb") as fh:
+with open(pathlib.Path(__file__).parent / "H1_norm_converge_FEM.pkl", "wb") as fh:
     pickle.dump([dofs_list, h1_list], fh)
 print("pickled -> H1_norm_converge_FEM.pkl")

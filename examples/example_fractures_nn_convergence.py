@@ -6,6 +6,7 @@ train the same NN against progressively finer fracture test spaces; pickle
 """
 
 import os
+import pathlib
 import pickle
 
 import common
@@ -19,9 +20,7 @@ LEVELS = int(os.environ.get("FEM_LEVELS", 3))
 EPOCHS = int(os.environ.get("FEM_EPOCHS", 800))
 
 
-def boundary_modifier(pts):
-    x, y, z = pts[..., 0:1], pts[..., 1:2], pts[..., 2:3]
-    return y * (1 - y) * (x**2 - 1) * (z**2 - 1)
+boundary_modifier = common.dfn_boundary_modifier
 
 
 nn = fem.FeedForwardNeuralNetwork(
@@ -53,10 +52,7 @@ for level in range(LEVELS):
 
     def h1_err(basis, net):
         pts = basis.integration_points
-        cell_frac = basis.mesh["cells", "fracture"][:, 0]
-        jac = basis.mesh["fracture_map", "jacobian"][cell_frac][:, None]
-        inv = basis.mesh["fracture_map", "inv_jacobian"][cell_frac][:, None]
-        tangent = net.gradient(pts) @ (jac @ inv)
+        tangent = net.gradient(pts) @ common.tangential_projector(basis)
         return (net(pts) - common.dfn_exact(pts)) ** 2 + (
             (tangent - common.dfn_exact_grad(pts)) ** 2
         ).sum(-1, keepdims=True)
@@ -75,12 +71,17 @@ for level in range(LEVELS):
     )
     nn = model.train()
 
-    _, _, acc = model.get_training_history()
+    loss_hist, _, acc = model.get_training_history()
+    # record the accuracy of the best (snapshotted) epoch: the final epoch
+    # can be a diverged step whose history entry is garbage
+    import numpy as _np
+
+    best = int(_np.nanargmin(_np.asarray(loss_hist)))
     dofs_list.append(V.n_dofs)
-    h1_list.append(acc[-1])
-    print(f"level {level}: h={h:.3f} n_dofs={V.n_dofs} rel H1={acc[-1]:.5f}")
+    h1_list.append(acc[best])
+    print(f"level {level}: h={h:.3f} n_dofs={V.n_dofs} rel H1={acc[best]:.5f}")
     h *= 0.5
 
-with open("H1_norm_converge_NN.pkl", "wb") as fh:
+with open(pathlib.Path(__file__).parent / "H1_norm_converge_NN.pkl", "wb") as fh:
     pickle.dump([dofs_list, h1_list], fh)
 print("pickled -> H1_norm_converge_NN.pkl")

@@ -28,16 +28,13 @@ V_edges = fem.InteriorEdgesBasis(mesh, fem.ElementLine(1, 2))
 # closures: evaluate the P1 interpolant (and its gradient) of any function
 # given by nodal values, at V's own quadrature points and at edge points
 _, interp_self_grad = V.interpolate(V)
-_, interp_edges_grad = V.interpolate(V_edges)
+jump, h_T, h_E, n_E = common.make_edge_jump(V, V_edges)
 
 gram_inverse = jnp.linalg.inv(
     V.reduce(V.integrate_bilinear_form(common.stiffness_form))
 )
 exact_norm = jnp.sqrt(V.integrate_functional(common.h1_exact).sum())
 
-h_T = V.mesh["cells", "length"]
-h_E = V.mesh["interior_edges", "length"][..., None, :, :]
-n_E = V.mesh["interior_edges", "normals"][..., None, :, :]
 
 
 def residual_interpolated(basis, net):
@@ -46,18 +43,6 @@ def residual_interpolated(basis, net):
     ih_grad = interp_self_grad(net)  # (T, 1, 1, 2)
     return common.rhs(x, y) * basis.v - (
         basis.v_grad @ jnp.matrix_transpose(ih_grad)
-    )
-
-
-def jump(_, normals, edge_size, net):
-    grad = interp_edges_grad(net)
-    return (
-        edge_size
-        * (
-            (grad[:, 0] * normals).sum(-1, keepdims=True)
-            + (grad[:, 1] * -normals).sum(-1, keepdims=True)
-        )
-        ** 2
     )
 
 

@@ -29,24 +29,7 @@ elements_1d = fem.ElementLine(polynomial_order=1, integration_order=2)
 V = fem.Basis(mesh, elements)
 V_edges = fem.InteriorEdgesBasis(mesh, elements_1d)
 
-_, interpolator_to_edges_grad = V.interpolate(V_edges)
-
-h_T = V.mesh["cells", "length"]
-h_E = V.mesh["interior_edges", "length"][..., None, :, :]
-n_E = V.mesh["interior_edges", "normals"][..., None, :, :]
-
-
-def jump(_, normals, edge_size, net):
-    grad = interpolator_to_edges_grad(net)
-    grad_plus, grad_minus = grad[:, 0], grad[:, 1]
-    return (
-        edge_size
-        * (
-            (grad_plus * normals).sum(-1, keepdims=True)
-            + (grad_minus * -normals).sum(-1, keepdims=True)
-        )
-        ** 2
-    )
+jump, h_T, h_E, n_E = common.make_edge_jump(V, V_edges)
 
 
 def rhs_term(basis, triangle_size, net):
@@ -58,7 +41,6 @@ def rhs_term(basis, triangle_size, net):
 
 exact_norm = jnp.sqrt(V.integrate_functional(common.h1_exact).sum())
 
-jump_history, bulk_history = [], []
 
 
 def training_step(net):

@@ -17,7 +17,7 @@ scatter of the solution.
 import os
 import time
 
-import common  # noqa: F401  (configures platform/dtype like the other examples)
+import common  # configures platform/dtype like the other examples
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,18 +33,16 @@ l_form = lambda b: b.v
 def solve_at(h):
     mesh = build_benchmark_network(h=h)
     V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(a_form)
+    b = V.integrate_linear_form(l_form)
     t0 = time.perf_counter()
-    u = V.solve_iterative(
-        V.integrate_bilinear_form_local(a_form),
-        V.integrate_linear_form(l_form),
-        tol=1e-10,
-        precondition="two_level",
-    )
+    u = V.solve_iterative(local, b, tol=1e-10, precondition="two_level")
     u_host = np.asarray(u)  # force sync for honest timing
     dt = time.perf_counter() - t0
     print(
         f"h={h}: {mesh.n_fractures} fractures, {mesh.n_cells} cells, "
-        f"{V.n_dofs} DOFs, solve {dt:.2f}s, max u = {u_host.max():.6f}"
+        f"{V.n_dofs} DOFs, assemble+solve {dt:.2f}s (first call includes "
+        f"jit compile), max u = {u_host.max():.6f}"
     )
     return mesh, V, u
 
@@ -70,7 +68,7 @@ m2 = float(np.asarray(u2).max())
 rel = abs(m1 - m2) / max(abs(m2), 1e-30)
 print(f"max-u change under refinement: {rel:.3e} (expect -> 0 with h)")
 
-if os.environ.get("FEM_SHOW_PLOTS", "0") == "1":
+if common.env_flag("FEM_SHOW_PLOTS"):
     import matplotlib.pyplot as plt
 
     coords3d = np.asarray(mesh["global", "vertices_3d"])

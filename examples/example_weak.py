@@ -5,12 +5,14 @@ framework: the entire training step (quadrature residual assembly + Gram
 preconditioning + double backward) compiles into one jitted step.
 """
 
+import os
+
 import common
 import jax.numpy as jnp
 
 import pytorch_fem_solver_tpu as fem
 
-EPOCHS = int(__import__("os").environ.get("FEM_EPOCHS", 2000))
+EPOCHS = int(os.environ.get("FEM_EPOCHS", 2000))
 
 # ---------------------- Neural network ----------------------
 
