@@ -5,10 +5,18 @@ Port of /root/reference/examples/compare_convergence.py:7-61.
 
 import pathlib
 import pickle
+import sys
 
 import common  # noqa: F401  (configures platform/x64)
 import numpy as np
 
+_here = pathlib.Path(__file__).parent
+for _name in ("H1_norm_converge_FEM.pkl", "H1_norm_converge_NN.pkl"):
+    if not (_here / _name).exists():
+        sys.exit(
+            f"{_name} not found - run example_fractures_fem_convergence.py "
+            "and example_fractures_nn_convergence.py first"
+        )
 with open(pathlib.Path(__file__).parent / "H1_norm_converge_FEM.pkl", "rb") as fh:
     fem_dofs, fem_h1 = pickle.load(fh)
 with open(pathlib.Path(__file__).parent / "H1_norm_converge_NN.pkl", "rb") as fh:

@@ -90,8 +90,11 @@ def test_trace_conformity_across_fractures():
     f1 = [[-1, 0, 0], [1, 0, 0], [1, 1, 0], [-1, 1, 0]]
     f2 = [[0, 0, -1], [0, 0, 1], [0, 1, 1], [0, 1, -1]]
     mesh = build_fracture_network([f1, f2], h=0.2)
-    counts = np.asarray(mesh["global", "ids"])[:, 0]
+    global_ids = np.asarray(mesh["global", "ids"])[:, 0]
+    counts = np.bincount(global_ids)
     trace_ids = np.asarray(mesh["global", "traces_vertices_idx"])[:, 0]
+    # every trace DOF really is shared: >= 2 local copies glued together
+    assert (counts[trace_ids] >= 2).all()
     trace_coords = np.asarray(mesh["global", "vertices_3d"])[trace_ids]
     # all trace vertices on x = z = 0 and within y in [0, 1]
     np.testing.assert_allclose(trace_coords[:, 0], 0.0, atol=1e-9)
@@ -160,6 +163,7 @@ def test_trace_mask_excludes_junction_bridges():
     # known benchmark geometry: trace edges are axis-aligned segments where
     # two of the coordinates are (close to) constants from the plane set.
     planes = {0: [1.0, 3.0], 1: [1.0, 3.0], 2: [-1.0, 0.0, 1.0]}
+    assert tm.any(), "benchmark network must mark trace edges"
     for k in np.nonzero(tm)[0]:
         p0, p1 = ie[k]
         const_axes = [

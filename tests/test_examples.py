@@ -59,7 +59,7 @@ def test_example_runs(name):
     assert "error" in out.lower() or "loss" in out.lower() or "dofs" in out.lower()
 
 
-def test_fracture_vpinn_and_convergence_pipeline(tmp_path):
+def test_fracture_vpinn_and_convergence_pipeline():
     env = {"FEM_LEVELS": "2", "FEM_EPOCHS": "3", "FEM_H": "0.5"}
     run_example("example_fracture_vpinns.py", env)
     # convergence pair + comparison (pickles written into examples/)

@@ -54,10 +54,7 @@ def test_two_sided_traces_of_linear_function():
     np.testing.assert_allclose(grads[..., 1], -0.7, atol=1e-12)
 
     normals = V_edges.mesh["interior_edges", "normals"][..., None, :, :]
-    gp, gm = jnp.unbind(jnp.asarray(grads), axis=-4) if hasattr(jnp, "unbind") else (
-        jnp.asarray(grads)[:, 0],
-        jnp.asarray(grads)[:, 1],
-    )
+    gp, gm = jnp.asarray(grads)[:, 0], jnp.asarray(grads)[:, 1]
     jump = ((gp * normals).sum(-1) + (gm * -normals).sum(-1))
     np.testing.assert_allclose(np.asarray(jump), 0.0, atol=1e-12)
 

@@ -53,7 +53,19 @@ def test_soa_padding_contributes_nothing():
     coords = mesh["cells", "coordinates"]
     soa = coords_to_soa(coords)
     assert soa.shape[1] % 2048 == 0
-    # padded lanes carry scale 0 -> zero stiffness once multiplied by area
-    stiff, load, areas = p1_local_stiffness_load(coords, use_pallas=False)
+    # run the heavily padded input through the ACTUAL pallas kernel
+    # (interpret mode compiles the same kernel body on CPU): padded lanes
+    # carry scale 0 and a unit padding triangle, so the real lanes must be
+    # bit-identical to the unpadded fallback
+    stiff, load, areas = p1_local_stiffness_load(
+        coords, use_pallas=True, interpret=True
+    )
+    stiff_ref, load_ref, areas_ref = p1_local_stiffness_load(
+        coords, use_pallas=False
+    )
     assert stiff.shape[0] == mesh.n_cells
+    np.testing.assert_array_equal(np.asarray(stiff), np.asarray(stiff_ref))
+    np.testing.assert_array_equal(np.asarray(load), np.asarray(load_ref))
+    np.testing.assert_array_equal(np.asarray(areas), np.asarray(areas_ref))
+    assert np.isfinite(np.asarray(stiff)).all()
     assert abs(float(areas.sum()) - 1.0) < 1e-12

@@ -29,9 +29,13 @@ def test_ell_matches_dense_unit_square():
     np.testing.assert_allclose(np.asarray(matvec(x)), A @ np.asarray(x), atol=1e-12)
     np.testing.assert_allclose(np.asarray(diag), np.diag(A), atol=1e-12)
 
-    # structure is cached on the basis (keyed by max_k)
-    assert V._ell_structures
+    # structure is cached on the basis (keyed by max_k): the second call
+    # must REUSE the layout, not rebuild it
+    assert len(V._ell_structures) == 1
+    (cached,) = V._ell_structures.values()
     matvec2, _ = reduced_ell_operator(V, local)
+    assert len(V._ell_structures) == 1
+    assert next(iter(V._ell_structures.values())) is cached
     np.testing.assert_allclose(
         np.asarray(matvec2(x)), np.asarray(matvec(x)), atol=0
     )

@@ -100,7 +100,7 @@ def test_rvpinn_training_reduces_loss_and_error():
     # best-parameter snapshot restores
     best = model.load_optimal_parameters()
     loss_best, _, _ = training_step(best)
-    assert float(loss_best) <= loss_hist[0]
+    assert float(loss_best) <= min(loss_hist) * (1 + 1e-6)
 
 
 def test_early_stopping_and_checkpoint(tmp_path):
