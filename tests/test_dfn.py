@@ -264,3 +264,54 @@ def test_random_network_fuzz():
         )
         u_host = np.asarray(u)
         assert np.isfinite(u_host).all()
+
+
+def test_network_edge_basis_trace_jump_matches_analytic():
+    """Flux jump across the trace via InteriorEdgesNetworkBasis interpolation
+    matches the manufactured solution's analytic jump 2y(1-y), and the
+    deviation shrinks with refinement (O(h))."""
+    import jax.numpy as jnp
+
+    import pytorch_fem_solver_tpu as fem
+    from pytorch_fem_solver_tpu.mesh.dfn import build_fracture_network
+
+    f1 = [[-1, 0, 0], [1, 0, 0], [1, 1, 0], [-1, 1, 0]]
+    f2 = [[0, 0, -1], [0, 0, 1], [0, 1, 1], [0, 1, -1]]
+
+    def rhs(c):
+        x, y, z = c[..., 0:1], c[..., 1:2], c[..., 2:3]
+        return (
+            6.0 * (y - y**2) * jnp.abs(x)
+            - 2.0 * (jnp.abs(x) ** 3 - jnp.abs(x))
+            - 6.0 * (y - y**2) * jnp.abs(z)
+            + 2.0 * (jnp.abs(z) ** 3 - jnp.abs(z))
+        )
+
+    def max_dev(h):
+        mesh = build_fracture_network([f1, f2], h=h)
+        V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 2))
+        u = V.solve_iterative(
+            V.integrate_bilinear_form_local(
+                lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+            ),
+            V.integrate_linear_form(
+                lambda b: rhs(b.integration_points) * b.v
+            ),
+            tol=1e-12,
+        )
+        Ve = fem.InteriorEdgesNetworkBasis(mesh, fem.ElementLine(1, 2))
+        _, grad_e = V.interpolate(Ve, u)
+        n_e = mesh["interior_edges", "normals_3d"][..., None, :, :]
+        jump = (grad_e[:, 0] * n_e).sum(-1) + (grad_e[:, 1] * -n_e).sum(-1)
+        jump = np.asarray(jump)[..., 0, 0]
+        tm = np.asarray(mesh["interior_edges", "trace_mask"])[:, 0].astype(bool)
+        assert tm.any()
+        y_mid = np.asarray(mesh["interior_edges", "coordinates_3d"]).mean(axis=1)[
+            tm, 1
+        ]
+        return np.abs(np.abs(jump[tm]) - 2.0 * y_mid * (1.0 - y_mid)).max()
+
+    dev_coarse = max_dev(0.25)
+    dev_fine = max_dev(0.125)
+    assert dev_coarse < 0.3
+    assert dev_fine < 0.62 * dev_coarse  # O(h) decay with headroom

@@ -100,3 +100,4 @@ def test_jit_through_module(nn, points):
     np.testing.assert_allclose(
         np.asarray(f(nn, points)), np.asarray(nn(points)), atol=1e-15
     )
+
