@@ -120,8 +120,24 @@ def tpu_run_bsr(mesh):
         values = bsr_values_from_local(st, local)
         diag = bsr_diagonal(st, values)
         b_pad = bsr_reduce(st, b)
-        if PRECOND in ("two_level", "smoothed"):
-            if PRECOND == "smoothed":
+        if PRECOND in ("two_level", "smoothed", "three_level", "auto"):
+            if PRECOND == "three_level":
+                # sparse-coarse additive 3-level: the scalable choice once
+                # the dense coarse level would exceed ~4096 unknowns
+                from pytorch_fem_solver_tpu.ops.precondition import (
+                    get_three_level_structure,
+                    three_level_from_values,
+                )
+
+                tl3 = get_three_level_structure(V, st)
+                precond = three_level_from_values(tl3, st, values, diag)
+            elif PRECOND == "auto":
+                from pytorch_fem_solver_tpu.ops.precondition import (
+                    auto_preconditioner,
+                )
+
+                precond = auto_preconditioner(V, st, values, diag)
+            elif PRECOND == "smoothed":
                 # matrix-free smoothed aggregation: fewest iterations, but
                 # two extra SpMVs per iteration — loses to the plain coarse
                 # correction once the SpMV is the dominant cost

@@ -233,12 +233,13 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
             diag = bsr_diagonal(structure, values)
             precond = None
             if precondition == "two_level":
-                # block-Jacobi fine + aggregate coarse correction: one SpMV
-                # per CG iteration (the matrix-free smoothed variant needs
-                # three and loses end-to-end; ops/precondition.py)
-                from ..ops.precondition import block_two_level_from_values
+                # block-Jacobi fine + aggregate coarse correction, one SpMV
+                # per CG iteration; switches to the sparse-coarse 3-level
+                # when the problem outgrows the dense coarse inverse
+                # (ops/precondition.py)
+                from ..ops.precondition import auto_preconditioner
 
-                precond = block_two_level_from_values(structure, values, diag)
+                precond = auto_preconditioner(self, structure, values, diag)
             b_pad = bsr_reduce(structure, vector)
             x, _ = pcg(
                 lambda v: bsr_matvec(structure, values, v),
@@ -422,7 +423,12 @@ def _is_array_leaf(x) -> bool:
 
 
 #: derived solver-layout caches a basis may carry; never part of its pytree
-_CACHE_ATTRS = ("_bsr_structures", "_ell_structures", "_two_level_structure")
+_CACHE_ATTRS = (
+    "_bsr_structures",
+    "_ell_structures",
+    "_two_level_structure",
+    "_three_level_structures",
+)
 
 
 def _is_static_value(x) -> bool:

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from .sparse import ELLStructure, invert_scatter_map
 
 
@@ -215,6 +216,200 @@ def block_two_level_from_values(
         raise ValueError(f"unknown fine smoother: {fine!r}")
     return BlockTwoLevel(
         inv_diag=1.0 / safe, coarse_inv=coarse_inv, g=g, blk_inv=blk_inv
+    )
+
+
+class ThreeLevelStructure(NamedTuple):
+    """Host-built tables for the additive 3-level preconditioner.
+
+    The intermediate coarse matrix A_c = P1^T A P1 (g1-aggregates) is kept
+    *sparse*: aggregate adjacency is ~9-15 entries/row, so assembling it
+    dense (nc1^2 entries per solve) costs more than the iteration savings —
+    measured 1.42 s vs 1.60 s at 437k DOFs despite 224 vs 644 iterations.
+    These tables let the device assemble A_c's unique entries with one
+    compact scatter and gather its g2 x g2 diagonal blocks directly.
+    """
+
+    slot_of_block: jnp.ndarray  # (nb*B,) coarse slot per tier-1 block
+    slot_of_block2: jnp.ndarray  # (nh*B2,) coarse slot per tier-2 block
+    diag_take: jnp.ndarray  # (ncb, g2, g2) coarse slot per mid-diag entry
+    acc_bins: jnp.ndarray  # (S,) bottom-level bin per coarse entry
+    n_slots: int
+    nc1: int
+    nc1p: int
+    ncb: int
+    g1: int
+    g2: int
+
+
+class ThreeLevel(NamedTuple):
+    """M^{-1} = B^{-1} + P1 (B_c^{-1} + P2 A_cc^{-1} P2^T) P1^T.
+
+    Additive three-level hierarchy over contiguous aggregates: block-Jacobi
+    at the fine level (8x8), block-Jacobi at the intermediate level (g2 x g2
+    diagonal blocks of the sparse A_c), dense inverse only at the tiny
+    bottom level (nc1/g2 unknowns). All transfers are reshapes/repeats.
+    Weaker per iteration than the exact two-level (140-176 vs 83 iterations
+    at 107k DOFs) but unboundedly scalable: at 437k DOFs it takes 224
+    iterations where the coarse-capped two-level needs 644.
+    """
+
+    blk_inv: jnp.ndarray  # (nb, k, k) fine diagonal-block inverses
+    mblk_inv: jnp.ndarray  # (ncb, g2, g2) intermediate block inverses
+    acc_inv: jnp.ndarray  # (ncb, ncb) bottom-level dense inverse
+    g1: int
+    g2: int
+    nc1: int
+    nc1p: int
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        k = self.blk_inv.shape[-1]
+        fine = jnp.einsum("rij,rj->ri", self.blk_inv, r.reshape(-1, k))
+        r_c = jnp.pad(
+            r.reshape(-1, self.g1).sum(axis=-1), (0, self.nc1p - self.nc1)
+        )
+        mid = jnp.einsum(
+            "rij,rj->ri", self.mblk_inv, r_c.reshape(-1, self.g2)
+        ).reshape(-1)
+        z_cc = self.acc_inv @ r_c.reshape(-1, self.g2).sum(axis=-1)
+        z_c = (
+            mid + jnp.repeat(z_cc, self.g2, total_repeat_length=self.nc1p)
+        )[: self.nc1]
+        return fine.reshape(-1) + jnp.repeat(
+            z_c, self.g1, total_repeat_length=r.shape[0]
+        )
+
+
+def build_three_level_structure(
+    structure, g1: int = 32, g2: int = 32
+) -> ThreeLevelStructure:
+    """Host-side once-per-basis tables for the sparse-coarse 3-level M."""
+    block = structure.block
+    if g1 % block or structure.n_pad % g1:
+        raise ValueError(
+            f"g1={g1} must be a multiple of block {block} and divide "
+            f"n_pad {structure.n_pad}"
+        )
+    bcols = np.asarray(structure.bcols)
+    nb, B = bcols.shape
+    bpa = g1 // block
+    nc1 = structure.n_pad // g1
+
+    rows_c = np.repeat(np.arange(nb) // bpa, B)
+    pairs1 = rows_c * nc1 + (bcols // bpa).reshape(-1)
+    heavy = np.asarray(structure.heavy_rows)
+    bcols2 = np.asarray(structure.bcols2)
+    if heavy.size:
+        rows2 = np.repeat(heavy // bpa, bcols2.shape[1])
+        pairs2 = rows2 * nc1 + (bcols2 // bpa).reshape(-1)
+    else:
+        pairs2 = np.zeros((0,), dtype=np.int64)
+
+    upairs, inv = np.unique(
+        np.concatenate([pairs1, pairs2]), return_inverse=True
+    )
+    inv = inv.reshape(-1)
+    S = int(upairs.size)
+    ur = upairs // nc1
+    uc = upairs % nc1
+
+    nc1p = -(-nc1 // g2) * g2
+    ncb = nc1p // g2
+    diag_take = np.full((ncb, g2, g2), S, dtype=np.int64)
+    on_diag = (ur // g2) == (uc // g2)
+    diag_take[ur[on_diag] // g2, ur[on_diag] % g2, uc[on_diag] % g2] = (
+        np.nonzero(on_diag)[0]
+    )
+    acc_bins = (ur // g2) * ncb + uc // g2
+
+    i_t = config.index_dtype()
+    return ThreeLevelStructure(
+        slot_of_block=jnp.asarray(inv[: pairs1.size], dtype=i_t),
+        slot_of_block2=jnp.asarray(inv[pairs1.size :], dtype=i_t),
+        diag_take=jnp.asarray(diag_take, dtype=i_t),
+        acc_bins=jnp.asarray(acc_bins, dtype=i_t),
+        n_slots=S,
+        nc1=int(nc1),
+        nc1p=int(nc1p),
+        ncb=int(ncb),
+        g1=int(g1),
+        g2=int(g2),
+    )
+
+
+def get_three_level_structure(
+    basis, structure, g1: int = 32, g2: int = 32
+) -> ThreeLevelStructure:
+    """Cached-per-basis 3-level tables (host-built once per BSR layout)."""
+    cache = getattr(basis, "_three_level_structures", None)
+    if cache is None:
+        cache = {}
+        basis._three_level_structures = cache
+    key = (structure.nb, structure.bcols.shape[1],
+           structure.heavy_rows.shape[0], g1, g2)
+    tl = cache.get(key)
+    if tl is None:
+        tl = build_three_level_structure(structure, g1=g1, g2=g2)
+        cache[key] = tl
+    return tl
+
+
+def auto_preconditioner(basis, structure, values, diag):
+    """Size-appropriate aggregate preconditioner for the BSR operator.
+
+    Measured on the DFN benchmark: the exact two-level wins while the
+    adaptive aggregate stays at g <= 64 (107k DOFs: 0.170 s vs Jacobi;
+    245k: 0.593 s at g=64 vs 0.669 s three-level). Once the dense-coarse
+    cap pushes g to 128+, the two-level degenerates toward Jacobi (644 vs
+    759 iterations at 437k DOFs) and the sparse-coarse additive three-level
+    takes over (223 iterations, 1.39 s vs 1.59 s there).
+    """
+    g = default_aggregate_size(structure)
+    if g <= 64:
+        return block_two_level_from_values(structure, values, diag, g=g)
+    tl = get_three_level_structure(basis, structure)
+    return three_level_from_values(tl, structure, values, diag)
+
+
+def three_level_from_values(tl: ThreeLevelStructure, structure, values, diag):
+    """Jittable numeric setup of the sparse-coarse 3-level preconditioner."""
+    v1, v2 = values
+    block = structure.block
+
+    coarse = jnp.zeros((tl.n_slots + 1,), dtype=v1.dtype)
+    coarse = coarse.at[tl.slot_of_block].add(v1.sum(axis=(-1, -2)).reshape(-1))
+    if structure.heavy_rows.shape[0]:
+        coarse = coarse.at[tl.slot_of_block2].add(
+            v2.sum(axis=(-1, -2)).reshape(-1)
+        )
+    # index n_slots is the padding slot: gathering it yields 0
+    coarse = coarse.at[tl.n_slots].set(0.0)
+
+    mblocks = coarse[tl.diag_take]  # (ncb, g2, g2)
+    zero_d = jnp.diagonal(mblocks, axis1=-2, axis2=-1) == 0
+    mblocks = mblocks + jnp.eye(tl.g2, dtype=mblocks.dtype) * zero_d[:, None, :]
+    mblk_inv = batched_small_inv(mblocks)
+
+    acc = jax.ops.segment_sum(
+        coarse[: tl.n_slots], tl.acc_bins, num_segments=tl.ncb * tl.ncb
+    ).reshape(tl.ncb, tl.ncb)
+    acc = 0.5 * (acc + acc.T)
+    shift = 1e-7 * jnp.maximum(jnp.trace(acc) / tl.ncb, 1.0)
+    acc_inv = jnp.linalg.inv(acc + shift * jnp.eye(tl.ncb, dtype=acc.dtype))
+
+    blk = v1[:, 0]
+    zd = jnp.diagonal(blk, axis1=-2, axis2=-1) == 0
+    blk = blk + jnp.eye(block, dtype=blk.dtype) * zd[:, None, :]
+    blk_inv = batched_small_inv(blk)
+
+    return ThreeLevel(
+        blk_inv=blk_inv,
+        mblk_inv=mblk_inv,
+        acc_inv=acc_inv,
+        g1=tl.g1,
+        g2=tl.g2,
+        nc1=tl.nc1,
+        nc1p=tl.nc1p,
     )
 
 

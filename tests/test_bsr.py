@@ -216,3 +216,69 @@ def test_bsr_argument_validation():
         V.solve_iterative(local, b, precondition="two-level")
     with pytest.raises(NotImplementedError):
         V.solve_iterative(local, b, only_inner_dofs=False)
+
+
+def test_three_level_preconditioner_solves_to_dense():
+    """Sparse-coarse additive 3-level: SPD, converges to the dense answer,
+    and the structure cache is reused (and stays out of the pytree)."""
+    import jax
+
+    from pytorch_fem_solver_tpu.ops.precondition import (
+        get_three_level_structure,
+        three_level_from_values,
+    )
+
+    # large enough that the hierarchy beats Jacobi (102 vs 131 iterations
+    # here; the advantage grows with n — 150 vs 265 at the next refinement)
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**13))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    A = dense_reduced(V)
+    b_full = V.integrate_linear_form(l_form)
+    inner = np.asarray(V._basis_parameters["inner_dofs"])
+    x_dense = np.linalg.solve(A, np.asarray(b_full)[inner, 0])
+
+    st = get_bsr_structure(V)
+    tree0 = jax.tree_util.tree_structure(V)
+    tl = get_three_level_structure(V, st)
+    assert get_three_level_structure(V, st) is tl  # cached
+    assert jax.tree_util.tree_structure(V) == tree0  # cache not in pytree
+
+    values = bsr_values_from_local(st, V.integrate_bilinear_form_local(a_form))
+    diag = bsr_diagonal(st, values)
+    precond = three_level_from_values(tl, st, values, diag)
+    b_pad = bsr_reduce(st, b_full)
+    x_pad, info = pcg(
+        lambda v: bsr_matvec(st, values, v),
+        b_pad,
+        precond=precond,
+        tol=1e-12,
+        maxiter=5000,
+    )
+    assert bool(info.converged)
+    x_full = np.asarray(bsr_expand(st, x_pad, V.n_dofs))[:, 0]
+    np.testing.assert_allclose(x_full[inner], x_dense, atol=1e-9)
+
+    # three-level cuts iterations vs plain Jacobi on this size too
+    _, info_j = pcg(
+        lambda v: bsr_matvec(st, values, v),
+        b_pad,
+        precond_diag=diag,
+        tol=1e-12,
+        maxiter=5000,
+    )
+    assert int(info.iterations) < int(info_j.iterations)
+
+
+def test_auto_preconditioner_picks_two_level_when_small():
+    from pytorch_fem_solver_tpu.ops.precondition import (
+        BlockTwoLevel,
+        auto_preconditioner,
+    )
+
+    mesh = fem.MeshTri(fem.unit_square(n=9))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    st = get_bsr_structure(V)
+    values = bsr_values_from_local(st, V.integrate_bilinear_form_local(a_form))
+    diag = bsr_diagonal(st, values)
+    pre = auto_preconditioner(V, st, values, diag)
+    assert isinstance(pre, BlockTwoLevel)
