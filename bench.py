@@ -30,6 +30,9 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 MAX_K = int(os.environ.get("BENCH_MAX_K", "8"))
 MAX_B = int(os.environ.get("BENCH_MAX_B", "8"))  # tier-1 block cap (bsr format)
 PRECOND = os.environ.get("BENCH_PRECOND", "two_level")  # two_level | jacobi
+# storage dtype of the preconditioner's dense operands: bf16 halves the
+# coarse-matvec HBM traffic at identical iteration counts (bf16 | f32)
+PRECOND_DTYPE = os.environ.get("BENCH_PRECOND_DTYPE", "bf16")
 FORMAT = os.environ.get("BENCH_FORMAT", "bsr")  # bsr | ell
 OMEGA = float(os.environ.get("BENCH_OMEGA", "0.8"))
 AGG = int(os.environ.get("BENCH_AGG", "0")) or None  # None = adaptive
@@ -113,6 +116,8 @@ def tpu_run_bsr(mesh):
     def l_form(basis):
         return basis.v
 
+    operand_dtype = jnp.bfloat16 if PRECOND_DTYPE == "bf16" else None
+
     @jax.jit
     def assemble_and_solve():
         local = V.integrate_bilinear_form_local(a_form)
@@ -130,13 +135,17 @@ def tpu_run_bsr(mesh):
                 )
 
                 tl3 = get_three_level_structure(V, st)
-                precond = three_level_from_values(tl3, st, values, diag)
+                precond = three_level_from_values(
+                    tl3, st, values, diag, operand_dtype=operand_dtype
+                )
             elif PRECOND == "auto":
                 from pytorch_fem_solver_tpu.ops.precondition import (
                     auto_preconditioner,
                 )
 
-                precond = auto_preconditioner(V, st, values, diag)
+                precond = auto_preconditioner(
+                    V, st, values, diag, operand_dtype=operand_dtype
+                )
             elif PRECOND == "smoothed":
                 # matrix-free smoothed aggregation: fewest iterations, but
                 # two extra SpMVs per iteration — loses to the plain coarse
@@ -146,7 +155,9 @@ def tpu_run_bsr(mesh):
                 )
             else:
                 # block-Jacobi fine + aggregate coarse: 1 SpMV/iteration
-                precond = block_two_level_from_values(st, values, diag, g=AGG)
+                precond = block_two_level_from_values(
+                    st, values, diag, g=AGG, operand_dtype=operand_dtype
+                )
             x, info = pcg(
                 lambda v: bsr_matvec(st, values, v),
                 b_pad,

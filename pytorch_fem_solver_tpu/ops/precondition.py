@@ -30,6 +30,23 @@ from .. import config
 from .sparse import ELLStructure, invert_scatter_map
 
 
+def _mixed_matvec(eq, mat, vec, out_dtype):
+    """einsum that tolerates reduced-precision (bf16) dense operands.
+
+    The preconditioner only shapes the CG search directions — it never
+    touches the converged answer — so its dense operands can be stored in
+    bf16 (halving the HBM traffic of the coarse matvec, the dominant apply
+    cost at ~100k DOFs) with the accumulation kept in the residual dtype.
+    Measured: identical iteration counts, 1714 -> 1588 us/iteration on the
+    107k-DOF DFN benchmark.
+    """
+    if mat.dtype == vec.dtype:
+        return jnp.einsum(eq, mat, vec)
+    return jnp.einsum(
+        eq, mat, vec.astype(mat.dtype), preferred_element_type=out_dtype
+    )
+
+
 class TwoLevelPreconditioner(NamedTuple):
     inv_diag: jnp.ndarray  # (n,)
     coarse_inv: jnp.ndarray  # (nb, nb) dense inverse of R^T A R
@@ -98,13 +115,13 @@ class BlockTwoLevel(NamedTuple):
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         if self.blk_inv is not None:
             k = self.blk_inv.shape[-1]
-            fine = jnp.einsum(
-                "rij,rj->ri", self.blk_inv, r.reshape(-1, k)
+            fine = _mixed_matvec(
+                "rij,rj->ri", self.blk_inv, r.reshape(-1, k), r.dtype
             ).reshape(-1)
         else:
             fine = self.inv_diag * r
         r_c = r.reshape(-1, self.g).sum(axis=-1)
-        z_c = self.coarse_inv @ r_c
+        z_c = _mixed_matvec("ij,j->i", self.coarse_inv, r_c, r.dtype)
         z = jnp.repeat(z_c, self.g, total_repeat_length=r.shape[0])
         return fine + z
 
@@ -147,7 +164,12 @@ def default_aggregate_size(structure, max_coarse: int = 4096) -> int:
 
 
 def block_two_level_from_values(
-    structure, values, diag, g: int | None = None, fine: str = "block_jacobi"
+    structure,
+    values,
+    diag,
+    g: int | None = None,
+    fine: str = "block_jacobi",
+    operand_dtype=None,
 ):
     """Jittable numeric setup of the block two-level preconditioner.
 
@@ -168,6 +190,10 @@ def block_two_level_from_values(
         strictly stronger smoother than point Jacobi (~12% fewer CG
         iterations on the DFN benchmark) whose apply is one batched 8x8
         matvec, still zero gathers; "jacobi" uses the point diagonal.
+      operand_dtype: storage dtype for the dense apply operands (coarse
+        inverse + block inverses); ``jnp.bfloat16`` halves the coarse
+        matvec's HBM traffic at unchanged iteration counts (see
+        ``_mixed_matvec``). None keeps the values dtype.
     """
     block = structure.block
     if g is None:
@@ -214,6 +240,10 @@ def block_two_level_from_values(
         blk_inv = batched_small_inv(blk)
     elif fine != "jacobi":
         raise ValueError(f"unknown fine smoother: {fine!r}")
+    if operand_dtype is not None:
+        coarse_inv = coarse_inv.astype(operand_dtype)
+        if blk_inv is not None:
+            blk_inv = blk_inv.astype(operand_dtype)
     return BlockTwoLevel(
         inv_diag=1.0 / safe, coarse_inv=coarse_inv, g=g, blk_inv=blk_inv
     )
@@ -264,14 +294,16 @@ class ThreeLevel(NamedTuple):
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         k = self.blk_inv.shape[-1]
-        fine = jnp.einsum("rij,rj->ri", self.blk_inv, r.reshape(-1, k))
+        fine = _mixed_matvec("rij,rj->ri", self.blk_inv, r.reshape(-1, k), r.dtype)
         r_c = jnp.pad(
             r.reshape(-1, self.g1).sum(axis=-1), (0, self.nc1p - self.nc1)
         )
-        mid = jnp.einsum(
-            "rij,rj->ri", self.mblk_inv, r_c.reshape(-1, self.g2)
+        mid = _mixed_matvec(
+            "rij,rj->ri", self.mblk_inv, r_c.reshape(-1, self.g2), r.dtype
         ).reshape(-1)
-        z_cc = self.acc_inv @ r_c.reshape(-1, self.g2).sum(axis=-1)
+        z_cc = _mixed_matvec(
+            "ij,j->i", self.acc_inv, r_c.reshape(-1, self.g2).sum(axis=-1), r.dtype
+        )
         z_c = (
             mid + jnp.repeat(z_cc, self.g2, total_repeat_length=self.nc1p)
         )[: self.nc1]
@@ -354,7 +386,7 @@ def get_three_level_structure(
     return tl
 
 
-def auto_preconditioner(basis, structure, values, diag):
+def auto_preconditioner(basis, structure, values, diag, operand_dtype=None):
     """Size-appropriate aggregate preconditioner for the BSR operator.
 
     Measured on the DFN benchmark: the exact two-level wins while the
@@ -366,13 +398,24 @@ def auto_preconditioner(basis, structure, values, diag):
     """
     g = default_aggregate_size(structure)
     if g <= 64:
-        return block_two_level_from_values(structure, values, diag, g=g)
+        return block_two_level_from_values(
+            structure, values, diag, g=g, operand_dtype=operand_dtype
+        )
     tl = get_three_level_structure(basis, structure)
-    return three_level_from_values(tl, structure, values, diag)
+    return three_level_from_values(
+        tl, structure, values, diag, operand_dtype=operand_dtype
+    )
 
 
-def three_level_from_values(tl: ThreeLevelStructure, structure, values, diag):
-    """Jittable numeric setup of the sparse-coarse 3-level preconditioner."""
+def three_level_from_values(
+    tl: ThreeLevelStructure, structure, values, diag, operand_dtype=None
+):
+    """Jittable numeric setup of the sparse-coarse 3-level preconditioner.
+
+    ``operand_dtype=jnp.bfloat16`` stores the three dense apply operands
+    (fine/mid block inverses, bottom dense inverse) reduced-precision; see
+    ``_mixed_matvec``.
+    """
     v1, v2 = values
     block = structure.block
 
@@ -402,6 +445,10 @@ def three_level_from_values(tl: ThreeLevelStructure, structure, values, diag):
     blk = blk + jnp.eye(block, dtype=blk.dtype) * zd[:, None, :]
     blk_inv = batched_small_inv(blk)
 
+    if operand_dtype is not None:
+        blk_inv = blk_inv.astype(operand_dtype)
+        mblk_inv = mblk_inv.astype(operand_dtype)
+        acc_inv = acc_inv.astype(operand_dtype)
     return ThreeLevel(
         blk_inv=blk_inv,
         mblk_inv=mblk_inv,
@@ -411,6 +458,68 @@ def three_level_from_values(tl: ThreeLevelStructure, structure, values, diag):
         nc1=tl.nc1,
         nc1p=tl.nc1p,
     )
+
+
+def mult_two_level_from_values(
+    structure,
+    values,
+    diag,
+    g: int | None = None,
+    omega: float = 1.0,
+    operand_dtype=None,
+    inner_dtype=None,
+):
+    """Symmetrized multiplicative (V(1,1)) block two-level preconditioner.
+
+    z = S r;  z += P0 A_c^{-1} P0^T (r - A z);  z += S (r - A z)
+
+    with S = omega * blockdiag(A)^{-1} (8x8 block-Jacobi) and the same
+    reshape-only aggregate coarse space as ``BlockTwoLevel``. The cycling
+    *multiplies* the two error propagators instead of adding the
+    corrections: measured 41 vs 82 PCG iterations on the 107k-DOF DFN
+    benchmark, for 2 extra SpMVs per apply — 120 vs 130 ms end-to-end, and
+    the gap grows with problem size (the additive coarse level saturates).
+
+    The two inner SpMVs only shape the preconditioner, so they may run
+    against a reduced-precision copy of the operator: ``inner_dtype=
+    jnp.bfloat16`` stores one (halving those SpMVs' streamed bytes); the
+    PCG matvec itself stays exact. ``operand_dtype`` reduces the dense
+    apply operands as in ``block_two_level_from_values``.
+
+    Returns a closure (not a pytree); build it inside the jitted program
+    like the other ``*_from_values`` setups.
+    """
+    from .bsr import bsr_matvec
+
+    base = block_two_level_from_values(
+        structure, values, diag, g=g, operand_dtype=operand_dtype
+    )
+    blk_inv = base.blk_inv
+    if omega != 1.0:
+        # scale in the assembly dtype, store back in the operand dtype
+        blk_inv = (omega * blk_inv.astype(values[0].dtype)).astype(blk_inv.dtype)
+    inner_values = values
+    if inner_dtype is not None:
+        inner_values = tuple(v.astype(inner_dtype) for v in values)
+
+    def smooth(r):
+        k = blk_inv.shape[-1]
+        return _mixed_matvec(
+            "rij,rj->ri", blk_inv, r.reshape(-1, k), r.dtype
+        ).reshape(-1)
+
+    def coarse(r):
+        r_c = r.reshape(-1, base.g).sum(axis=-1)
+        z_c = _mixed_matvec("ij,j->i", base.coarse_inv, r_c, r.dtype)
+        return jnp.repeat(z_c, base.g, total_repeat_length=r.shape[0])
+
+    def apply(r):
+        z = smooth(r)
+        z = z + coarse(r - bsr_matvec(structure, inner_values, z))
+        z = z + smooth(r - bsr_matvec(structure, inner_values, z))
+        return z
+
+    return apply
 
 
 def smoothed_two_level_matrix_free(

@@ -282,3 +282,134 @@ def test_auto_preconditioner_picks_two_level_when_small():
     diag = bsr_diagonal(st, values)
     pre = auto_preconditioner(V, st, values, diag)
     assert isinstance(pre, BlockTwoLevel)
+
+
+def test_bf16_operand_preconditioner_same_solution():
+    """bf16-stored dense operands (coarse inverse, block inverses) change
+    only the search directions: PCG still converges to the exact answer.
+
+    Measured on the TPU benchmark (107k DOFs): identical iteration counts,
+    1714 -> 1588 us/iteration (the coarse matvec streams half the bytes).
+    """
+    import jax.numpy as jnp
+
+    from pytorch_fem_solver_tpu.ops.precondition import (
+        get_three_level_structure,
+        three_level_from_values,
+    )
+
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**11))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    A = dense_reduced(V)
+    b_full = V.integrate_linear_form(l_form)
+    inner = np.asarray(V._basis_parameters["inner_dofs"])
+    x_dense = np.linalg.solve(A, np.asarray(b_full)[inner, 0])
+
+    st = get_bsr_structure(V)
+    values = bsr_values_from_local(st, V.integrate_bilinear_form_local(a_form))
+    diag = bsr_diagonal(st, values)
+    b_pad = bsr_reduce(st, b_full)
+    matvec = lambda v: bsr_matvec(st, values, v)
+
+    two = block_two_level_from_values(
+        st, values, diag, g=32, operand_dtype=jnp.bfloat16
+    )
+    assert two.coarse_inv.dtype == jnp.bfloat16
+    x_pad, info = pcg(matvec, b_pad, precond=two, tol=1e-11, maxiter=5000)
+    assert bool(info.converged)
+    x_full = np.asarray(bsr_expand(st, x_pad, V.n_dofs))[:, 0]
+    np.testing.assert_allclose(x_full[inner], x_dense, atol=1e-8)
+
+    three_struct = get_three_level_structure(V, st)
+    three = three_level_from_values(
+        three_struct, st, values, diag, operand_dtype=jnp.bfloat16
+    )
+    assert three.acc_inv.dtype == jnp.bfloat16
+    x_pad, info = pcg(matvec, b_pad, precond=three, tol=1e-11, maxiter=5000)
+    assert bool(info.converged)
+    x_full = np.asarray(bsr_expand(st, x_pad, V.n_dofs))[:, 0]
+    np.testing.assert_allclose(x_full[inner], x_dense, atol=1e-8)
+
+
+def test_mult_two_level_symmetric_and_matches_dense():
+    """Symmetrized multiplicative two-level: M is symmetric (required for
+    PCG), converges to the dense answer, and needs fewer iterations than
+    the additive combination of the same two levels."""
+    from pytorch_fem_solver_tpu.ops.precondition import (
+        mult_two_level_from_values,
+    )
+
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**11))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    A = dense_reduced(V)
+    b_full = V.integrate_linear_form(l_form)
+    inner = np.asarray(V._basis_parameters["inner_dofs"])
+    x_dense = np.linalg.solve(A, np.asarray(b_full)[inner, 0])
+
+    st = get_bsr_structure(V)
+    values = bsr_values_from_local(st, V.integrate_bilinear_form_local(a_form))
+    diag = bsr_diagonal(st, values)
+    b_pad = bsr_reduce(st, b_full)
+    matvec = lambda v: bsr_matvec(st, values, v)
+
+    M = mult_two_level_from_values(st, values, diag, g=32)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=st.n_pad))
+    w = jnp.asarray(rng.normal(size=st.n_pad))
+    lhs = float(jnp.dot(u, M(w)))
+    rhs = float(jnp.dot(w, M(u)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+    # SPD on a few random directions
+    for seed in range(3):
+        v = jnp.asarray(np.random.default_rng(seed).normal(size=st.n_pad))
+        assert float(jnp.dot(v, M(v))) > 0.0
+
+    x_pad, info = pcg(matvec, b_pad, precond=M, tol=1e-11, maxiter=3000)
+    assert bool(info.converged)
+    x_full = np.asarray(bsr_expand(st, x_pad, V.n_dofs))[:, 0]
+    np.testing.assert_allclose(x_full[inner], x_dense, atol=1e-8)
+
+    add = block_two_level_from_values(st, values, diag, g=32)
+    _, info_add = pcg(matvec, b_pad, precond=add, tol=1e-11, maxiter=3000)
+    assert int(info.iterations) < int(info_add.iterations)
+
+
+def test_mult_two_level_bf16_inner_operator_converges():
+    """bf16 inner-operator copy + bf16 dense operands still converge to the
+    exact solution (the PCG matvec stays f32/f64-exact)."""
+    import jax.numpy as jnp
+
+    from pytorch_fem_solver_tpu.ops.precondition import (
+        mult_two_level_from_values,
+    )
+
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**10))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    A = dense_reduced(V)
+    b_full = V.integrate_linear_form(l_form)
+    inner = np.asarray(V._basis_parameters["inner_dofs"])
+    x_dense = np.linalg.solve(A, np.asarray(b_full)[inner, 0])
+
+    st = get_bsr_structure(V)
+    values = bsr_values_from_local(st, V.integrate_bilinear_form_local(a_form))
+    diag = bsr_diagonal(st, values)
+    b_pad = bsr_reduce(st, b_full)
+
+    M = mult_two_level_from_values(
+        st,
+        values,
+        diag,
+        g=32,
+        operand_dtype=jnp.bfloat16,
+        inner_dtype=jnp.bfloat16,
+    )
+    x_pad, info = pcg(
+        lambda v: bsr_matvec(st, values, v),
+        b_pad,
+        precond=M,
+        tol=1e-10,
+        maxiter=3000,
+    )
+    assert bool(info.converged)
+    x_full = np.asarray(bsr_expand(st, x_pad, V.n_dofs))[:, 0]
+    np.testing.assert_allclose(x_full[inner], x_dense, atol=1e-7)
