@@ -29,7 +29,8 @@ TOL = float(os.environ.get("BENCH_TOL", "1e-6"))  # relative residual target
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 MAX_K = int(os.environ.get("BENCH_MAX_K", "8"))
 MAX_B = int(os.environ.get("BENCH_MAX_B", "8"))  # tier-1 block cap (bsr format)
-PRECOND = os.environ.get("BENCH_PRECOND", "two_level")  # two_level | jacobi
+PRECOND = os.environ.get("BENCH_PRECOND", "two_level")
+# two_level | mult | three_level | auto | smoothed | jacobi
 # storage dtype of the preconditioner's dense operands: bf16 halves the
 # coarse-matvec HBM traffic at identical iteration counts (bf16 | f32)
 PRECOND_DTYPE = os.environ.get("BENCH_PRECOND_DTYPE", "bf16")
@@ -92,7 +93,7 @@ def tpu_run_bsr(mesh):
         bsr_diagonal,
         bsr_matvec,
         bsr_reduce,
-        bsr_values_from_local,
+        bsr_values_from_local_symmetric,
         get_bsr_structure,
     )
     from pytorch_fem_solver_tpu.ops.precondition import (
@@ -122,11 +123,29 @@ def tpu_run_bsr(mesh):
     def assemble_and_solve():
         local = V.integrate_bilinear_form_local(a_form)
         b = V.integrate_linear_form(l_form)
-        values = bsr_values_from_local(st, local)
+        # the stiffness form is symmetric: canonical-pair assembly scatters
+        # 6 entries per element instead of 9 (scatters charge per element)
+        values = bsr_values_from_local_symmetric(st, local)
         diag = bsr_diagonal(st, values)
         b_pad = bsr_reduce(st, b)
-        if PRECOND in ("two_level", "smoothed", "three_level", "auto"):
-            if PRECOND == "three_level":
+        if PRECOND in ("two_level", "smoothed", "three_level", "auto", "mult"):
+            if PRECOND == "mult":
+                # symmetrized multiplicative V(1,1) cycle: half the
+                # iterations of the additive combination for 2 extra
+                # (optionally bf16) SpMVs per apply
+                from pytorch_fem_solver_tpu.ops.precondition import (
+                    mult_two_level_from_values,
+                )
+
+                precond = mult_two_level_from_values(
+                    st,
+                    values,
+                    diag,
+                    g=AGG,
+                    operand_dtype=operand_dtype,
+                    inner_dtype=operand_dtype,
+                )
+            elif PRECOND == "three_level":
                 # sparse-coarse additive 3-level: the scalable choice once
                 # the dense coarse level would exceed ~4096 unknowns
                 from pytorch_fem_solver_tpu.ops.precondition import (

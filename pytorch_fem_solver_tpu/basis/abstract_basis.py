@@ -191,6 +191,7 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         only_inner_dofs: bool = True,
         method: str = "bsr",
         precondition: str = "jacobi",
+        symmetric_form: bool = False,
     ) -> jnp.ndarray:
         """Matrix-free preconditioned CG on the reduced system.
 
@@ -201,8 +202,12 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         hybrid-ELL operator (also the row-sharded multi-chip layout);
         ``method="segment"`` keeps the per-cell gather/matvec/segment-sum
         operator (shard_map-friendly). Structures are cached on the basis.
-        ``precondition="two_level"`` adds the smoothed-aggregation coarse
-        correction — worthwhile for large systems.
+        ``precondition="two_level"`` adds the aggregate coarse correction —
+        worthwhile for large systems; ``"mult_two_level"`` cycles the same
+        two levels multiplicatively (fewest iterations, 3 SpMVs/iteration).
+        ``symmetric_form=True`` asserts the local matrices are symmetric,
+        enabling the canonical-pair assembly (1/3 fewer scattered entries
+        on the BSR path; wrong results for non-symmetric forms).
         """
         from ..ops.solvers import pcg
 
@@ -214,10 +219,10 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                 raise NotImplementedError(
                     "method='bsr' solves the reduced (interior-DOF) system"
                 )
-            if precondition not in ("two_level", "jacobi"):
+            if precondition not in ("two_level", "mult_two_level", "jacobi"):
                 raise ValueError(
-                    f"unknown precondition: {precondition!r} "
-                    "(expected 'two_level' or 'jacobi')"
+                    f"unknown precondition: {precondition!r} (expected "
+                    "'two_level', 'mult_two_level' or 'jacobi')"
                 )
             from ..ops.bsr import (
                 bsr_diagonal,
@@ -225,11 +230,17 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                 bsr_matvec,
                 bsr_reduce,
                 bsr_values_from_local,
+                bsr_values_from_local_symmetric,
                 get_bsr_structure,
             )
 
             structure = get_bsr_structure(self, max_b=8)
-            values = bsr_values_from_local(structure, local_matrices)
+            if symmetric_form:
+                values = bsr_values_from_local_symmetric(
+                    structure, local_matrices
+                )
+            else:
+                values = bsr_values_from_local(structure, local_matrices)
             diag = bsr_diagonal(structure, values)
             precond = None
             if precondition == "two_level":
@@ -240,6 +251,13 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                 from ..ops.precondition import auto_preconditioner
 
                 precond = auto_preconditioner(self, structure, values, diag)
+            elif precondition == "mult_two_level":
+                # symmetrized multiplicative V(1,1) cycle: ~half the
+                # iterations of the additive two-level for 2 extra SpMVs
+                # per apply (ops/precondition.py)
+                from ..ops.precondition import mult_two_level_from_values
+
+                precond = mult_two_level_from_values(structure, values, diag)
             b_pad = bsr_reduce(structure, vector)
             x, _ = pcg(
                 lambda v: bsr_matvec(structure, values, v),

@@ -64,6 +64,9 @@ class BSRStructure(NamedTuple):
     n_values: int  # total value slots: (nb * B + nh * B2) * block^2
     bcols2: jnp.ndarray  # (nh, B2) spilled block-column ids (nh = 0: no tier)
     heavy_rows: jnp.ndarray  # (nh,) block-rows owning the spilled blocks
+    entry_slot_sym: jnp.ndarray = None  # (T*n_loc*(n_loc+1)/2,) canonical-
+    #   pair slots for symmetric assembly (drop slot on Dirichlet entries)
+    tpartner: jnp.ndarray = None  # (S_blocks,) mirror block id per block
 
 
 def spatial_order(coords: np.ndarray, group: int = 32) -> np.ndarray:
@@ -192,18 +195,18 @@ def build_bsr_structure(
     bcols2 = np.zeros((nh, B2), dtype=np.int64)
     bcols2[heavy_rank[ubr[~tier1]], b_of[~tier1] - B] = ubc[~tier1]
 
+    # flat block id per unique pair: tier-1 ids first, tier-2 past them
+    n_values1 = nb * B * block * block
+    blk_id = np.where(
+        b_of < B,
+        ubr * B + b_of,
+        nb * B + heavy_rank[ubr] * B2 + (b_of - B),
+    )
+
     # slot of every kept element entry: block pair -> tier + b index, then
     # the in-block position; tier-2 slots live past the tier-1 block
-    n_values1 = nb * B * block * block
-    b_idx = b_of[pair_rank_all]
     in_block = (rows_k % block) * block + (cols_k % block)
-    slots = np.where(
-        b_idx < B,
-        (brow * B + b_idx) * (block * block) + in_block,
-        n_values1
-        + (heavy_rank[brow] * B2 + (b_idx - B)) * (block * block)
-        + in_block,
-    )
+    slots = blk_id[pair_rank_all] * (block * block) + in_block
 
     n_values = int(n_values1 + nh * B2 * block * block)
     # slot per ORIGINAL flat entry position; boundary-touching entries point
@@ -212,6 +215,33 @@ def build_bsr_structure(
     # (measured: unsorted scatter-add 20 ms vs gather+sorted scatter 30 ms)
     entry_slot = np.full(rows.size, n_values, dtype=np.int64)
     entry_slot[keep] = slots
+
+    # --- symmetric-assembly tables ------------------------------------
+    # For symmetric local matrices only the n_loc*(n_loc+1)/2 unordered DOF
+    # pairs need scattering (scatters are charged per element: 9 -> 6
+    # entries per P1 triangle is a 1/3 cut of the dominant assembly cost);
+    # the mirror blocks are completed on device by one block-row gather +
+    # in-block transpose (``bsr_values_from_local_symmetric``).
+    iu, ju = np.triu_indices(n_loc)
+    g_i = new_id[dofs[:, iu].reshape(-1)]
+    g_j = new_id[dofs[:, ju].reshape(-1)]
+    keep_s = (g_i >= 0) & (g_j >= 0)
+    grow_s = np.minimum(g_i, g_j)[keep_s]
+    gcol_s = np.maximum(g_i, g_j)[keep_s]
+    key_s = (grow_s // block) * nb + gcol_s // block
+    rank_s = np.searchsorted(bkeys, key_s)  # canonical pair always present
+    slots_s = blk_id[rank_s] * (block * block) + (
+        (grow_s % block) * block + (gcol_s % block)
+    )
+    entry_slot_sym = np.full(g_i.size, n_values, dtype=np.int64)
+    entry_slot_sym[keep_s] = slots_s
+
+    # block-transpose partner: mirror (cb, rb) of every stored block (self
+    # for diagonals); padding slots stay self-paired so they remain zero
+    trank = np.searchsorted(bkeys, ubc * nb + ubr)
+    S_blocks = nb * B + nh * B2
+    tpartner = np.arange(S_blocks, dtype=np.int64)
+    tpartner[blk_id] = blk_id[trank]
 
     i_t = config.index_dtype()
     return BSRStructure(
@@ -226,6 +256,8 @@ def build_bsr_structure(
         n_values=n_values,
         bcols2=jnp.asarray(bcols2, dtype=i_t),
         heavy_rows=jnp.asarray(heavy_rows, dtype=i_t),
+        entry_slot_sym=jnp.asarray(entry_slot_sym, dtype=i_t),
+        tpartner=jnp.asarray(tpartner, dtype=i_t),
     )
 
 
@@ -251,6 +283,46 @@ def bsr_values_from_local(structure: BSRStructure, local_matrices):
         values[:split].reshape(nb, B, k, k),
         values[split:].reshape(nh, B2, k, k),
     )
+
+
+def bsr_values_from_local_symmetric(structure: BSRStructure, local_matrices):
+    """Assemble *symmetric* element matrices with 1/3 fewer scattered entries.
+
+    Scatters one value per unordered local DOF pair (n_loc*(n_loc+1)/2 per
+    element instead of n_loc^2) into the canonical (row-block <= col-block)
+    slot, then completes every mirror block on device:
+
+        V = L + transpose_in_block(L[tpartner])
+
+    followed by halving the doubled scalar diagonal of the diagonal blocks.
+    The completion is one block-row gather (64-wide rows, charged per
+    descriptor) — far cheaper than the T*n_loc^2/3 scatter elements it
+    replaces (measured 22.3 -> ~15 ms at 107k DOFs). Only valid when
+    ``local_matrices`` are symmetric (e.g. stiffness/mass forms); use
+    ``bsr_values_from_local`` for general bilinear forms.
+    """
+    n_loc = local_matrices.shape[-1]
+    iu, ju = np.triu_indices(n_loc)
+    local_sym = jnp.stack(
+        [local_matrices[..., i, j] for i, j in zip(iu, ju)], axis=-1
+    ).reshape(-1)
+    values = (
+        jnp.zeros((structure.n_values,), dtype=local_sym.dtype)
+        .at[structure.entry_slot_sym]
+        .add(local_sym, mode="drop")
+    )
+    k = structure.block
+    nb, B = structure.bcols.shape
+    nh, B2 = structure.bcols2.shape
+    blocks = values.reshape(-1, k, k)
+    full = blocks + jnp.matrix_transpose(blocks[structure.tpartner])
+    v1 = full[: nb * B].reshape(nb, B, k, k)
+    # canonical scatter placed each diagonal scalar once; the self-partnered
+    # transpose doubled it
+    half_diag = 1.0 - 0.5 * jnp.eye(k, dtype=local_sym.dtype)
+    v1 = v1.at[:, 0].multiply(half_diag)
+    v2 = full[nb * B :].reshape(nh, B2, k, k)
+    return v1, v2
 
 
 def bsr_matvec(structure: BSRStructure, values, x):

@@ -413,3 +413,57 @@ def test_mult_two_level_bf16_inner_operator_converges():
     assert bool(info.converged)
     x_full = np.asarray(bsr_expand(st, x_pad, V.n_dofs))[:, 0]
     np.testing.assert_allclose(x_full[inner], x_dense, atol=1e-7)
+
+
+def test_solve_iterative_mult_two_level_matches_dense():
+    """Public-API route to the multiplicative cycle gives the dense answer."""
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**9))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(a_form)
+    b = V.integrate_linear_form(l_form)
+    u_dense = V.solve(V.integrate_bilinear_form(a_form), V.solution_tensor(), b)
+    u_mult = V.solve_iterative(local, b, tol=1e-12, precondition="mult_two_level")
+    np.testing.assert_allclose(
+        np.asarray(u_mult), np.asarray(u_dense), atol=1e-10
+    )
+
+
+def test_symmetric_assembly_matches_full():
+    """Canonical-pair assembly + mirror completion equals the full scatter
+    for symmetric forms, on both plain and hybrid (spill-tier) layouts."""
+    from pytorch_fem_solver_tpu.ops.bsr import bsr_values_from_local_symmetric
+
+    f1 = [[-1, 0, 0], [1, 0, 0], [1, 1, 0], [-1, 1, 0]]
+    f2 = [[0, 0, -1], [0, 0, 1], [0, 1, 1], [0, 1, -1]]
+    from pytorch_fem_solver_tpu.mesh.dfn import build_fracture_network
+
+    cases = [
+        (fem.Basis(fem.MeshTri(fem.unit_square(n=9)), fem.ElementTri(1, 2)), None),
+        (
+            fem.FractureNetworkBasis(
+                build_fracture_network([f1, f2], h=0.2), fem.ElementTri(1, 2)
+            ),
+            3,
+        ),
+        (
+            fem.Basis(fem.MeshTri(fem.unit_square(n=6)), fem.ElementTri(2, 3)),
+            None,
+        ),  # P2: 21 of 36 entries per element
+    ]
+    for V, max_b in cases:
+        st = get_bsr_structure(V, max_b=max_b)
+        local = V.integrate_bilinear_form_local(a_form)
+        v1, v2 = bsr_values_from_local(st, local)
+        s1, s2 = bsr_values_from_local_symmetric(st, local)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(v1), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(v2), atol=1e-12)
+
+
+def test_solve_iterative_symmetric_form_matches():
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**8))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(a_form)
+    b = V.integrate_linear_form(l_form)
+    u_full = V.solve_iterative(local, b, tol=1e-12)
+    u_sym = V.solve_iterative(local, b, tol=1e-12, symmetric_form=True)
+    np.testing.assert_allclose(np.asarray(u_sym), np.asarray(u_full), atol=1e-10)
