@@ -31,9 +31,11 @@ MAX_K = int(os.environ.get("BENCH_MAX_K", "8"))
 MAX_B = int(os.environ.get("BENCH_MAX_B", "8"))  # tier-1 block cap (bsr format)
 PRECOND = os.environ.get("BENCH_PRECOND", "two_level")
 # two_level | mult | three_level | auto | smoothed | jacobi
-# storage dtype of the preconditioner's dense operands: bf16 halves the
-# coarse-matvec HBM traffic at identical iteration counts (bf16 | f32)
-PRECOND_DTYPE = os.environ.get("BENCH_PRECOND_DTYPE", "bf16")
+# storage dtype of the preconditioner's dense operands (f32 | bf16): bf16
+# halves the coarse-matvec HBM traffic at identical iterations on the 107k
+# problem, but collapses the cycle at h=0.02 (147 -> 464 iterations) — the
+# coarse correction's accuracy floor must track 1/cond(A). f32 default.
+PRECOND_DTYPE = os.environ.get("BENCH_PRECOND_DTYPE", "f32")
 FORMAT = os.environ.get("BENCH_FORMAT", "bsr")  # bsr | ell
 OMEGA = float(os.environ.get("BENCH_OMEGA", "0.8"))
 AGG = int(os.environ.get("BENCH_AGG", "0")) or None  # None = adaptive
@@ -128,7 +130,7 @@ def tpu_run_bsr(mesh):
         values = bsr_values_from_local_symmetric(st, local)
         diag = bsr_diagonal(st, values)
         b_pad = bsr_reduce(st, b)
-        if PRECOND in ("two_level", "smoothed", "three_level", "auto", "mult"):
+        if PRECOND in ("two_level", "smoothed", "three_level", "auto", "mult", "mult3"):
             if PRECOND == "mult":
                 # symmetrized multiplicative V(1,1) cycle: half the
                 # iterations of the additive combination for 2 extra
@@ -137,13 +139,21 @@ def tpu_run_bsr(mesh):
                     mult_two_level_from_values,
                 )
 
+                # inner SpMVs stay f32: bf16 inner copies save nothing (the
+                # gather is dtype-independent) and collapse the cycle's
+                # quality at h<=0.02 (233 vs ~75 iterations)
                 precond = mult_two_level_from_values(
-                    st,
-                    values,
-                    diag,
-                    g=AGG,
-                    operand_dtype=operand_dtype,
-                    inner_dtype=operand_dtype,
+                    st, values, diag, g=AGG, operand_dtype=operand_dtype
+                )
+            elif PRECOND == "mult3":
+                from pytorch_fem_solver_tpu.ops.precondition import (
+                    get_three_level_structure,
+                    mult_three_level_from_values,
+                )
+
+                tl3 = get_three_level_structure(V, st)
+                precond = mult_three_level_from_values(
+                    tl3, st, values, diag, operand_dtype=operand_dtype
                 )
             elif PRECOND == "three_level":
                 # sparse-coarse additive 3-level: the scalable choice once

@@ -141,6 +141,15 @@ def build_bsr_structure(
     inner_perm = inner[perm]
 
     pad_to = int(np.lcm(np.lcm(block, pad_to), leaf))
+    # round n_pad up so every power-of-two aggregate multiple divides it:
+    # ``default_aggregate_size`` scales g = 32 * mult to keep the dense
+    # coarse level <= 4096, and its divisibility search degenerates when
+    # n_pad/32 has no small factors (observed: n_pad = 32 * 7489, 7489
+    # prime -> g = n_pad, a one-unknown coarse level that silently turned
+    # the two-level into plain Jacobi at 245k DOFs)
+    n0 = -(-max(n_inner, 1) // pad_to) * pad_to
+    mult = -(-n0 // (4096 * 4 * block))  # 4*block = the base aggregate
+    pad_to *= 1 << max(int(mult - 1).bit_length(), 1)
     n_pad = -(-max(n_inner, 1) // pad_to) * pad_to
     nb = n_pad // block
 

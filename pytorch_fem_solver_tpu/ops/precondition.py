@@ -155,11 +155,20 @@ def default_aggregate_size(structure, max_coarse: int = 4096) -> int:
     g on the DFN benchmark) while the coarse matvec/inverse stay flat.
     """
     base = 4 * structure.block  # one aggregate = 4 blocks at the minimum
-    mult = -(-structure.n_pad // (max_coarse * base))
+    mult0 = -(-structure.n_pad // (max_coarse * base))
     # n_pad is a multiple of 32 but not necessarily of every 32*mult: pick
-    # the smallest multiplier whose aggregate size divides n_pad evenly
-    while structure.n_pad % (base * mult):
+    # the smallest multiplier whose aggregate size divides n_pad evenly.
+    # Bound the search — an n_pad with no small factors would otherwise
+    # degenerate to g = n_pad (a one-unknown coarse level, i.e. Jacobi);
+    # preferring a >max_coarse dense level is strictly better than that.
+    mult = mult0
+    while structure.n_pad % (base * mult) and mult < 4 * mult0:
         mult += 1
+    if structure.n_pad % (base * mult):
+        for cand in range(mult0, 0, -1):
+            if structure.n_pad % (base * cand) == 0:
+                return base * cand
+        return base
     return base * mult
 
 
@@ -460,12 +469,42 @@ def three_level_from_values(
     )
 
 
+def _smoother_scale(smooth, matvec, n, dtype, iters: int = 12):
+    """1/rho(S A) from power iteration — the safe smoother damping.
+
+    The symmetrized multiplicative cycle is SPD iff the smoother is an
+    A-contraction (rho(S A) < 2). Undamped block-Jacobi violates that on
+    fracture-trace rows once the mesh is fine enough: measured 41
+    iterations at h=0.03 but 232 at h=0.02 on the DFN benchmark, where the
+    additive combination (which needs no contraction) stayed at 147.
+    Scaling S by 1/rho puts the smoothed spectrum in [0, 1]: SPD by
+    construction and near-optimal damping of the upper half-spectrum that
+    the coarse level cannot see. S A is similar to the SPD matrix
+    S^1/2 A S^1/2, so its top eigenvalue is real and power iteration
+    converges cleanly; the alternating-sign start overlaps the
+    high-frequency end where the top modes live.
+    """
+    v0 = jnp.where(jnp.arange(n) % 2 == 0, 1.0, -1.0).astype(dtype)
+
+    def body(_, carry):
+        v, lam = carry
+        w = smooth(matvec(v))
+        lam = jnp.sqrt(jnp.sum(w * w))
+        return w / jnp.maximum(lam, 1e-30), lam
+
+    _, lam = jax.lax.fori_loop(
+        0, iters, body, (v0 / jnp.sqrt(jnp.asarray(float(n), dtype)), 1.0)
+    )
+    # 5% margin: power iteration approaches rho from below
+    return 1.0 / (1.05 * jnp.maximum(lam, 1e-30))
+
+
 def mult_two_level_from_values(
     structure,
     values,
     diag,
     g: int | None = None,
-    omega: float = 1.0,
+    omega="auto",
     operand_dtype=None,
     inner_dtype=None,
 ):
@@ -477,8 +516,12 @@ def mult_two_level_from_values(
     reshape-only aggregate coarse space as ``BlockTwoLevel``. The cycling
     *multiplies* the two error propagators instead of adding the
     corrections: measured 41 vs 82 PCG iterations on the 107k-DOF DFN
-    benchmark, for 2 extra SpMVs per apply — 120 vs 130 ms end-to-end, and
-    the gap grows with problem size (the additive coarse level saturates).
+    benchmark, for 2 extra SpMVs per apply — and the gap grows with
+    problem size (the additive coarse level saturates).
+
+    omega="auto" (default) scales the smoother by 1/rho(S A) estimated
+    with a dozen power-iteration SpMVs at setup — REQUIRED for SPD-ness on
+    fine meshes (see ``_smoother_scale``); a float skips the estimate.
 
     The two inner SpMVs only shape the preconditioner, so they may run
     against a reduced-precision copy of the operator: ``inner_dtype=
@@ -494,19 +537,27 @@ def mult_two_level_from_values(
     base = block_two_level_from_values(
         structure, values, diag, g=g, operand_dtype=operand_dtype
     )
-    blk_inv = base.blk_inv
-    if omega != 1.0:
-        # scale in the assembly dtype, store back in the operand dtype
-        blk_inv = (omega * blk_inv.astype(values[0].dtype)).astype(blk_inv.dtype)
+    blk_inv0 = base.blk_inv
     inner_values = values
     if inner_dtype is not None:
         inner_values = tuple(v.astype(inner_dtype) for v in values)
 
-    def smooth(r):
-        k = blk_inv.shape[-1]
+    def smooth0(r):
+        k = blk_inv0.shape[-1]
         return _mixed_matvec(
-            "rij,rj->ri", blk_inv, r.reshape(-1, k), r.dtype
+            "rij,rj->ri", blk_inv0, r.reshape(-1, k), r.dtype
         ).reshape(-1)
+
+    matvec = lambda v: bsr_matvec(structure, inner_values, v)
+    if omega == "auto":
+        scale = _smoother_scale(
+            smooth0, matvec, structure.n_pad, values[0].dtype
+        )
+    else:
+        scale = jnp.asarray(omega, values[0].dtype)
+
+    def smooth(r):
+        return scale.astype(r.dtype) * smooth0(r)
 
     def coarse(r):
         r_c = r.reshape(-1, base.g).sum(axis=-1)
@@ -515,8 +566,70 @@ def mult_two_level_from_values(
 
     def apply(r):
         z = smooth(r)
-        z = z + coarse(r - bsr_matvec(structure, inner_values, z))
-        z = z + smooth(r - bsr_matvec(structure, inner_values, z))
+        z = z + coarse(r - matvec(z))
+        z = z + smooth(r - matvec(z))
+        return z
+
+    return apply
+
+
+def mult_three_level_from_values(
+    tl: ThreeLevelStructure,
+    structure,
+    values,
+    diag,
+    omega="auto",
+    operand_dtype=None,
+):
+    """Symmetrized multiplicative V(1,1) cycle over the 3-level hierarchy.
+
+    Same sandwich as ``mult_two_level_from_values`` with the coarse
+    correction replaced by the sparse-coarse chain (g2-block-Jacobi on A_c
+    plus the dense bottom level). Costs 2 extra fine SpMVs per apply;
+    wins only if it cuts iterations >2.5x vs the additive 3-level (the
+    additive apply is cheap) — measure before defaulting.
+    """
+    from .bsr import bsr_matvec
+
+    base = three_level_from_values(
+        tl, structure, values, diag, operand_dtype=operand_dtype
+    )
+    blk_inv = base.blk_inv
+
+    def smooth0(r):
+        k = blk_inv.shape[-1]
+        return _mixed_matvec(
+            "rij,rj->ri", blk_inv, r.reshape(-1, k), r.dtype
+        ).reshape(-1)
+
+    matvec0 = lambda v: bsr_matvec(structure, values, v)
+    if omega == "auto":
+        scale = _smoother_scale(smooth0, matvec0, structure.n_pad, values[0].dtype)
+    else:
+        scale = jnp.asarray(omega, values[0].dtype)
+
+    def smooth(r):
+        return scale.astype(r.dtype) * smooth0(r)
+
+    def coarse(r):
+        r_c = jnp.pad(
+            r.reshape(-1, base.g1).sum(axis=-1), (0, base.nc1p - base.nc1)
+        )
+        mid = _mixed_matvec(
+            "rij,rj->ri", base.mblk_inv, r_c.reshape(-1, base.g2), r.dtype
+        ).reshape(-1)
+        z_cc = _mixed_matvec(
+            "ij,j->i", base.acc_inv, r_c.reshape(-1, base.g2).sum(axis=-1), r.dtype
+        )
+        z_c = (
+            mid + jnp.repeat(z_cc, base.g2, total_repeat_length=base.nc1p)
+        )[: base.nc1]
+        return jnp.repeat(z_c, base.g1, total_repeat_length=r.shape[0])
+
+    def apply(r):
+        z = smooth(r)
+        z = z + coarse(r - bsr_matvec(structure, values, z))
+        z = z + smooth(r - bsr_matvec(structure, values, z))
         return z
 
     return apply

@@ -467,3 +467,40 @@ def test_solve_iterative_symmetric_form_matches():
     u_full = V.solve_iterative(local, b, tol=1e-12)
     u_sym = V.solve_iterative(local, b, tol=1e-12, symmetric_form=True)
     np.testing.assert_allclose(np.asarray(u_sym), np.asarray(u_full), atol=1e-10)
+
+
+def test_mult_three_level_symmetric_and_converges():
+    from pytorch_fem_solver_tpu.ops.precondition import (
+        get_three_level_structure,
+        mult_three_level_from_values,
+    )
+
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**11))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    st = get_bsr_structure(V)
+    values = bsr_values_from_local(st, V.integrate_bilinear_form_local(a_form))
+    diag = bsr_diagonal(st, values)
+    b_pad = bsr_reduce(st, V.integrate_linear_form(l_form))
+    tl = get_three_level_structure(V, st)
+    M = mult_three_level_from_values(tl, st, values, diag)
+
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.normal(size=st.n_pad))
+    w = jnp.asarray(rng.normal(size=st.n_pad))
+    np.testing.assert_allclose(
+        float(jnp.dot(u, M(w))), float(jnp.dot(w, M(u))), rtol=1e-10
+    )
+
+    matvec = lambda v: bsr_matvec(st, values, v)
+    x, info = pcg(matvec, b_pad, precond=M, tol=1e-10, maxiter=3000)
+    assert bool(info.converged)
+    from pytorch_fem_solver_tpu.ops.precondition import three_level_from_values
+
+    _, info_add = pcg(
+        matvec,
+        b_pad,
+        precond=three_level_from_values(tl, st, values, diag),
+        tol=1e-10,
+        maxiter=3000,
+    )
+    assert int(info.iterations) < int(info_add.iterations)
