@@ -398,15 +398,18 @@ def get_three_level_structure(
 def auto_preconditioner(basis, structure, values, diag, operand_dtype=None):
     """Size-appropriate aggregate preconditioner for the BSR operator.
 
-    Measured on the DFN benchmark: the exact two-level wins while the
-    adaptive aggregate stays at g <= 64 (107k DOFs: 0.170 s vs Jacobi;
-    245k: 0.593 s at g=64 vs 0.669 s three-level). Once the dense-coarse
-    cap pushes g to 128+, the two-level degenerates toward Jacobi (644 vs
-    759 iterations at 437k DOFs) and the sparse-coarse additive three-level
-    takes over (223 iterations, 1.39 s vs 1.59 s there).
+    Measured on the DFN benchmark (after fixing the aggregate-divisibility
+    degeneration): the exact two-level wins through g = 128 — 82 it/0.172 s
+    at 107k DOFs (g=32), 148 it/0.621 s at 245k (g=64), 224 it/1.451 s at
+    437k (g=128, vs the additive three-level's 223 it/1.465 s — a tie).
+    Beyond g = 128 the per-aggregate mode loss keeps growing while the
+    three-level holds its fine aggregate at g1 = 32, so the sparse-coarse
+    hierarchy takes over there. The multiplicative V(1,1) cycles halve the
+    iteration count but pay 2 extra SpMVs per apply — measured net losses
+    at every size (e.g. 128 it/1.683 s at 437k).
     """
     g = default_aggregate_size(structure)
-    if g <= 64:
+    if g <= 128:
         return block_two_level_from_values(
             structure, values, diag, g=g, operand_dtype=operand_dtype
         )

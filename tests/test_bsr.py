@@ -504,3 +504,41 @@ def test_mult_three_level_symmetric_and_converges():
         maxiter=3000,
     )
     assert int(info.iterations) < int(info_add.iterations)
+
+
+def test_padding_keeps_aggregate_sizes_usable():
+    """Regression: n_pad/32 prime degenerated the coarse level to one
+    unknown (two-level silently became Jacobi at 245k DOFs). The builder
+    must pad so the default aggregate size divides n_pad with a coarse
+    level of meaningful size."""
+    from types import SimpleNamespace
+
+    from pytorch_fem_solver_tpu.ops.bsr import build_bsr_structure
+    from pytorch_fem_solver_tpu.ops.precondition import default_aggregate_size
+
+    rng = np.random.default_rng(0)
+    # adversarial interior counts, including the observed 32*7489 shape
+    for n_inner in (7489 * 32 - 11, 239623, 1021, 4099 * 32):
+        n_loc = 3
+        t = max(n_inner // 2, 4)
+        dofs = rng.integers(0, n_inner, size=(t, n_loc))
+        coords = rng.normal(size=(n_inner, 2))
+        st = build_bsr_structure(
+            dofs, n_inner, np.arange(n_inner), coords
+        )
+        g = default_aggregate_size(st)
+        assert st.n_pad % g == 0
+        nc = st.n_pad // g
+        # a healthy coarse level: ~n/32 for small problems, bounded below
+        # by a quarter of the dense cap for large ones (never collapses)
+        assert nc >= min(st.n_pad // 32, 1024), (
+            f"degenerate coarse level nc={nc} at n_inner={n_inner}"
+        )
+        assert nc <= 4096 * 4
+
+    # the bounded fallback never returns a non-divisor even on adversarial
+    # hand-built sizes
+    for n_pad in (32 * 7489, 32 * 104729, 64 * 3):
+        st = SimpleNamespace(n_pad=n_pad, block=8)
+        g = default_aggregate_size(st)
+        assert n_pad % g == 0 and g >= 32
