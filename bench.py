@@ -30,7 +30,7 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 MAX_K = int(os.environ.get("BENCH_MAX_K", "8"))
 MAX_B = int(os.environ.get("BENCH_MAX_B", "8"))  # tier-1 block cap (bsr format)
 PRECOND = os.environ.get("BENCH_PRECOND", "two_level")
-# two_level | mult | three_level | auto | smoothed | jacobi
+# two_level | mult | mult3 | three_level | affine | auto | smoothed | jacobi
 # storage dtype of the preconditioner's dense operands (f32 | bf16): bf16
 # halves the coarse-matvec HBM traffic at identical iterations on the 107k
 # problem, but collapses the cycle at h=0.02 (147 -> 464 iterations) — the
@@ -130,7 +130,7 @@ def tpu_run_bsr(mesh):
         values = bsr_values_from_local_symmetric(st, local)
         diag = bsr_diagonal(st, values)
         b_pad = bsr_reduce(st, b)
-        if PRECOND in ("two_level", "smoothed", "three_level", "auto", "mult", "mult3"):
+        if PRECOND in ("two_level", "smoothed", "three_level", "auto", "mult", "mult3", "affine"):
             if PRECOND == "mult":
                 # symmetrized multiplicative V(1,1) cycle: half the
                 # iterations of the additive combination for 2 extra
@@ -144,6 +144,19 @@ def tpu_run_bsr(mesh):
                 # quality at h<=0.02 (233 vs ~75 iterations)
                 precond = mult_two_level_from_values(
                     st, values, diag, g=AGG, operand_dtype=operand_dtype
+                )
+            elif PRECOND == "affine":
+                # per-aggregate [1, x, y, z] coarse space (orthonormalized):
+                # ~2x fewer iterations at equal g, parity at equal coarse
+                # size for scalar Poisson — kept for vector problems
+                from pytorch_fem_solver_tpu.ops.precondition import (
+                    affine_two_level_from_values,
+                    get_affine_two_level_structure,
+                )
+
+                ast = get_affine_two_level_structure(V, st, g=AGG)
+                precond = affine_two_level_from_values(
+                    ast, st, values, diag, operand_dtype=operand_dtype
                 )
             elif PRECOND == "mult3":
                 from pytorch_fem_solver_tpu.ops.precondition import (

@@ -149,7 +149,10 @@ def build_bsr_structure(
     # the two-level into plain Jacobi at 245k DOFs)
     n0 = -(-max(n_inner, 1) // pad_to) * pad_to
     mult = -(-n0 // (4096 * 4 * block))  # 4*block = the base aggregate
-    pad_to *= 1 << max(int(mult - 1).bit_length(), 1)
+    # two extra doublings beyond the constants-space need: the affine
+    # coarse space uses 4 vectors on 4x-larger aggregates (same dense
+    # coarse size), so its aggregate must divide n_pad too
+    pad_to *= 1 << max(int(mult - 1).bit_length() + 2, 2)
     n_pad = -(-max(n_inner, 1) // pad_to) * pad_to
     nb = n_pad // block
 
@@ -312,9 +315,11 @@ def bsr_values_from_local_symmetric(structure: BSRStructure, local_matrices):
     """
     n_loc = local_matrices.shape[-1]
     iu, ju = np.triu_indices(n_loc)
-    local_sym = jnp.stack(
-        [local_matrices[..., i, j] for i, j in zip(iu, ju)], axis=-1
-    ).reshape(-1)
+    # local (i, i) pairs are exactly the global diagonal scalars (element
+    # DOFs are distinct), which the self-partnered transpose doubles: halve
+    # them pre-scatter with a static mask — free, fused into the pack
+    w = jnp.asarray(np.where(iu == ju, 0.5, 1.0), dtype=local_matrices.dtype)
+    local_sym = (local_matrices[..., iu, ju] * w).reshape(-1)
     values = (
         jnp.zeros((structure.n_values,), dtype=local_sym.dtype)
         .at[structure.entry_slot_sym]
@@ -323,13 +328,11 @@ def bsr_values_from_local_symmetric(structure: BSRStructure, local_matrices):
     k = structure.block
     nb, B = structure.bcols.shape
     nh, B2 = structure.bcols2.shape
-    blocks = values.reshape(-1, k, k)
-    full = blocks + jnp.matrix_transpose(blocks[structure.tpartner])
+    # mirror completion: gather partners as flat 64-wide rows (measured
+    # 3.7 ms vs 5.5 ms for gathering (8, 8) blocks), transpose the copy
+    g = values.reshape(-1, k * k)[structure.tpartner]
+    full = values.reshape(-1, k, k) + g.reshape(-1, k, k).transpose(0, 2, 1)
     v1 = full[: nb * B].reshape(nb, B, k, k)
-    # canonical scatter placed each diagonal scalar once; the self-partnered
-    # transpose doubled it
-    half_diag = 1.0 - 0.5 * jnp.eye(k, dtype=local_sym.dtype)
-    v1 = v1.at[:, 0].multiply(half_diag)
     v2 = full[nb * B :].reshape(nh, B2, k, k)
     return v1, v2
 

@@ -112,6 +112,12 @@ class BlockTwoLevel(NamedTuple):
     g: int  # aggregate size (fine DOFs per coarse unknown)
     blk_inv: jnp.ndarray | None = None  # (nb, k, k) block-Jacobi inverses
 
+    def coarse_apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        """P0 A_c^{-1} P0^T r — restriction/prolongation are reshapes."""
+        r_c = r.reshape(-1, self.g).sum(axis=-1)
+        z_c = _mixed_matvec("ij,j->i", self.coarse_inv, r_c, r.dtype)
+        return jnp.repeat(z_c, self.g, total_repeat_length=r.shape[0])
+
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         if self.blk_inv is not None:
             k = self.blk_inv.shape[-1]
@@ -120,10 +126,27 @@ class BlockTwoLevel(NamedTuple):
             ).reshape(-1)
         else:
             fine = self.inv_diag * r
-        r_c = r.reshape(-1, self.g).sum(axis=-1)
-        z_c = _mixed_matvec("ij,j->i", self.coarse_inv, r_c, r.dtype)
-        z = jnp.repeat(z_c, self.g, total_repeat_length=r.shape[0])
-        return fine + z
+        return fine + self.coarse_apply(r)
+
+
+def _fine_block_smoother(v1, block, fine="block_jacobi", operand_dtype=None):
+    """Diagonal-block inverses for the fine smoother (None for point Jacobi).
+
+    Padded rows carry all-zero diagonal blocks: their diagonals are pinned
+    to identity so the batched inverse stays finite (their residual is
+    identically zero, so the value never matters).
+    """
+    if fine == "jacobi":
+        return None
+    if fine != "block_jacobi":
+        raise ValueError(f"unknown fine smoother: {fine!r}")
+    blk = v1[:, 0]  # the diagonal block always lives at tier-1 slot b=0
+    zero_d = jnp.diagonal(blk, axis1=-2, axis2=-1) == 0
+    blk = blk + jnp.eye(block, dtype=blk.dtype) * zero_d[:, None, :]
+    blk_inv = batched_small_inv(blk)
+    if operand_dtype is not None:
+        blk_inv = blk_inv.astype(operand_dtype)
+    return blk_inv
 
 
 def batched_small_inv(a: jnp.ndarray) -> jnp.ndarray:
@@ -145,7 +168,35 @@ def batched_small_inv(a: jnp.ndarray) -> jnp.ndarray:
     return aug[..., n:]
 
 
-def default_aggregate_size(structure, max_coarse: int = 4096) -> int:
+# Policy constants shared with ops.bsr's padding (build_bsr_structure pads
+# n_pad so that every power-of-two multiple of BASE_AGGREGATE_BLOCKS*block
+# up to the size these policies select divides it — including the affine
+# space's 1+d-times-larger aggregates).
+MAX_COARSE = 4096  # dense coarse-level cap (inverse + per-iteration matvec)
+BASE_AGGREGATE_BLOCKS = 4  # one aggregate = 4 blocks (32 DOFs) minimum
+AFFINE_MAX_VECTORS = 4  # [1, x, y, z]: m = 1 + d <= 4
+
+
+def _bounded_divisor_search(n_pad: int, base: int, mult0: int) -> int:
+    """Smallest mult >= mult0 with (base*mult) | n_pad, degeneration-proof.
+
+    An n_pad with no small factors would otherwise walk mult to n_pad/base
+    — a one-unknown coarse level, i.e. silent Jacobi (the 245k-DOF bug).
+    The search is bounded at 4*mult0 and falls back downward: an oversized
+    dense coarse level is strictly better than a degenerate one.
+    """
+    mult = max(mult0, 1)
+    while n_pad % (base * mult) and mult < 4 * max(mult0, 1):
+        mult += 1
+    if n_pad % (base * mult):
+        for cand in range(max(mult0, 1), 0, -1):
+            if n_pad % (base * cand) == 0:
+                return base * cand
+        return base
+    return base * mult
+
+
+def default_aggregate_size(structure, max_coarse: int = MAX_COARSE) -> int:
     """Aggregate size keeping the dense coarse level at <= max_coarse.
 
     g = 32 is the sweet spot on ~100k-DOF problems, but a fixed g lets the
@@ -154,22 +205,9 @@ def default_aggregate_size(structure, max_coarse: int = 4096) -> int:
     so nc stays bounded; iteration counts grow mildly (~15% per doubling of
     g on the DFN benchmark) while the coarse matvec/inverse stay flat.
     """
-    base = 4 * structure.block  # one aggregate = 4 blocks at the minimum
+    base = BASE_AGGREGATE_BLOCKS * structure.block
     mult0 = -(-structure.n_pad // (max_coarse * base))
-    # n_pad is a multiple of 32 but not necessarily of every 32*mult: pick
-    # the smallest multiplier whose aggregate size divides n_pad evenly.
-    # Bound the search — an n_pad with no small factors would otherwise
-    # degenerate to g = n_pad (a one-unknown coarse level, i.e. Jacobi);
-    # preferring a >max_coarse dense level is strictly better than that.
-    mult = mult0
-    while structure.n_pad % (base * mult) and mult < 4 * mult0:
-        mult += 1
-    if structure.n_pad % (base * mult):
-        for cand in range(mult0, 0, -1):
-            if structure.n_pad % (base * cand) == 0:
-                return base * cand
-        return base
-    return base * mult
+    return _bounded_divisor_search(structure.n_pad, base, mult0)
 
 
 def block_two_level_from_values(
@@ -239,20 +277,9 @@ def block_two_level_from_values(
     )
 
     safe = jnp.where(diag != 0, diag, 1.0)
-    blk_inv = None
-    if fine == "block_jacobi":
-        blk = v1[:, 0]  # diagonal block always lives at b=0 in tier 1
-        # padded rows have zero diagonals: pin them to identity so the
-        # batched inverse stays finite (their residual is identically zero)
-        zero_d = jnp.diagonal(blk, axis1=-2, axis2=-1) == 0
-        blk = blk + jnp.eye(block, dtype=blk.dtype) * zero_d[:, None, :]
-        blk_inv = batched_small_inv(blk)
-    elif fine != "jacobi":
-        raise ValueError(f"unknown fine smoother: {fine!r}")
+    blk_inv = _fine_block_smoother(v1, block, fine, operand_dtype)
     if operand_dtype is not None:
         coarse_inv = coarse_inv.astype(operand_dtype)
-        if blk_inv is not None:
-            blk_inv = blk_inv.astype(operand_dtype)
     return BlockTwoLevel(
         inv_diag=1.0 / safe, coarse_inv=coarse_inv, g=g, blk_inv=blk_inv
     )
@@ -301,9 +328,8 @@ class ThreeLevel(NamedTuple):
     nc1: int
     nc1p: int
 
-    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
-        k = self.blk_inv.shape[-1]
-        fine = _mixed_matvec("rij,rj->ri", self.blk_inv, r.reshape(-1, k), r.dtype)
+    def coarse_apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        """P1 (B_c^{-1} + P2 A_cc^{-1} P2^T) P1^T r — transfers are reshapes."""
         r_c = jnp.pad(
             r.reshape(-1, self.g1).sum(axis=-1), (0, self.nc1p - self.nc1)
         )
@@ -316,9 +342,12 @@ class ThreeLevel(NamedTuple):
         z_c = (
             mid + jnp.repeat(z_cc, self.g2, total_repeat_length=self.nc1p)
         )[: self.nc1]
-        return fine.reshape(-1) + jnp.repeat(
-            z_c, self.g1, total_repeat_length=r.shape[0]
-        )
+        return jnp.repeat(z_c, self.g1, total_repeat_length=r.shape[0])
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        k = self.blk_inv.shape[-1]
+        fine = _mixed_matvec("rij,rj->ri", self.blk_inv, r.reshape(-1, k), r.dtype)
+        return fine.reshape(-1) + self.coarse_apply(r)
 
 
 def build_three_level_structure(
@@ -452,13 +481,9 @@ def three_level_from_values(
     shift = 1e-7 * jnp.maximum(jnp.trace(acc) / tl.ncb, 1.0)
     acc_inv = jnp.linalg.inv(acc + shift * jnp.eye(tl.ncb, dtype=acc.dtype))
 
-    blk = v1[:, 0]
-    zd = jnp.diagonal(blk, axis1=-2, axis2=-1) == 0
-    blk = blk + jnp.eye(block, dtype=blk.dtype) * zd[:, None, :]
-    blk_inv = batched_small_inv(blk)
+    blk_inv = _fine_block_smoother(v1, block, "block_jacobi", operand_dtype)
 
     if operand_dtype is not None:
-        blk_inv = blk_inv.astype(operand_dtype)
         mblk_inv = mblk_inv.astype(operand_dtype)
         acc_inv = acc_inv.astype(operand_dtype)
     return ThreeLevel(
@@ -500,6 +525,195 @@ def _smoother_scale(smooth, matvec, n, dtype, iters: int = 12):
     )
     # 5% margin: power iteration approaches rho from below
     return 1.0 / (1.05 * jnp.maximum(lam, 1e-30))
+
+
+class AffineTwoLevelStructure(NamedTuple):
+    """Host-built tables for the affine-coarse two-level preconditioner.
+
+    Coarse space: per contiguous aggregate of ``g`` fine DOFs, the m = 1+d
+    vectors [1, x - x_bar, y - y_bar, (z - z_bar)], orthonormalized per
+    aggregate (batched QR). With g four times the constants-space
+    aggregate, the dense coarse level keeps the same size (na*m unknowns)
+    while capturing per-aggregate gradients — the modes the piecewise-
+    constant space leaves to the smoother. All transfers remain
+    reshape+einsum (zero gathers per iteration).
+    """
+
+    W: jnp.ndarray  # (na, g, m) orthonormal per-aggregate basis
+    Wb: jnp.ndarray  # (nb, block, m) the same rows grouped per 8-block
+    bins1: jnp.ndarray  # (nb*B,) aggregate-pair segment id per tier-1 block
+    bins2: jnp.ndarray  # (nh*B2,) same for spilled tier-2 blocks
+    na: int
+    g: int
+    m: int
+
+
+class AffineTwoLevel(NamedTuple):
+    inv_diag: jnp.ndarray
+    coarse_inv: jnp.ndarray  # (na*m, na*m)
+    W: jnp.ndarray  # (na, g, m)
+    blk_inv: jnp.ndarray | None = None
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        if self.blk_inv is not None:
+            k = self.blk_inv.shape[-1]
+            fine = _mixed_matvec(
+                "rij,rj->ri", self.blk_inv, r.reshape(-1, k), r.dtype
+            ).reshape(-1)
+        else:
+            fine = self.inv_diag * r
+        na, g, m = self.W.shape
+        r_c = jnp.einsum("agm,ag->am", self.W, r.reshape(na, g)).reshape(-1)
+        z_c = _mixed_matvec("ij,j->i", self.coarse_inv, r_c, r.dtype)
+        z = jnp.einsum("agm,am->ag", self.W, z_c.reshape(na, m)).reshape(-1)
+        return fine + z
+
+
+def default_affine_aggregate_size(
+    structure, m: int = AFFINE_MAX_VECTORS, max_coarse: int = MAX_COARSE
+):
+    """Aggregate size for the affine space: na*m <= max_coarse."""
+    base = BASE_AGGREGATE_BLOCKS * structure.block
+    mult0 = -(-structure.n_pad * m // (max_coarse * base))
+    return _bounded_divisor_search(structure.n_pad, base, mult0)
+
+
+def build_affine_two_level_structure(
+    structure, coords, g: int | None = None
+) -> AffineTwoLevelStructure:
+    """Host-side W/QR and aggregate-pair bins (value-independent).
+
+    Args:
+      structure: the BSR layout.
+      coords: (n_inner, d) coordinates of the interior DOFs in ORIGINAL
+        reduced order (same array the spatial ordering was built from).
+    """
+    coords = np.asarray(coords)
+    d = coords.shape[1]
+    m = 1 + d
+    if g is None:
+        g = default_affine_aggregate_size(structure, m=m)
+    if g % structure.block or structure.n_pad % g:
+        raise ValueError(
+            f"affine aggregate size {g} must be a multiple of "
+            f"{structure.block} and divide n_pad {structure.n_pad}"
+        )
+    n_pad = structure.n_pad
+    na = n_pad // g
+
+    cp = np.zeros((n_pad, d), dtype=np.float64)
+    cp[: structure.n_inner] = coords[structure.perm]
+    X = cp.reshape(na, g, d)
+    X = X - X.mean(axis=1, keepdims=True)
+    span = np.maximum(np.abs(X).max(axis=1, keepdims=True), 1e-12)
+    cols = np.concatenate([np.ones((na, g, 1)), X / span], axis=-1)
+    # batched reduced QR; rank-deficient aggregates (planar fractures make
+    # one coordinate affine in the others) get arbitrary orthonormal tail
+    # columns — harmless extra directions in an SPD coarse space
+    W, _ = np.linalg.qr(cols)
+
+    block = structure.block
+    gb = g // block
+    nb, B = structure.bcols.shape
+    bcols = np.asarray(structure.bcols)
+    rows_c = np.repeat(np.arange(nb) // gb, B)
+    bins1 = rows_c * na + (bcols // gb).reshape(-1)
+    heavy = np.asarray(structure.heavy_rows)
+    bcols2 = np.asarray(structure.bcols2)
+    if heavy.size:
+        bins2 = (
+            np.repeat(heavy // gb, bcols2.shape[1]) * na
+            + (bcols2 // gb).reshape(-1)
+        )
+    else:
+        bins2 = np.zeros((0,), dtype=np.int64)
+
+    dt = config.default_dtype()
+    i_t = config.index_dtype()
+    Wj = jnp.asarray(W, dtype=dt)
+    return AffineTwoLevelStructure(
+        W=Wj,
+        Wb=Wj.reshape(nb, block, m),
+        bins1=jnp.asarray(bins1, dtype=i_t),
+        bins2=jnp.asarray(bins2, dtype=i_t),
+        na=int(na),
+        g=int(g),
+        m=int(m),
+    )
+
+
+def get_affine_two_level_structure(
+    basis, structure, g: int | None = None
+) -> AffineTwoLevelStructure:
+    """Cached-per-basis affine coarse tables."""
+    cache = getattr(basis, "_affine_two_level_structures", None)
+    if cache is None:
+        cache = {}
+        basis._affine_two_level_structures = cache
+    key = (structure.nb, structure.bcols.shape[1],
+           structure.heavy_rows.shape[0], g)
+    ast = cache.get(key)
+    if ast is None:
+        inner = np.asarray(basis._basis_parameters["inner_dofs"])
+        coords = np.asarray(basis._coords4global_dofs)[inner]
+        ast = build_affine_two_level_structure(structure, coords, g=g)
+        cache[key] = ast
+    return ast
+
+
+def affine_two_level_from_values(
+    ast: AffineTwoLevelStructure,
+    structure,
+    values,
+    diag,
+    fine: str = "block_jacobi",
+    operand_dtype=None,
+):
+    """Jittable numeric setup of the affine-coarse two-level M.
+
+    Galerkin coarse matrix per aggregate pair:
+        A_c[I, J] = sum over blocks (r, b) with r in I, bcols[r,b] in J of
+                    Wb[r]^T A[r,b] Wb[bcols[r,b]]
+    — two small einsums over the streamed tier values plus one m*m-row
+    segment-sum (row-descriptor-charged, ~nb*B descriptors).
+    """
+    v1, v2 = values
+    block = structure.block
+    na, m = ast.na, ast.m
+    Wb = ast.Wb.astype(v1.dtype)
+
+    Wc = Wb[structure.bcols]  # (nb, B, block, m) row gathers
+    t1 = jnp.einsum("rbij,rbjm->rbim", v1, Wc)
+    G1 = jnp.einsum("rin,rbim->rbnm", Wb, t1).reshape(-1, m, m)
+    coarse = jax.ops.segment_sum(G1, ast.bins1, num_segments=na * na)
+    if structure.heavy_rows.shape[0]:
+        Wh = Wb[structure.heavy_rows]
+        t2 = jnp.einsum("rbij,rbjm->rbim", v2, Wb[structure.bcols2])
+        G2 = jnp.einsum("rin,rbim->rbnm", Wh, t2).reshape(-1, m, m)
+        coarse = coarse + jax.ops.segment_sum(
+            G2, ast.bins2, num_segments=na * na
+        )
+    Ac = (
+        coarse.reshape(na, na, m, m)
+        .transpose(0, 2, 1, 3)
+        .reshape(na * m, na * m)
+    )
+    Ac = 0.5 * (Ac + Ac.T)
+    shift_scale = jnp.maximum(jnp.trace(Ac) / (na * m), 1.0)
+    coarse_inv = jnp.linalg.inv(
+        Ac + 1e-7 * shift_scale * jnp.eye(na * m, dtype=Ac.dtype)
+    )
+
+    safe = jnp.where(diag != 0, diag, 1.0)
+    blk_inv = _fine_block_smoother(v1, block, fine, operand_dtype)
+    if operand_dtype is not None:
+        coarse_inv = coarse_inv.astype(operand_dtype)
+    return AffineTwoLevel(
+        inv_diag=1.0 / safe,
+        coarse_inv=coarse_inv,
+        W=ast.W.astype(v1.dtype),
+        blk_inv=blk_inv,
+    )
 
 
 def mult_two_level_from_values(
@@ -562,14 +776,9 @@ def mult_two_level_from_values(
     def smooth(r):
         return scale.astype(r.dtype) * smooth0(r)
 
-    def coarse(r):
-        r_c = r.reshape(-1, base.g).sum(axis=-1)
-        z_c = _mixed_matvec("ij,j->i", base.coarse_inv, r_c, r.dtype)
-        return jnp.repeat(z_c, base.g, total_repeat_length=r.shape[0])
-
     def apply(r):
         z = smooth(r)
-        z = z + coarse(r - matvec(z))
+        z = z + base.coarse_apply(r - matvec(z))
         z = z + smooth(r - matvec(z))
         return z
 
@@ -614,24 +823,9 @@ def mult_three_level_from_values(
     def smooth(r):
         return scale.astype(r.dtype) * smooth0(r)
 
-    def coarse(r):
-        r_c = jnp.pad(
-            r.reshape(-1, base.g1).sum(axis=-1), (0, base.nc1p - base.nc1)
-        )
-        mid = _mixed_matvec(
-            "rij,rj->ri", base.mblk_inv, r_c.reshape(-1, base.g2), r.dtype
-        ).reshape(-1)
-        z_cc = _mixed_matvec(
-            "ij,j->i", base.acc_inv, r_c.reshape(-1, base.g2).sum(axis=-1), r.dtype
-        )
-        z_c = (
-            mid + jnp.repeat(z_cc, base.g2, total_repeat_length=base.nc1p)
-        )[: base.nc1]
-        return jnp.repeat(z_c, base.g1, total_repeat_length=r.shape[0])
-
     def apply(r):
         z = smooth(r)
-        z = z + coarse(r - bsr_matvec(structure, values, z))
+        z = z + base.coarse_apply(r - bsr_matvec(structure, values, z))
         z = z + smooth(r - bsr_matvec(structure, values, z))
         return z
 

@@ -542,3 +542,49 @@ def test_padding_keeps_aggregate_sizes_usable():
         st = SimpleNamespace(n_pad=n_pad, block=8)
         g = default_aggregate_size(st)
         assert n_pad % g == 0 and g >= 32
+
+
+def test_affine_two_level_converges_and_cuts_iterations():
+    """Affine ([1, x, y]) aggregate coarse space: symmetric, converges to
+    the dense answer, and at equal aggregate size roughly halves the
+    iteration count of the piecewise-constant space (46 vs 88 measured at
+    4k DOFs; the gain comes from the 1+d-times-larger coarse space — at
+    matched coarse size the two are equivalent for scalar Poisson, so the
+    constants stay the default and this space targets vector problems)."""
+    from pytorch_fem_solver_tpu.ops.precondition import (
+        affine_two_level_from_values,
+        get_affine_two_level_structure,
+    )
+
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**11))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    A = dense_reduced(V)
+    b_full = V.integrate_linear_form(l_form)
+    inner = np.asarray(V._basis_parameters["inner_dofs"])
+    x_dense = np.linalg.solve(A, np.asarray(b_full)[inner, 0])
+
+    st = get_bsr_structure(V)
+    values = bsr_values_from_local(st, V.integrate_bilinear_form_local(a_form))
+    diag = bsr_diagonal(st, values)
+    b_pad = bsr_reduce(st, b_full)
+    matvec = lambda v: bsr_matvec(st, values, v)
+
+    ast = get_affine_two_level_structure(V, st)
+    assert get_affine_two_level_structure(V, st) is ast  # cached
+    M = affine_two_level_from_values(ast, st, values, diag)
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.normal(size=st.n_pad))
+    w = jnp.asarray(rng.normal(size=st.n_pad))
+    np.testing.assert_allclose(
+        float(jnp.dot(u, M(w))), float(jnp.dot(w, M(u))), rtol=1e-10
+    )
+
+    x_pad, info = pcg(matvec, b_pad, precond=M, tol=1e-11, maxiter=3000)
+    assert bool(info.converged)
+    x_full = np.asarray(bsr_expand(st, x_pad, V.n_dofs))[:, 0]
+    np.testing.assert_allclose(x_full[inner], x_dense, atol=1e-8)
+
+    M0 = block_two_level_from_values(st, values, diag, g=ast.g)
+    _, info0 = pcg(matvec, b_pad, precond=M0, tol=1e-11, maxiter=3000)
+    assert int(info.iterations) < int(info0.iterations)
