@@ -20,6 +20,7 @@ def run_example(name, env_extra, timeout=600):
             "FEM_REFINEMENTS": "2",
             "FEM_LEVELS": "2",
             "FEM_H": "0.5",
+            "FEM_STEPS": "4",
         }
     )
     env.update(env_extra)
@@ -42,6 +43,7 @@ def run_example(name, env_extra, timeout=600):
     "name",
     [
         "example_weak.py",
+        "example_adaptive.py",
         "example_weak_convergence.py",
         "example_jump.py",
         "example_loss_is_error.py",

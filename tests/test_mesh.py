@@ -100,3 +100,75 @@ def test_cells_min_length():
     length = np.asarray(mesh["cells", "length"])
     assert length.shape == (mesh.n_cells, 1, 1, 1)
     np.testing.assert_allclose(length.reshape(-1), 0.25, atol=1e-13)
+
+
+def test_adaptive_refinement_invariants():
+    """Longest-edge bisection: conforming, orientation- and area-preserving,
+    boundary markers propagate, and shape quality stays bounded."""
+    import numpy as np
+
+    import pytorch_fem_solver_tpu as fem
+    from pytorch_fem_solver_tpu.mesh.refinement import (
+        dorfler_mark,
+        refine_adaptive,
+    )
+
+    def min_angle(v, tr):
+        p = v[tr]  # (T, 3, 2)
+        angles = []
+        for i in range(3):
+            a = p[:, (i + 1) % 3] - p[:, i]
+            b = p[:, (i + 2) % 3] - p[:, i]
+            cosang = (a * b).sum(-1) / (
+                np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+            )
+            angles.append(np.arccos(np.clip(cosang, -1, 1)))
+        return np.min(angles)
+
+    t = fem.unit_square(n=4)
+    base_angle = min_angle(
+        np.asarray(t["vertices"]), np.asarray(t["triangles"])
+    )
+    rng = np.random.default_rng(1)
+    for _ in range(7):
+        T = t["triangles"].shape[0]
+        marked = np.zeros(T, bool)
+        marked[rng.integers(0, T, size=max(1, T // 4))] = True
+        t = refine_adaptive(t, marked)
+        v = np.asarray(t["vertices"])
+        tr = np.asarray(t["triangles"])
+        # conforming: every edge shared by at most two triangles
+        local = np.sort(tr[:, [[0, 1], [1, 2], [2, 0]]].reshape(-1, 2), axis=1)
+        _, counts = np.unique(local, axis=0, return_counts=True)
+        assert counts.max() <= 2
+        # positively oriented, total area exactly preserved
+        e1 = v[tr[:, 1]] - v[tr[:, 0]]
+        e2 = v[tr[:, 2]] - v[tr[:, 0]]
+        areas = 0.5 * (e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+        assert (areas > 0).all()
+        np.testing.assert_allclose(areas.sum(), 1.0, atol=1e-12)
+        # no duplicate vertices; boundary markers exact for the unit square
+        assert np.unique(v, axis=0).shape[0] == v.shape[0]
+        onb = (
+            (np.abs(v[:, 0]) < 1e-12)
+            | (np.abs(v[:, 0] - 1) < 1e-12)
+            | (np.abs(v[:, 1]) < 1e-12)
+            | (np.abs(v[:, 1] - 1) < 1e-12)
+        )
+        assert (t["vertex_markers"].reshape(-1).astype(bool) == onb).all()
+        # longest-edge bisection keeps the minimum angle bounded (Rivara:
+        # >= half the initial minimum angle)
+        assert min_angle(v, tr) >= 0.49 * base_angle
+        # the refined dict feeds MeshTri directly
+        fem.MeshTri(t)
+
+    # no marks -> unchanged
+    t2 = refine_adaptive(t, np.zeros(t["triangles"].shape[0], bool))
+    assert t2["triangles"].shape == t["triangles"].shape
+
+    # Doerfler marking: smallest bulk-covering prefix
+    # eta^2 = [9, 1, 4, 0.25], total 14.25: theta=0.6 is covered by the
+    # largest alone (9 >= 8.55); theta=0.7 needs the top two (13 >= 9.975)
+    eta = np.array([3.0, 1.0, 2.0, 0.5])
+    assert dorfler_mark(eta, theta=0.6).tolist() == [True, False, False, False]
+    assert dorfler_mark(eta, theta=0.7).tolist() == [True, False, True, False]
