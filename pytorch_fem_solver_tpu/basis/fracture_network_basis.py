@@ -25,7 +25,7 @@ from .interior_edges_basis import InteriorEdgesBasis
 
 @register_basis_pytree
 class FractureNetworkBasis(Basis):
-    """P1 basis on the glued global DOFs of a flat fracture network."""
+    """P1/P2 basis on the glued global DOFs of a flat fracture network."""
 
     def __init__(self, mesh, element):
         super().__init__(mesh, element)
@@ -38,13 +38,55 @@ class FractureNetworkBasis(Basis):
         self._inv_map_jacobian = self._inv_map_jacobian @ inv_frac
 
     def _compute_dofs(self, mesh, element):
-        if element.polynomial_order != 1:
-            raise NotImplementedError("Polynomial order not implemented")
+        if element.polynomial_order == 1:
+            global_ids = mesh["global", "ids"][:, 0]
+            coords_4_global_dofs = mesh["global", "vertices_3d"]
+            global_dofs_4_elements = global_ids[mesh["cells", "vertices"]]
+            nodes_4_boundary_dofs = mesh["global", "markers"]
 
-        global_ids = mesh["global", "ids"][:, 0]
-        coords_4_global_dofs = mesh["global", "vertices_3d"]
-        global_dofs_4_elements = global_ids[mesh["cells", "vertices"]]  # (T, 3)
-        nodes_4_boundary_dofs = mesh["global", "markers"]
+        elif element.polynomial_order == 2:
+            # P2 on the glued triangulation: vertex DOFs + one DOF per
+            # unique *global* edge — trace edges carry the same global
+            # vertex pair in every incident fracture, so midpoint DOFs are
+            # automatically shared and pressure continuity extends to P2.
+            global_ids = np.asarray(mesh["global", "ids"])[:, 0]
+            gverts = np.asarray(mesh["global", "vertices_3d"])
+            gmark = np.asarray(mesh["global", "markers"]).reshape(-1)
+            gcells = global_ids[np.asarray(mesh["cells", "vertices"])]
+            n_gverts = gverts.shape[0]
+
+            # local edge order (01, 12, 02) matches the P2 shape functions
+            local = np.sort(gcells[:, [[0, 1], [1, 2], [0, 2]]], axis=-1)
+            edges, inverse, counts = np.unique(
+                local.reshape(-1, 2), axis=0, return_inverse=True,
+                return_counts=True,
+            )
+            cell_edges = inverse.reshape(-1, 3)
+            midpoints = gverts[edges].mean(axis=1)
+            # a midpoint is Dirichlet iff its edge lies on the network's
+            # outer boundary: exactly one incident cell anywhere in the
+            # network (trace edges appear 2x per incident fracture) and
+            # both endpoints marked
+            edge_mark = (
+                (counts == 1)
+                & (gmark[edges[:, 0]] != 0)
+                & (gmark[edges[:, 1]] != 0)
+            ).astype(np.int64)
+
+            coords_4_global_dofs = jnp.asarray(
+                np.concatenate([gverts, midpoints], axis=0),
+                dtype=config.default_dtype(),
+            )
+            global_dofs_4_elements = jnp.asarray(
+                np.concatenate([gcells, cell_edges + n_gverts], axis=1),
+                dtype=config.index_dtype(),
+            )
+            nodes_4_boundary_dofs = jnp.asarray(
+                np.concatenate([gmark, edge_mark], axis=0).reshape(-1, 1),
+                dtype=config.index_dtype(),
+            )
+        else:
+            raise NotImplementedError("Polynomial order not implemented")
 
         coords_4_elements = coords_4_global_dofs[global_dofs_4_elements]
 
