@@ -244,6 +244,43 @@ class FractureNetworkMesh(MeshTri):
             },
         }
         self._t = _freeze(groups)
+        # host-side rebuild sources for adaptive refinement (not part of the
+        # pytree: a mesh reconstructed from leaves cannot be refined, which
+        # is fine — refinement is a host-side construction step)
+        self._sources = {
+            "triangulations": [
+                {
+                    "vertices": v,
+                    "triangles": tr,
+                    "vertex_labels": lab,
+                }
+                for v, tr, lab in zip(verts_list, tris_list, labels_list)
+            ],
+            "corners_3d": corners_3d,
+            "anchors_2d": anchors,
+            "tol": tol,
+        }
+
+    def refined(self, marked) -> "FractureNetworkMesh":
+        """Adaptively refined copy: bisect marked cells (flat cell axis),
+        conforming across fractures (see ``mesh.refinement``)."""
+        sources = getattr(self, "_sources", None)
+        if sources is None:
+            raise ValueError(
+                "this mesh was reconstructed from pytree leaves; adaptive "
+                "refinement needs the original host-side triangulations"
+            )
+        from .refinement import refine_network_adaptive
+
+        tris = refine_network_adaptive(
+            sources["triangulations"], self, marked
+        )
+        return FractureNetworkMesh(
+            tris,
+            sources["corners_3d"],
+            anchor_vertices_2d=sources["anchors_2d"],
+            tol=sources["tol"],
+        )
 
     @property
     def n_fractures(self) -> int:

@@ -7,16 +7,22 @@ drive the mesh. This module closes that loop: bisect the longest edge of
 every marked triangle, with a closure pass that keeps the mesh conforming
 (an edge being split forces both adjacent triangles to split it).
 
+``refine_network_adaptive`` extends the loop to fracture networks: the
+per-fracture closures exchange marks on shared (trace) edges — keyed by
+their glued global vertex pairs — until the whole network is stable, so a
+trace edge bisects consistently in every incident fracture and the
+tolerant 3D vertex glue re-identifies the new midpoints.
+
 Everything runs on host NumPy at mesh-build time (dynamic shapes), like
-the rest of the mesh layer; the refined triangulation dict feeds straight
-back into ``MeshTri``.
+the rest of the mesh layer; the refined triangulation dicts feed straight
+back into ``MeshTri`` / ``FractureNetworkMesh``.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["refine_adaptive", "dorfler_mark"]
+__all__ = ["refine_adaptive", "refine_network_adaptive", "dorfler_mark"]
 
 
 def dorfler_mark(indicators, theta: float = 0.5) -> np.ndarray:
@@ -31,84 +37,76 @@ def dorfler_mark(indicators, theta: float = 0.5) -> np.ndarray:
     return marked
 
 
-def refine_adaptive(triangulation: dict, marked) -> dict:
-    """Bisect marked triangles (longest edge), closure keeps conformity.
+class _EdgeTables:
+    """Unique edges, per-triangle edge ids (cycle order), longest edges."""
 
-    Args:
-      triangulation: dict with ``vertices`` (N, 2), ``triangles`` (T, 3)
-        and optional ``vertex_markers`` (N, 1) (1 = boundary).
-      marked: (T,) boolean mask of triangles to refine.
-
-    Returns a new triangulation dict of the same shape. Midpoint vertices
-    of boundary edges (edges with a single adjacent triangle) are marked
-    as boundary.
-    """
-    vertices = np.asarray(triangulation["vertices"], dtype=np.float64)
-    triangles = np.asarray(triangulation["triangles"], dtype=np.int64)
-    markers = np.asarray(
-        triangulation.get(
-            "vertex_markers", np.zeros((vertices.shape[0], 1), dtype=np.int64)
+    def __init__(self, vertices, triangles):
+        local = triangles[:, [[0, 1], [1, 2], [2, 0]]]  # (T, 3, 2)
+        flat = np.sort(local.reshape(-1, 2), axis=1)
+        self.edges, inverse, self.counts = np.unique(
+            flat, axis=0, return_inverse=True, return_counts=True
         )
-    ).reshape(-1, 1)
-    T = triangles.shape[0]
-    marked = np.asarray(marked, dtype=bool).reshape(-1)
-    if marked.shape[0] != T:
-        raise ValueError(f"marked has {marked.shape[0]} entries for {T} cells")
+        self.e_ids = inverse.reshape(-1, 3)
+        lens = np.linalg.norm(
+            vertices[local[..., 0]] - vertices[local[..., 1]], axis=-1
+        )
+        self.longest_local = lens.argmax(axis=1)
+        self.longest_edge = self.e_ids[
+            np.arange(triangles.shape[0]), self.longest_local
+        ]
 
-    # unique edges and per-triangle edge ids in cycle order (01, 12, 20)
-    local = triangles[:, [[0, 1], [1, 2], [2, 0]]]  # (T, 3, 2)
-    flat = np.sort(local.reshape(-1, 2), axis=1)
-    edges, inverse, counts = np.unique(
-        flat, axis=0, return_inverse=True, return_counts=True
-    )
-    e_ids = inverse.reshape(T, 3)
-    lens = np.linalg.norm(
-        vertices[local[..., 0]] - vertices[local[..., 1]], axis=-1
-    )
-    longest_local = lens.argmax(axis=1)
-    longest_edge = e_ids[np.arange(T), longest_local]
 
-    # closure: a triangle touching any marked edge must (also) split its
-    # longest edge; iterate to a fixpoint — monotone in the marked-edge
-    # set, so it terminates in <= n_edges rounds
-    edge_marked = np.zeros(edges.shape[0], dtype=bool)
-    edge_marked[longest_edge[marked]] = True
+def _closure(tables: _EdgeTables, edge_marked: np.ndarray) -> None:
+    """Mark the longest edge of every triangle touching a marked edge,
+    iterated to a fixpoint (monotone, so it terminates)."""
     while True:
-        touched = edge_marked[e_ids].any(axis=1)
-        grow = touched & ~edge_marked[longest_edge]
+        touched = edge_marked[tables.e_ids].any(axis=1)
+        grow = touched & ~edge_marked[tables.longest_edge]
         if not grow.any():
             break
-        edge_marked[longest_edge[grow]] = True
+        edge_marked[tables.longest_edge[grow]] = True
 
+
+def _bisect(vertices, triangles, markers, tables, edge_marked, edge_labels):
+    """Split triangles against a closed edge-mark set.
+
+    Requires the closure invariant: any triangle with a marked edge has its
+    longest edge marked. ``edge_labels`` (E,) provides the vertex label for
+    each new midpoint (0 for interior edges).
+    """
     n_mid = int(edge_marked.sum())
     if n_mid == 0:
         return {
             "vertices": vertices,
             "triangles": triangles,
             "vertex_markers": markers,
-        }
-    mid_of_edge = np.full(edges.shape[0], -1, dtype=np.int64)
+        }, np.full(tables.edges.shape[0], -1, dtype=np.int64)
+
+    mid_of_edge = np.full(tables.edges.shape[0], -1, dtype=np.int64)
     mid_of_edge[edge_marked] = vertices.shape[0] + np.arange(n_mid)
-    midpoints = vertices[edges[edge_marked]].mean(axis=1)
-    mid_markers = (counts[edge_marked] == 1).astype(np.int64).reshape(-1, 1)
+    midpoints = vertices[tables.edges[edge_marked]].mean(axis=1)
+    mid_markers = edge_labels[edge_marked].reshape(-1, 1)
 
     # rotate every split triangle so its longest edge is (a, b), apex c —
     # rotations preserve orientation
     rot = np.stack(
-        [longest_local, (longest_local + 1) % 3, (longest_local + 2) % 3],
+        [
+            tables.longest_local,
+            (tables.longest_local + 1) % 3,
+            (tables.longest_local + 2) % 3,
+        ],
         axis=1,
     )
     abc = np.take_along_axis(triangles, rot, axis=1)
     a, b, c = abc[:, 0], abc[:, 1], abc[:, 2]
-    # edge ids in the rotated frame: ab (longest), bc, ca
-    e_rot = np.take_along_axis(e_ids, rot, axis=1)
+    e_rot = np.take_along_axis(tables.e_ids, rot, axis=1)
     m_ab = mid_of_edge[e_rot[:, 0]]
     bc_m = edge_marked[e_rot[:, 1]]
     ca_m = edge_marked[e_rot[:, 2]]
     m_bc = mid_of_edge[e_rot[:, 1]]
     m_ca = mid_of_edge[e_rot[:, 2]]
 
-    split = edge_marked[longest_edge]
+    split = edge_marked[tables.longest_edge]
     out = [triangles[~split]]
 
     def tri(*cols):
@@ -128,8 +126,140 @@ def refine_adaptive(triangulation: dict, marked) -> dict:
     out.append(tri(m_ab[right_split], b[right_split], m_bc[right_split]))
     out.append(tri(m_ab[right_split], m_bc[right_split], c[right_split]))
 
-    return {
+    refined = {
         "vertices": np.concatenate([vertices, midpoints], axis=0),
         "triangles": np.concatenate([t for t in out if t.size], axis=0),
         "vertex_markers": np.concatenate([markers, mid_markers], axis=0),
     }
+    return refined, mid_of_edge
+
+
+def _load(triangulation, label_key="vertex_markers"):
+    vertices = np.asarray(triangulation["vertices"], dtype=np.float64)
+    triangles = np.asarray(triangulation["triangles"], dtype=np.int64)
+    markers = np.asarray(
+        triangulation.get(
+            label_key, np.zeros((vertices.shape[0], 1), dtype=np.int64)
+        )
+    ).reshape(-1, 1)
+    return vertices, triangles, markers
+
+
+def _boundary_edge_labels(tables, markers):
+    """Label per edge for new midpoints: boundary edges (one incident cell)
+    inherit the stronger endpoint label; interior edges stay 0."""
+    ml = markers.reshape(-1)
+    ends = np.maximum(ml[tables.edges[:, 0]], ml[tables.edges[:, 1]])
+    return np.where(tables.counts == 1, ends, 0).astype(np.int64)
+
+
+def refine_adaptive(triangulation: dict, marked) -> dict:
+    """Bisect marked triangles (longest edge), closure keeps conformity.
+
+    Args:
+      triangulation: dict with ``vertices`` (N, d), ``triangles`` (T, 3)
+        and optional ``vertex_markers`` (N, 1) (nonzero = boundary).
+      marked: (T,) boolean mask of triangles to refine.
+
+    Returns a new triangulation dict of the same shape. Midpoint vertices
+    of boundary edges (edges with a single adjacent triangle) inherit the
+    stronger endpoint marker.
+    """
+    vertices, triangles, markers = _load(triangulation)
+    marked = np.asarray(marked, dtype=bool).reshape(-1)
+    if marked.shape[0] != triangles.shape[0]:
+        raise ValueError(
+            f"marked has {marked.shape[0]} entries for "
+            f"{triangles.shape[0]} cells"
+        )
+
+    tables = _EdgeTables(vertices, triangles)
+    edge_marked = np.zeros(tables.edges.shape[0], dtype=bool)
+    edge_marked[tables.longest_edge[marked]] = True
+    _closure(tables, edge_marked)
+    labels = _boundary_edge_labels(tables, markers)
+    refined, _ = _bisect(
+        vertices, triangles, markers, tables, edge_marked, labels
+    )
+    return refined
+
+
+def refine_network_adaptive(
+    triangulations, mesh, marked, label_key: str = "vertex_labels"
+):
+    """Adaptively refine a fracture network, conforming across traces.
+
+    Args:
+      triangulations: the per-fracture 2D dicts the network mesh was built
+        from (order must match).
+      mesh: the ``FractureNetworkMesh`` built from them (supplies the glued
+        global vertex ids that identify shared trace edges).
+      marked: boolean mask over the network's flat cell axis.
+      label_key: vertex-label key carried in the dicts (the network glue
+        reads ``vertex_labels`` with a ``vertex_markers`` fallback).
+
+    Returns a list of refined per-fracture dicts (with both
+    ``vertex_labels`` and ``vertex_markers`` set) ready for a new
+    ``FractureNetworkMesh`` with the same corners.
+    """
+    tris = []
+    for t in triangulations:
+        v = np.asarray(t["vertices"], dtype=np.float64)
+        tr = np.asarray(t["triangles"], dtype=np.int64)
+        lab = t.get(label_key, t.get("vertex_markers"))
+        if lab is None:
+            lab = np.zeros((v.shape[0], 1), dtype=np.int64)
+        tris.append((v, tr, np.asarray(lab, dtype=np.int64).reshape(-1, 1)))
+
+    marked = np.asarray(marked, dtype=bool).reshape(-1)
+    counts_c = [t[1].shape[0] for t in tris]
+    if marked.shape[0] != sum(counts_c):
+        raise ValueError(
+            f"marked has {marked.shape[0]} entries for {sum(counts_c)} cells"
+        )
+    offsets_c = np.concatenate([[0], np.cumsum(counts_c)])
+    n_verts = [t[0].shape[0] for t in tris]
+    offsets_v = np.concatenate([[0], np.cumsum(n_verts)])
+    gids = np.asarray(mesh["global", "ids"]).reshape(-1)
+
+    tables = []
+    keys = []
+    marks = []
+    n_glob = int(gids.max()) + 1
+    for f, (v, tr, _) in enumerate(tris):
+        tab = _EdgeTables(v, tr)
+        tables.append(tab)
+        gpair = np.sort(
+            gids[offsets_v[f] + tab.edges], axis=1
+        )  # (E_f, 2) global ids
+        keys.append(gpair[:, 0] * n_glob + gpair[:, 1])
+        em = np.zeros(tab.edges.shape[0], dtype=bool)
+        cell_marked = marked[offsets_c[f] : offsets_c[f + 1]]
+        em[tab.longest_edge[cell_marked]] = True
+        marks.append(em)
+
+    # global fixpoint: per-fracture closure, then propagate marks on shared
+    # (same global vertex pair) edges across fractures; both steps are
+    # monotone in the marked sets, so the loop terminates
+    all_keys = np.concatenate(keys)
+    uniq_keys, key_inverse = np.unique(all_keys, return_inverse=True)
+    bounds = np.concatenate([[0], np.cumsum([k.size for k in keys])])
+    while True:
+        for f in range(len(tris)):
+            _closure(tables[f], marks[f])
+        shared = np.zeros(uniq_keys.size, dtype=bool)
+        flat_marks = np.concatenate(marks)
+        np.logical_or.at(shared, key_inverse, flat_marks)
+        new_flat = shared[key_inverse] & ~flat_marks
+        if not new_flat.any():
+            break
+        for f in range(len(tris)):
+            marks[f] |= new_flat[bounds[f] : bounds[f + 1]]
+
+    refined = []
+    for f, (v, tr, lab) in enumerate(tris):
+        labels = _boundary_edge_labels(tables[f], lab)
+        out, _ = _bisect(v, tr, lab, tables[f], marks[f], labels)
+        out["vertex_labels"] = out["vertex_markers"]
+        refined.append(out)
+    return refined

@@ -382,3 +382,67 @@ def test_network_p2_trace_continuity_and_convergence():
     # coarse h the P2 energy already exceeds the finer P1 energy
     assert errs[2][0] > errs[1][1] > errs[1][0]
     assert errs[2][1] >= errs[2][0] - 1e-10
+
+
+def test_network_adaptive_refinement_trace_conformity():
+    """Refining only one fracture must drag shared trace edges of the other
+    along (cross-fracture closure): the per-fracture trace subdivisions
+    stay identical, the glue stays watertight, and the solve runs."""
+    import jax.numpy as jnp
+
+    import pytorch_fem_solver_tpu as fem
+    from pytorch_fem_solver_tpu.mesh.dfn import build_fracture_network
+
+    f1 = [[-1, 0, 0], [1, 0, 0], [1, 1, 0], [-1, 1, 0]]
+    f2 = [[0, 0, -1], [0, 0, 1], [0, 1, 1], [0, 1, -1]]
+    mesh = build_fracture_network([f1, f2], h=0.3)
+
+    def trace_edge_sets(m):
+        gids = np.asarray(m["global", "ids"]).reshape(-1)
+        tr = np.asarray(m["cells", "vertices"])
+        cf = np.asarray(m["cells", "fracture"]).reshape(-1)
+        coords = np.asarray(m["global", "vertices_3d"])
+        sets = {}
+        for f in np.unique(cf):
+            cells = tr[cf == f]
+            edges = np.sort(
+                gids[cells[:, [[0, 1], [1, 2], [2, 0]]].reshape(-1, 2)], axis=1
+            )
+            p = coords[edges]
+            on_trace = (np.abs(p[..., 0]) < 1e-9).all(axis=1) & (
+                np.abs(p[..., 2]) < 1e-9
+            ).all(axis=1)
+            sets[int(f)] = set(map(tuple, edges[on_trace]))
+        return sets
+
+    m = mesh
+    for step in range(3):
+        cf = np.asarray(m["cells", "fracture"]).reshape(-1)
+        m = m.refined(cf == 0)  # one-sided marking every round
+        s = trace_edge_sets(m)
+        assert s[0] == s[1], f"trace subdivisions diverged at step {step}"
+
+    counts = np.bincount(np.asarray(m["cells", "fracture"]).reshape(-1))
+    assert counts[0] > 64 and counts[1] > 64  # conformity forced growth
+
+    V = fem.FractureNetworkBasis(m, fem.ElementTri(1, 2))
+    u = V.solve_iterative(
+        V.integrate_bilinear_form_local(
+            lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+        ),
+        V.integrate_linear_form(lambda b: b.v),
+        tol=1e-10,
+        symmetric_form=True,
+    )
+    assert np.isfinite(np.asarray(u)).all() and float(jnp.abs(u).max()) > 0
+
+    # a pytree round trip drops the host-side rebuild sources with a clear
+    # error rather than silent corruption
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(m)
+    m_rt = jax.tree_util.tree_unflatten(treedef, leaves)
+    import pytest
+
+    with pytest.raises(ValueError, match="host-side"):
+        m_rt.refined(np.zeros(m.n_cells, bool))

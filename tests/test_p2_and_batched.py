@@ -62,3 +62,4 @@ def test_meshes_tri_direct_batch():
     # per-mesh interior-edge normals are unit and oriented
     normals = np.asarray(batch["interior_edges", "normals"])
     np.testing.assert_allclose(np.linalg.norm(normals, axis=-1), 1.0, atol=1e-13)
+
