@@ -265,6 +265,44 @@ def test_random_network_fuzz():
         u_host = np.asarray(u)
         assert np.isfinite(u_host).all()
 
+        # symmetric canonical-pair assembly agrees with the full scatter on
+        # arbitrary-orientation networks (spill tiers, trace blocks)
+        from pytorch_fem_solver_tpu.ops.bsr import (
+            bsr_values_from_local,
+            bsr_values_from_local_symmetric,
+            get_bsr_structure,
+        )
+
+        st = get_bsr_structure(V, max_b=8)
+        local = V.integrate_bilinear_form_local(
+            lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+        )
+        v_full = bsr_values_from_local(st, local)
+        v_sym = bsr_values_from_local_symmetric(st, local)
+        np.testing.assert_allclose(
+            np.asarray(v_sym[0]), np.asarray(v_full[0]), atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_sym[1]), np.asarray(v_full[1]), atol=1e-11
+        )
+
+        # adaptive network refinement keeps the glue solvable on random
+        # geometry: refine a third of the cells, rebuild, solve again
+        marked = np.zeros(mesh.n_cells, bool)
+        marked[rng.integers(0, mesh.n_cells, size=mesh.n_cells // 3)] = True
+        mesh2 = mesh.refined(marked)
+        assert mesh2.n_cells > mesh.n_cells
+        V2 = fem.FractureNetworkBasis(mesh2, fem.ElementTri(1, 2))
+        u2 = V2.solve_iterative(
+            V2.integrate_bilinear_form_local(
+                lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+            ),
+            V2.integrate_linear_form(lambda b: b.v),
+            tol=1e-8,
+            symmetric_form=True,
+        )
+        assert np.isfinite(np.asarray(u2)).all()
+
 
 def test_network_edge_basis_trace_jump_matches_analytic():
     """Flux jump across the trace via InteriorEdgesNetworkBasis interpolation
