@@ -220,22 +220,43 @@ class Model:
     # -- checkpointing (superset of the reference, SURVEY.md §5) -----------
 
     def save_checkpoint(self, path: str):
-        """Serialize network parameters + training history to ``path`` (.npz)."""
+        """Serialize parameters, optimizer state + history to ``path`` (.npz).
+
+        Superset of the reference's in-memory snapshot (model.py:56,79,87):
+        including the optimizer state makes resumed training bitwise-
+        continuous (Adam moments survive the restart).
+        """
         leaves, _ = jax.tree_util.tree_flatten(self._neural_network)
         arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        opt_leaves, _ = jax.tree_util.tree_flatten(self._opt_state)
+        arrays.update(
+            {f"opt_{i}": np.asarray(x) for i, x in enumerate(opt_leaves)}
+        )
         arrays["loss_history"] = np.asarray(self._loss_history)
         arrays["validation_loss_history"] = np.asarray(self._validation_loss_history)
         arrays["accuracy_history"] = np.asarray(self._accuracy_history)
         np.savez(path, **arrays)
 
     def load_checkpoint(self, path: str):
-        """Restore parameters (and histories) saved by ``save_checkpoint``."""
+        """Restore parameters, optimizer state and histories.
+
+        Checkpoints written before optimizer state was included restore the
+        parameters and keep the freshly initialized optimizer.
+        """
         data = np.load(path)
         leaves, treedef = jax.tree_util.tree_flatten(self._neural_network)
         new_leaves = [
             jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))
         ]
         self._neural_network = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        opt_leaves, opt_treedef = jax.tree_util.tree_flatten(self._opt_state)
+        if "opt_0" in data or len(opt_leaves) == 0:
+            restored = [
+                jnp.asarray(data[f"opt_{i}"]) for i in range(len(opt_leaves))
+            ]
+            self._opt_state = jax.tree_util.tree_unflatten(
+                opt_treedef, restored
+            )
         self._loss_history = list(data["loss_history"])
         self._validation_loss_history = list(data["validation_loss_history"])
         self._accuracy_history = list(data["accuracy_history"])

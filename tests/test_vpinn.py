@@ -139,3 +139,47 @@ def test_early_stopping_and_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored(pts)), np.asarray(model.neural_network(pts))
     )
+
+
+def test_checkpoint_resume_is_bitwise_continuous(tmp_path):
+    """Saving after k epochs and resuming in a fresh Model reproduces the
+    uninterrupted run exactly — the optimizer state (Adam moments) rides
+    along in the checkpoint."""
+    mesh = fem.MeshTri(fem.unit_square(n=4))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+
+    def make(epochs):
+        nn = fem.FeedForwardNeuralNetwork(
+            2, 1, 1, 5, boundary_condition_modifier=bc, seed=0
+        )
+
+        def training_step(net):
+            pts = V.integration_points
+            val = net(pts)
+            loss = V.integrate_functional(lambda b: (val - 1.0) ** 2).sum()
+            return loss, loss, loss
+
+        return fem.Model(
+            neural_network=nn,
+            training_step=training_step,
+            epochs=epochs,
+            progress_bar=False,
+        )
+
+    straight = make(6)
+    straight.train()
+
+    first = make(3)
+    first.train()
+    path = tmp_path / "resume.npz"
+    first.save_checkpoint(str(path))
+
+    second = make(3)
+    second.load_checkpoint(str(path))
+    second.train()
+
+    full_hist = straight.get_training_history()[0]
+    resumed_hist = second.get_training_history()[0]
+    # histories concatenate: epochs 3..5 of the straight run match the
+    # resumed run's last three entries exactly
+    np.testing.assert_allclose(resumed_hist[-3:], full_hist[3:], rtol=0, atol=0)
