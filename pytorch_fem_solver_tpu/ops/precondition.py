@@ -47,6 +47,16 @@ def _mixed_matvec(eq, mat, vec, out_dtype):
     )
 
 
+def _apply_fine(blk_inv, inv_diag, r):
+    """Fine smoother application: batched block-Jacobi or point Jacobi."""
+    if blk_inv is None:
+        return inv_diag * r
+    k = blk_inv.shape[-1]
+    return _mixed_matvec(
+        "rij,rj->ri", blk_inv, r.reshape(-1, k), r.dtype
+    ).reshape(-1)
+
+
 class TwoLevelPreconditioner(NamedTuple):
     inv_diag: jnp.ndarray  # (n,)
     coarse_inv: jnp.ndarray  # (nb, nb) dense inverse of R^T A R
@@ -119,14 +129,7 @@ class BlockTwoLevel(NamedTuple):
         return jnp.repeat(z_c, self.g, total_repeat_length=r.shape[0])
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
-        if self.blk_inv is not None:
-            k = self.blk_inv.shape[-1]
-            fine = _mixed_matvec(
-                "rij,rj->ri", self.blk_inv, r.reshape(-1, k), r.dtype
-            ).reshape(-1)
-        else:
-            fine = self.inv_diag * r
-        return fine + self.coarse_apply(r)
+        return _apply_fine(self.blk_inv, self.inv_diag, r) + self.coarse_apply(r)
 
 
 def _fine_block_smoother(v1, block, fine="block_jacobi", operand_dtype=None):
@@ -345,9 +348,7 @@ class ThreeLevel(NamedTuple):
         return jnp.repeat(z_c, self.g1, total_repeat_length=r.shape[0])
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
-        k = self.blk_inv.shape[-1]
-        fine = _mixed_matvec("rij,rj->ri", self.blk_inv, r.reshape(-1, k), r.dtype)
-        return fine.reshape(-1) + self.coarse_apply(r)
+        return _apply_fine(self.blk_inv, None, r) + self.coarse_apply(r)
 
 
 def build_three_level_structure(
@@ -555,18 +556,11 @@ class AffineTwoLevel(NamedTuple):
     blk_inv: jnp.ndarray | None = None
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
-        if self.blk_inv is not None:
-            k = self.blk_inv.shape[-1]
-            fine = _mixed_matvec(
-                "rij,rj->ri", self.blk_inv, r.reshape(-1, k), r.dtype
-            ).reshape(-1)
-        else:
-            fine = self.inv_diag * r
         na, g, m = self.W.shape
         r_c = jnp.einsum("agm,ag->am", self.W, r.reshape(na, g)).reshape(-1)
         z_c = _mixed_matvec("ij,j->i", self.coarse_inv, r_c, r.dtype)
         z = jnp.einsum("agm,am->ag", self.W, z_c.reshape(na, m)).reshape(-1)
-        return fine + z
+        return _apply_fine(self.blk_inv, self.inv_diag, r) + z
 
 
 def default_affine_aggregate_size(
@@ -760,10 +754,7 @@ def mult_two_level_from_values(
         inner_values = tuple(v.astype(inner_dtype) for v in values)
 
     def smooth0(r):
-        k = blk_inv0.shape[-1]
-        return _mixed_matvec(
-            "rij,rj->ri", blk_inv0, r.reshape(-1, k), r.dtype
-        ).reshape(-1)
+        return _apply_fine(blk_inv0, None, r)
 
     matvec = lambda v: bsr_matvec(structure, inner_values, v)
     if omega == "auto":
@@ -809,10 +800,7 @@ def mult_three_level_from_values(
     blk_inv = base.blk_inv
 
     def smooth0(r):
-        k = blk_inv.shape[-1]
-        return _mixed_matvec(
-            "rij,rj->ri", blk_inv, r.reshape(-1, k), r.dtype
-        ).reshape(-1)
+        return _apply_fine(blk_inv, None, r)
 
     matvec0 = lambda v: bsr_matvec(structure, values, v)
     if omega == "auto":
