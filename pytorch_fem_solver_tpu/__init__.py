@@ -16,6 +16,7 @@ from .basis import (
     Basis,
     FractureBasis,
     FractureNetworkBasis,
+    BoundaryEdgesBasis,
     InteriorEdgesBasis,
     InteriorEdgesFractureBasis,
     InteriorEdgesNetworkBasis,
@@ -44,6 +45,7 @@ __all__ = [
     "InteriorEdgesNetworkBasis",
     "FractureNetworkMesh",
     "triangulate_pslg",
+    "BoundaryEdgesBasis",
     "InteriorEdgesBasis",
     "InteriorEdgesFractureBasis",
     "PatchesBasis",

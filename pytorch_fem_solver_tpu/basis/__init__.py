@@ -4,7 +4,7 @@ from .abstract_basis import AbstractBasis
 from .basis import Basis
 from .fracture_basis import FractureBasis, build_global_triangulation
 from .fracture_network_basis import FractureNetworkBasis, InteriorEdgesNetworkBasis
-from .interior_edges_basis import InteriorEdgesBasis
+from .interior_edges_basis import BoundaryEdgesBasis, InteriorEdgesBasis
 from .interior_edges_fracture_basis import InteriorEdgesFractureBasis
 from .patches_basis import PatchesBasis
 
@@ -14,6 +14,7 @@ __all__ = [
     "FractureBasis",
     "FractureNetworkBasis",
     "InteriorEdgesNetworkBasis",
+    "BoundaryEdgesBasis",
     "InteriorEdgesBasis",
     "InteriorEdgesFractureBasis",
     "PatchesBasis",

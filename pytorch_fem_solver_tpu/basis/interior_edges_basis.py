@@ -69,3 +69,41 @@ class InteriorEdgesBasis(AbstractBasis):
             ..., None, :, :
         ]
 
+
+
+@register_basis_pytree
+class BoundaryEdgesBasis(InteriorEdgesBasis):
+    """P1 quadrature basis over the *boundary* edges of a 2D mesh.
+
+    Beyond the reference (which supports only strong Dirichlet data):
+    linear forms over this basis assemble Neumann/Robin boundary terms
+    into the global vertex DOF vector —
+
+        b += integrate_linear_form(lambda b_: g(b_.integration_points) * b_.v)
+
+    — and ``integrate_functional`` gives boundary-flux functionals. Combine
+    with partial ``vertex_markers`` (mark only the Dirichlet portion) and
+    ``dirichlet_lift`` for mixed boundary-condition problems.
+    """
+
+    def _compute_dofs(self, mesh, element):
+        if element.polynomial_order != 1:
+            raise NotImplementedError("Polynomial order not implemented")
+
+        coords_4_global_dofs = mesh["vertices", "coordinates"]
+        global_dofs_4_elements = mesh["boundary_edges", "vertices"]
+        nodes_4_boundary_dofs = mesh["vertices", "markers"]
+
+        coords_4_elements = mesh.compute_coordinates_4_cells(
+            coords_4_global_dofs, global_dofs_4_elements
+        )
+
+        return (
+            coords_4_global_dofs,
+            global_dofs_4_elements,
+            nodes_4_boundary_dofs,
+            coords_4_elements,
+        )
+
+    def _edge_coordinates(self, mesh):
+        return mesh["boundary_edges", "coordinates"]

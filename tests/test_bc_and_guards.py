@@ -49,3 +49,50 @@ def test_training_survives_nan_loss():
 
     for leaf in jax.tree_util.tree_leaves(trained):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_boundary_edges_basis_mixed_neumann_dirichlet_exact():
+    """Mixed BCs through BoundaryEdgesBasis (beyond the reference, which
+    only supports strong Dirichlet): -lap(u)=0 with u=y exact, Dirichlet
+    on x=0 only, natural data du/dn = +-1 on top/bottom assembled as a
+    boundary linear form. P1 reproduces the linear solution exactly."""
+    tri = fem.unit_square(n=8)
+    v = np.asarray(tri["vertices"])
+    markers = (np.abs(v[:, 0]) < 1e-12).astype(np.int64).reshape(-1, 1)
+    mesh = fem.MeshTri(dict(tri, vertex_markers=markers))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    Vb = fem.BoundaryEdgesBasis(mesh, fem.ElementLine(1, 2))
+
+    A = V.integrate_bilinear_form(
+        lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+    )
+
+    def g_form(b):
+        y = b.integration_points[..., 1:2]
+        g = jnp.where(y > 1 - 1e-9, 1.0, jnp.where(y < 1e-9, -1.0, 0.0))
+        return g * b.v
+
+    b_neu = Vb.integrate_linear_form(g_form)
+    exact = V._coords4global_dofs[:, 1:2]
+    u_bc, rhs = V.dirichlet_lift(A, b_neu, exact)
+    u = V.solve(A, u_bc, rhs)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(exact), atol=1e-12)
+
+
+def test_boundary_edges_basis_pure_robin_exact():
+    """Robin problem with no Dirichlet set at all: -lap(u)=0 with
+    du/dn + u = 1 on the whole boundary has u == 1; the boundary mass term
+    assembles through integrate_bilinear_form on the edge basis."""
+    tri = fem.unit_square(n=6)
+    mesh = fem.MeshTri(
+        dict(tri, vertex_markers=np.zeros((len(tri["vertices"]), 1), np.int64))
+    )
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    Vb = fem.BoundaryEdgesBasis(mesh, fem.ElementLine(1, 2))
+
+    A = V.integrate_bilinear_form(
+        lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+    ) + Vb.integrate_bilinear_form(lambda b: b.v @ jnp.matrix_transpose(b.v))
+    b = Vb.integrate_linear_form(lambda b_: b_.v)
+    u = V.solve(A, V.solution_tensor(), b)
+    np.testing.assert_allclose(np.asarray(u), 1.0, atol=1e-12)
