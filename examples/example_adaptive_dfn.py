@@ -18,11 +18,8 @@ FEM_THETA (Doerfler fraction, default 0.5).
 """
 
 import os
-import pathlib
-import sys
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-
+import common  # noqa: F401  (repo path + CPU/float64 example defaults)
 import jax.numpy as jnp
 import numpy as np
 
