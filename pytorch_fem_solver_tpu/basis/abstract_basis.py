@@ -206,10 +206,17 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         worthwhile for large systems; ``"mult_two_level"`` cycles the same
         two levels multiplicatively (fewest iterations, 3 SpMVs/iteration).
         ``symmetric_form=True`` asserts the local matrices are symmetric,
-        enabling the canonical-pair assembly (1/3 fewer scattered entries
-        on the BSR path; wrong results for non-symmetric forms).
+        enabling the canonical-pair assembly (1/3 fewer scattered entries;
+        bsr-only — other methods raise so the saving never silently fails
+        to apply; wrong results for non-symmetric forms).
         """
         from ..ops.solvers import pcg
+
+        if symmetric_form and method != "bsr":
+            raise ValueError(
+                "symmetric_form=True is only implemented for method='bsr' "
+                f"(got method={method!r}); drop the flag or switch methods"
+            )
 
         if solution is None:
             solution = self.solution_tensor()

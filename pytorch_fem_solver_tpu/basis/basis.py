@@ -123,6 +123,10 @@ class Basis(AbstractBasis):
           quadrature points are pulled back into each adjacent cell's
           reference coordinates, shape functions re-evaluated there, yielding
           a leading cell-pair axis at dim -4 (for jump terms).
+        * ``basis`` is a :class:`BoundaryEdgesBasis`: one-sided traces — same
+          machinery through the single adjacent cell, the side axis at dim -4
+          has size 1 (for boundary-flux evaluation, e.g. du/dn on Neumann
+          edges).
 
         Parity: reference basis.py:98-177.
         """
@@ -132,7 +136,8 @@ class Basis(AbstractBasis):
             v_grad = self.v_grad
 
         elif isinstance(basis, InteriorEdgesBasis):
-            cells_4_interior_edges = basis.mesh["interior_edges", "cells"]  # (Ei, 2)
+            # (E, n_sides): 2 cells per interior edge, 1 per boundary edge
+            cells_4_interior_edges = basis._adjacent_cells()
 
             # (Ei, 2, 1, n_loc): DOF ids of both adjacent cells
             dof_idx = self._global_dofs4elements[cells_4_interior_edges][..., None, :]

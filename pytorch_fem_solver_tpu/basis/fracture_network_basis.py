@@ -57,18 +57,25 @@ class FractureNetworkBasis(Basis):
 
             # local edge order (01, 12, 02) matches the P2 shape functions
             local = np.sort(gcells[:, [[0, 1], [1, 2], [0, 2]]], axis=-1)
-            edges, inverse, counts = np.unique(
+            edges, inverse = np.unique(
                 local.reshape(-1, 2), axis=0, return_inverse=True,
-                return_counts=True,
             )
             cell_edges = inverse.reshape(-1, 3)
             midpoints = gverts[edges].mean(axis=1)
-            # a midpoint is Dirichlet iff its edge lies on the network's
-            # outer boundary: exactly one incident cell anywhere in the
-            # network (trace edges appear 2x per incident fracture) and
-            # both endpoints marked
+            # a midpoint is Dirichlet iff its global edge is a *boundary
+            # edge of at least one incident fracture* (OR over fractures,
+            # matching the P1 vertex rule of maximum.at over per-fracture
+            # markers) and both endpoints are marked. A network-wide
+            # incidence count would miss outer-boundary edges shared by two
+            # glued fracture borders (counts == 2 there).
+            be_pairs = np.sort(
+                global_ids[np.asarray(mesh["boundary_edges", "vertices"])],
+                axis=-1,
+            )
+            be_codes = be_pairs[:, 0] * n_gverts + be_pairs[:, 1]
+            edge_codes = edges[:, 0] * n_gverts + edges[:, 1]
             edge_mark = (
-                (counts == 1)
+                np.isin(edge_codes, be_codes)
                 & (gmark[edges[:, 0]] != 0)
                 & (gmark[edges[:, 1]] != 0)
             ).astype(np.int64)

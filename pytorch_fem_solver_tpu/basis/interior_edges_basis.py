@@ -59,6 +59,15 @@ class InteriorEdgesBasis(AbstractBasis):
     def _edge_coordinates(self, mesh):
         return mesh["interior_edges", "coordinates"]
 
+    def _adjacent_cells(self):
+        """Cell ids adjacent to each edge, shape (E, n_sides).
+
+        Interior edges have two sides (n_sides=2, for jump terms); boundary
+        edges one (n_sides=1, for flux traces). ``Basis.interpolate``
+        dispatches through this so both variants share the trace machinery.
+        """
+        return self.mesh["interior_edges", "cells"]
+
     def _compute_jacobian_map(self, mesh, element):
         return jnp.matrix_transpose(self._edge_coordinates(mesh)) @ (
             element.barycentric_grad
@@ -107,3 +116,6 @@ class BoundaryEdgesBasis(InteriorEdgesBasis):
 
     def _edge_coordinates(self, mesh):
         return mesh["boundary_edges", "coordinates"]
+
+    def _adjacent_cells(self):
+        return self.mesh["boundary_edges", "cells"]

@@ -79,6 +79,29 @@ def test_boundary_edges_basis_mixed_neumann_dirichlet_exact():
     np.testing.assert_allclose(np.asarray(u), np.asarray(exact), atol=1e-12)
 
 
+def test_interpolate_to_boundary_edges_one_sided_trace():
+    """Basis.interpolate must dispatch BoundaryEdgesBasis through the single
+    adjacent cell (boundary_edges/cells), not the interior-edge table —
+    boundary-flux traces (e.g. du/dn on Neumann edges) depend on it."""
+    mesh = fem.MeshTri(fem.unit_square(n=5))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    Vb = fem.BoundaryEdgesBasis(mesh, fem.ElementLine(1, 2))
+
+    coords = np.asarray(V._coords4global_dofs)
+    u = jnp.asarray((2 * coords[:, 0] - 3 * coords[:, 1] + 1).reshape(-1, 1))
+    vals, grads = V.interpolate(Vb, u)
+
+    vals = np.asarray(vals)  # (Eb, 1, q, 1, 1): singleton side axis at -4
+    assert vals.shape[0] == mesh["boundary_edges", "vertices"].shape[0]
+    assert vals.shape[1] == 1
+    pts = np.asarray(Vb.integration_points)  # (Eb, q, 1, 2)
+    exact = 2 * pts[..., 0] - 3 * pts[..., 1] + 1
+    np.testing.assert_allclose(vals[:, 0, :, 0, 0], exact[:, :, 0], atol=1e-12)
+    grads = np.asarray(grads)  # (Eb, 1, q, 1, 2)
+    np.testing.assert_allclose(grads[..., 0], 2.0, atol=1e-12)
+    np.testing.assert_allclose(grads[..., 1], -3.0, atol=1e-12)
+
+
 def test_boundary_edges_basis_pure_robin_exact():
     """Robin problem with no Dirichlet set at all: -lap(u)=0 with
     du/dn + u = 1 on the whole boundary has u == 1; the boundary mass term

@@ -467,6 +467,13 @@ def test_solve_iterative_symmetric_form_matches():
     u_full = V.solve_iterative(local, b, tol=1e-12)
     u_sym = V.solve_iterative(local, b, tol=1e-12, symmetric_form=True)
     np.testing.assert_allclose(np.asarray(u_sym), np.asarray(u_full), atol=1e-10)
+    # the canonical-pair saving is bsr-only; other methods must say so
+    # rather than silently ignoring the flag
+    import pytest
+
+    for method in ("ell", "segment"):
+        with pytest.raises(ValueError, match="symmetric_form"):
+            V.solve_iterative(local, b, method=method, symmetric_form=True)
 
 
 def test_mult_three_level_symmetric_and_converges():

@@ -37,6 +37,47 @@ def test_p2_edge_traces_continuous_and_exact():
     np.testing.assert_allclose(grads[:, 0, :, 0, 1], gy[:, :, 0], atol=1e-11)
 
 
+def test_p2_network_shared_border_edge_midpoint_is_dirichlet():
+    """Two fractures glued along a common *border* edge: that edge has two
+    incident cells network-wide, yet it lies on the outer boundary of both
+    fractures, so its P2 midpoint DOF must be Dirichlet (matching the P1
+    vertex rule). A network-wide incidence count of 1 would miss it."""
+    tri = fem.unit_square(n=4)
+    anchors = [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    corners_a = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]  # (x, y) -> (x, y, 0)
+    corners_b = [[0, 0, 0], [1, 0, 0], [0, 0, 1]]  # (x, y) -> (x, 0, y)
+    mesh = fem.FractureNetworkMesh(
+        [tri, tri], [corners_a, corners_b], anchor_vertices_2d=[anchors, anchors]
+    )
+    V = fem.FractureNetworkBasis(mesh, fem.ElementTri(2, 4))
+
+    coords = np.asarray(V._coords4global_dofs)
+    markers = np.asarray(V._nodes4boundary_dofs).reshape(-1)
+    n_gverts = mesh.n_global_dofs
+
+    # midpoint DOFs on the shared border edge y=0, z=0, 0<x<1
+    on_shared = (
+        (np.abs(coords[:, 1]) < 1e-12)
+        & (np.abs(coords[:, 2]) < 1e-12)
+        & (coords[:, 0] > 1e-12)
+        & (coords[:, 0] < 1 - 1e-12)
+    )
+    mid_shared = on_shared.copy()
+    mid_shared[:n_gverts] = False
+    assert mid_shared.sum() == 4  # n=4 grid: 4 midpoints along the edge
+    assert (markers[mid_shared] != 0).all()
+
+    # and interior midpoints (z=0 plane, strictly inside) stay free
+    interior = (
+        (np.abs(coords[:, 2]) < 1e-12)
+        & (coords[:, 0] > 1e-12) & (coords[:, 0] < 1 - 1e-12)
+        & (coords[:, 1] > 1e-12) & (coords[:, 1] < 1 - 1e-12)
+    )
+    interior[:n_gverts] = False
+    assert interior.any()
+    assert (markers[interior] == 0).all()
+
+
 def test_meshes_tri_direct_batch():
     """MeshesTri stacks equal-topology meshes; batched gathers line up."""
     t1 = fem.rectangle(3, 3)
