@@ -226,11 +226,17 @@ class Model:
         including the optimizer state makes resumed training bitwise-
         continuous (Adam moments survive the restart).
         """
-        leaves, _ = jax.tree_util.tree_flatten(self._neural_network)
+        leaves, treedef = jax.tree_util.tree_flatten(self._neural_network)
         arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
         opt_leaves, _ = jax.tree_util.tree_flatten(self._opt_state)
         arrays.update(
             {f"opt_{i}": np.asarray(x) for i, x in enumerate(opt_leaves)}
+        )
+        # architecture signature: validated on load so a checkpoint never
+        # silently restores into a different network shape
+        arrays["treedef"] = np.array(str(treedef))
+        arrays["leaf_shapes"] = np.array(
+            [str(tuple(np.shape(x))) for x in leaves]
         )
         arrays["loss_history"] = np.asarray(self._loss_history)
         arrays["validation_loss_history"] = np.asarray(self._validation_loss_history)
@@ -240,11 +246,33 @@ class Model:
     def load_checkpoint(self, path: str):
         """Restore parameters, optimizer state and histories.
 
+        Raises ``ValueError`` if the checkpoint's architecture signature
+        (pytree structure + leaf shapes) does not match the live network.
         Checkpoints written before optimizer state was included restore the
         parameters and keep the freshly initialized optimizer.
         """
         data = np.load(path)
         leaves, treedef = jax.tree_util.tree_flatten(self._neural_network)
+        if "treedef" in data and str(data["treedef"]) != str(treedef):
+            raise ValueError(
+                f"checkpoint {path!r} was written for a different network "
+                f"architecture:\n  checkpoint: {data['treedef']}\n"
+                f"  live:       {treedef}"
+            )
+        saved_shapes = [
+            str(s) for s in data["leaf_shapes"]
+        ] if "leaf_shapes" in data else None
+        live_shapes = [str(tuple(np.shape(x))) for x in leaves]
+        if saved_shapes is not None and saved_shapes != live_shapes:
+            bad = [
+                f"leaf {i}: checkpoint {s} vs live {l}"
+                for i, (s, l) in enumerate(zip(saved_shapes, live_shapes))
+                if s != l
+            ]
+            raise ValueError(
+                f"checkpoint {path!r} leaf shapes do not match the live "
+                "network: " + "; ".join(bad[:5])
+            )
         new_leaves = [
             jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))
         ]

@@ -141,6 +141,42 @@ def test_early_stopping_and_checkpoint(tmp_path):
     )
 
 
+def test_checkpoint_rejects_mismatched_architecture(tmp_path):
+    """A checkpoint saved for one architecture must fail cleanly (not load
+    garbage) into a network with different layer sizes or depth."""
+    import pytest
+
+    def make(neurons, layers=1):
+        nn = fem.FeedForwardNeuralNetwork(
+            2, 1, layers, neurons, boundary_condition_modifier=bc, seed=0
+        )
+        return fem.Model(
+            neural_network=nn,
+            training_step=lambda net: (jnp.float32(0),) * 3,
+            epochs=1,
+            progress_bar=False,
+        )
+
+    path = tmp_path / "arch.npz"
+    make(5).save_checkpoint(str(path))
+
+    # different width: same treedef, different leaf shapes
+    with pytest.raises(ValueError, match="leaf shapes|architecture"):
+        make(7).load_checkpoint(str(path))
+
+    # different depth: different treedef
+    with pytest.raises(ValueError, match="architecture"):
+        make(5, layers=2).load_checkpoint(str(path))
+
+    # matching architecture still round-trips
+    restored = make(5).load_checkpoint(str(path))
+    pts = jnp.asarray(np.random.default_rng(0).uniform(size=(4, 2)))
+    np.testing.assert_array_equal(
+        np.asarray(restored(pts)),
+        np.asarray(make(5).neural_network(pts)),
+    )
+
+
 def test_checkpoint_resume_is_bitwise_continuous(tmp_path):
     """Saving after k epochs and resuming in a fresh Model reproduces the
     uninterrupted run exactly — the optimizer state (Adam moments) rides
