@@ -333,38 +333,78 @@ def solve_pcg_sharded_bsr(
 def shard_basis_cells(basis, device_mesh: Optional[Mesh] = None):
     """Place a basis's per-cell quadrature arrays sharded over the mesh.
 
-    Shards the leading cell axis of ``v_grad``, ``integration_points`` and
-    ``_dx`` (and their fracture-batched variants along the flattened cell
-    axis) so that jitted losses built on the basis compute integration
-    locally per device, with XLA inserting the psum at the scatter-add.
-    Returns a shallow copy; the original basis is untouched.
+    Shards the cell axis of ``v_grad``, ``integration_points`` and ``_dx``
+    (and their fracture-batched variants along the per-batch cell axis) so
+    that jitted losses built on the basis compute integration locally per
+    device, with XLA inserting the psum at the scatter-add. Returns a
+    shallow copy; the original basis is untouched.
+
+    Cell counts that don't divide the device count are *padded* (never
+    silently left replicated): padded cells carry zero quadrature weight
+    and scatter into DOF 0, so every integral and assembled vector is
+    exact; geometry arrays repeat the last real cell so user closures see
+    finite coordinates. Per-cell outputs of ``integrate_functional`` gain
+    trailing zero rows for the padding — sums over cells are unchanged.
     """
     if device_mesh is None:
         device_mesh = make_device_mesh()
     axis = device_mesh.axis_names[0]
+    n_shards = int(device_mesh.devices.size)
 
     n_cells = int(basis.integration_points.shape[-4])
     batched = basis.integration_points.ndim > 4
+    pad = (-n_cells) % n_shards
+
+    def cell_axis_of(x):
+        # the CELL axis only (axis 0 flat, axis 1 behind a batch); anything
+        # else (quadrature, batch) must stay replicated — sharding it would
+        # force cross-device traffic into every per-cell op
+        return 1 if (batched and x.ndim >= 2 and x.shape[1] == n_cells) else 0
+
+    def pad_cells(x, mode):
+        ca = cell_axis_of(x)
+        if x.shape[ca] != n_cells or pad == 0:
+            return x
+        if mode == "zero":
+            shape = list(x.shape)
+            shape[ca] = pad
+            tail = jnp.zeros(shape, dtype=x.dtype)
+        else:  # repeat the last real cell: finite geometry for closures
+            tail = jnp.take(x, jnp.full((pad,), n_cells - 1), axis=ca)
+        return jnp.concatenate([x, tail], axis=ca)
 
     def shard_leading(x):
         if not isinstance(x, jax.Array) or x.ndim == 0:
             return x
-        # shard the CELL axis only (axis 0 flat, axis 1 behind a batch);
-        # anything else (quadrature, batch) must stay replicated — sharding
-        # it would force cross-device traffic into every per-cell op
-        cell_axis = 1 if (batched and x.ndim >= 2 and x.shape[1] == n_cells) else 0
-        if x.shape[cell_axis] != n_cells:
+        ca = cell_axis_of(x)
+        if x.shape[ca] != n_cells + pad:
             return x
-        if x.shape[cell_axis] % device_mesh.devices.size != 0:
-            return x  # not divisible: leave replicated rather than mis-shard
         spec = [None] * x.ndim
-        spec[cell_axis] = axis
+        spec[ca] = axis
         return jax.device_put(x, NamedSharding(device_mesh, P(*spec)))
 
     import copy
 
     out = copy.copy(basis)
-    out.v_grad = shard_leading(basis.v_grad)
-    out.integration_points = shard_leading(basis.integration_points)
-    out._dx = shard_leading(basis._dx)
+    out.v_grad = shard_leading(pad_cells(basis.v_grad, "edge"))
+    out.integration_points = shard_leading(
+        pad_cells(basis.integration_points, "edge")
+    )
+    out._dx = shard_leading(pad_cells(basis._dx, "zero"))
+    if pad:
+        # scatter targets for the padded cells: DOF 0, which receives only
+        # zeros (local values carry _dx == 0); rebuild the scatter indices
+        # to match the padded cell count
+        dofs = basis._global_dofs4elements
+        zshape = list(dofs.shape)
+        zshape[-2] = pad
+        dofs_p = jnp.concatenate(
+            [dofs, jnp.zeros(zshape, dtype=dofs.dtype)], axis=-2
+        )
+        out._global_dofs4elements = dofs_p
+        batch_size = dofs_p.shape[0] if dofs_p.ndim == 3 else None
+        rebuilt = out._build_assembly_parameters(
+            basis.n_dofs, dofs_p, basis._nodes4boundary_dofs, batch_size
+        )
+        out._basis_parameters = {**basis._basis_parameters, **rebuilt}
     return out

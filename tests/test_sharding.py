@@ -95,6 +95,49 @@ def test_sharded_basis_training_step(eight_devices):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-10)
 
 
+def test_sharded_basis_pads_non_divisible_cell_count(eight_devices):
+    """50 cells over 8 devices: the arrays must be PADDED and actually
+    sharded (never silently left replicated — the benchmark mesh's 214,988
+    cells don't divide 8), and every integral must stay exact."""
+    mesh = fem.MeshTri(fem.unit_square(n=5))  # 50 cells, 50 % 8 == 2
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    assert V.integration_points.shape[0] % 8 != 0
+    V_sharded = shard_basis_cells(V, eight_devices)
+
+    # padded to the next multiple of 8 and genuinely cell-sharded
+    assert V_sharded.integration_points.shape[0] == 56
+    for arr in (V_sharded.v_grad, V_sharded.integration_points, V_sharded._dx):
+        spec = arr.sharding.spec
+        assert spec and spec[0] == eight_devices.axis_names[0], spec
+
+    # functional integrals: padded cells contribute exactly zero
+    # (sum of P1 shape values is 1, so integrating b.v gives the area)
+    area_sh = float(V_sharded.integrate_functional(lambda b: b.v).sum())
+    assert abs(area_sh - 1.0) < 1e-12
+
+    # assembled linear form + VPINN loss/grad parity with the replicated run
+    nn = fem.FeedForwardNeuralNetwork(2, 1, 1, 6)
+
+    def residual(basis, gradient):
+        return basis.v - (
+            basis.v_grad @ jnp.matrix_transpose(gradient(basis.integration_points))
+        )
+
+    def loss_fn(net, basis):
+        r = basis.reduce(basis.integrate_linear_form(residual, net.gradient))
+        return jnp.sum(r**2)
+
+    loss_ref = float(loss_fn(nn, V))
+    loss_sharded = float(jax.jit(loss_fn)(nn, V_sharded))
+    assert abs(loss_ref - loss_sharded) < 1e-10 * max(1.0, abs(loss_ref))
+    g_ref = jax.grad(loss_fn)(nn, V)
+    g_sh = jax.jit(jax.grad(loss_fn))(nn, V_sharded)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_sh)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-10)
+
+
 def test_sharded_ell_pcg_matches_single_device(eight_devices):
     """Row-sharded hybrid-ELL PCG == single-device, incl. the spill tail."""
     tri = fem.rectangle(10, 5, x0=-1.0, x1=1.0, y0=0.0, y1=1.0)
