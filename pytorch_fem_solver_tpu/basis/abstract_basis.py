@@ -192,6 +192,7 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         method: str = "bsr",
         precondition: str = "jacobi",
         symmetric_form: bool = False,
+        return_info: bool = False,
     ) -> jnp.ndarray:
         """Matrix-free preconditioned CG on the reduced system.
 
@@ -266,7 +267,7 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
 
                 precond = mult_two_level_from_values(structure, values, diag)
             b_pad = bsr_reduce(structure, vector)
-            x, _ = pcg(
+            x, info = pcg(
                 lambda v: bsr_matvec(structure, values, v),
                 b_pad,
                 precond_diag=diag,
@@ -274,7 +275,8 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                 tol=tol,
                 maxiter=maxiter,
             )
-            return solution + bsr_expand(structure, x, self.n_dofs)
+            u = solution + bsr_expand(structure, x, self.n_dofs)
+            return (u, info) if return_info else u
 
         rhs = self.reduce(vector) if only_inner_dofs else vector
 
@@ -316,7 +318,7 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                     self._two_level_structure = tl
                 precond = two_level_from_values(tl, structure, values, diag)
 
-        x, _ = pcg(
+        x, info = pcg(
             matvec,
             rhs[..., 0],
             precond_diag=diag,
@@ -325,7 +327,8 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
             maxiter=maxiter,
         )
         inner = self._basis_parameters["inner_dofs"]
-        return solution.at[..., inner, 0].add(x)
+        u = solution.at[..., inner, 0].add(x)
+        return (u, info) if return_info else u
 
     # -- abstract surface -------------------------------------------------
 

@@ -74,6 +74,7 @@ def solve_pcg_sharded(
     device_mesh: Optional[Mesh] = None,
     tol: float = 1e-10,
     maxiter: Optional[int] = None,
+    return_info: bool = False,
 ):
     """Matrix-free Jacobi-PCG with cells sharded over a device mesh.
 
@@ -104,7 +105,7 @@ def solve_pcg_sharded(
         shard_map,
         mesh=device_mesh,
         in_specs=(P(axis), P(axis), P(), P()),
-        out_specs=P(),
+        out_specs=(P(), P(), P(), P()),
     )
     def run(local_chunk, dofs_chunk, b_full, diag_full):
         def matvec(x_reduced):
@@ -114,12 +115,17 @@ def solve_pcg_sharded(
             y_partial = local_matvec(local_chunk, dofs_chunk, n, x_full)
             return jax.lax.psum(y_partial, axis)[inner]
 
-        x, _ = pcg(matvec, b_full, precond_diag=diag_full, tol=tol, maxiter=maxiter)
-        return x
+        x, info = pcg(matvec, b_full, precond_diag=diag_full, tol=tol, maxiter=maxiter)
+        return x, info.iterations, info.residual_norm, info.converged
 
-    x = run(local, dofs, b_reduced, diag)
+    x, it, res, conv = run(local, dofs, b_reduced, diag)
     solution = basis.solution_tensor()
-    return solution.at[..., inner, 0].add(x)
+    u = solution.at[..., inner, 0].add(x)
+    if return_info:
+        from ..ops.solvers import PCGInfo
+
+        return u, PCGInfo(it, res, conv)
+    return u
 
 
 def solve_pcg_sharded_ell(
@@ -130,6 +136,7 @@ def solve_pcg_sharded_ell(
     tol: float = 1e-10,
     maxiter: Optional[int] = None,
     max_k: int = 8,
+    return_info: bool = False,
 ):
     """Jacobi-PCG with the hybrid-ELL operator row-sharded over the mesh.
 
@@ -185,7 +192,7 @@ def solve_pcg_sharded_ell(
         shard_map,
         mesh=device_mesh,
         in_specs=(P(axis), P(axis), P(), P(), P()),
-        out_specs=P(),
+        out_specs=(P(), P(), P(), P()),
         # the result is mathematically replicated (all_gather each matvec)
         # but the varying-axis tracker cannot prove it
         check_vma=False,
@@ -213,13 +220,19 @@ def solve_pcg_sharded_ell(
                 )
             return jax.lax.all_gather(y_local, axis, tiled=True)
 
-        x, _ = pcg(matvec, b_full, precond_diag=diag_full, tol=tol, maxiter=maxiter)
-        return x
+        x, info = pcg(matvec, b_full, precond_diag=diag_full, tol=tol, maxiter=maxiter)
+        return x, info.iterations, info.residual_norm, info.converged
 
-    x = run(ell_p, cols_p, b_p, diag_p, spill)[:n]
+    x, it, res, conv = run(ell_p, cols_p, b_p, diag_p, spill)
+    x = x[:n]
     solution = basis.solution_tensor()
     inner = basis._basis_parameters["inner_dofs"]
-    return solution.at[..., inner, 0].add(x)
+    u = solution.at[..., inner, 0].add(x)
+    if return_info:
+        from ..ops.solvers import PCGInfo
+
+        return u, PCGInfo(it, res, conv)
+    return u
 
 
 def solve_pcg_sharded_bsr(
@@ -230,6 +243,7 @@ def solve_pcg_sharded_bsr(
     tol: float = 1e-10,
     maxiter: Optional[int] = None,
     precondition: str = "two_level",
+    return_info: bool = False,
 ):
     """PCG with the 8x8 block-sparse operator row-sharded over the mesh.
 
@@ -298,7 +312,7 @@ def solve_pcg_sharded_bsr(
         shard_map,
         mesh=device_mesh,
         in_specs=(P(axis), P(axis), P()),
-        out_specs=P(),
+        out_specs=(P(), P(), P(), P()),
         # the iterate is mathematically replicated (all_gather per matvec)
         # but the varying-axis tracker cannot prove it
         check_vma=False,
@@ -313,21 +327,27 @@ def solve_pcg_sharded_bsr(
             ).reshape(-1)
             return jax.lax.all_gather(y_local, axis, tiled=True)
 
-        x, _ = pcg(
+        x, info = pcg(
             matvec,
             b_full,
             precond=precond,
             tol=tol,
             maxiter=maxiter,
         )
-        return x
+        return x, info.iterations, info.residual_norm, info.converged
 
     b_p = jnp.concatenate(
         [b_pad, jnp.zeros((row_pad * k,), dtype=b_pad.dtype)]
     )
-    x = run(values_p, bcols_p, b_p)[: structure.n_pad]
+    x, it, res, conv = run(values_p, bcols_p, b_p)
+    x = x[: structure.n_pad]
     solution = basis.solution_tensor()
-    return solution + bsr_expand(structure, x, basis.n_dofs)
+    u = solution + bsr_expand(structure, x, basis.n_dofs)
+    if return_info:
+        from ..ops.solvers import PCGInfo
+
+        return u, PCGInfo(it, res, conv)
+    return u
 
 
 def shard_basis_cells(basis, device_mesh: Optional[Mesh] = None):

@@ -197,3 +197,41 @@ def test_sharded_bsr_pcg_on_fracture_network(eight_devices):
     np.testing.assert_allclose(
         np.asarray(u_sharded), np.asarray(u_single), atol=1e-11
     )
+
+
+def test_benchmark_network_iteration_parity(eight_devices):
+    """Reduced seven-fractures network: the sharded BSR two-level and the
+    sharded ELL solves must match the single-device iteration counts within
+    +-2 — row padding must not degrade the preconditioner (the aggregate-
+    degeneration failure class of commit b784376)."""
+    from pytorch_fem_solver_tpu.parallel import solve_pcg_sharded_bsr
+    from pytorch_fem_solver_tpu.utils import build_benchmark_network
+
+    net = build_benchmark_network(h=0.3)
+    V = fem.FractureNetworkBasis(net, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(stiffness)
+    b = V.integrate_linear_form(lambda basis: basis.v)
+
+    u_ref, info_ref = V.solve_iterative(
+        local, b, tol=1e-9, precondition="two_level", return_info=True
+    )
+    u_sb, info_sb = solve_pcg_sharded_bsr(
+        V, local, b, eight_devices, tol=1e-9, return_info=True
+    )
+    assert abs(int(info_sb.iterations) - int(info_ref.iterations)) <= 2, (
+        int(info_sb.iterations), int(info_ref.iterations))
+    np.testing.assert_allclose(
+        np.asarray(u_sb), np.asarray(u_ref), atol=1e-7
+    )
+
+    u_jac, info_jac = V.solve_iterative(
+        local, b, tol=1e-9, method="ell", return_info=True
+    )
+    u_se, info_se = solve_pcg_sharded_ell(
+        V, local, b, eight_devices, tol=1e-9, return_info=True
+    )
+    assert abs(int(info_se.iterations) - int(info_jac.iterations)) <= 2, (
+        int(info_se.iterations), int(info_jac.iterations))
+    np.testing.assert_allclose(
+        np.asarray(u_se), np.asarray(u_jac), atol=1e-7
+    )
