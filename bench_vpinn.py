@@ -1,15 +1,19 @@
-"""Secondary benchmark: RVPINN epoch throughput, TPU vs reference-style torch-CPU.
+"""Secondary benchmark: RVPINN epoch throughput, TPU vs the ACTUAL reference.
 
-The reference's per-epoch hot loop (SURVEY.md §3.3) is: NN forward +
-input-gradient at all quadrature points, weighted scatter into the residual
-vector, Gram-preconditioned loss, double backward, Adam step. This script
-times that epoch on (a) this framework on the TPU (whole step in one jit)
-and (b) an equivalent torch-CPU implementation mirroring the reference's
-``Model.train`` structure (torch.jit.script-ed MLP like model.py:27,
-autograd.grad with create_graph, index_put_ scatter).
+Workload: the reference's flagship `examples/example_weak.py` epoch — NN
+forward + input-gradient at all quadrature points, weighted scatter into the
+residual vector, Gram-preconditioned loss, relative-loss + H1-accuracy
+metrics, double backward, Adam step.
 
-Not run by the driver (bench.py is the primary metric); prints one JSON line
-for the record.
+The CPU baseline drives the REAL reference package at /root/reference — its
+``Model.train`` (torch_fem/model/model.py:61-99), ``Basis`` assembly and
+TorchScript MLP — on the same mesh, widths and epoch count (tensordict is
+not installed here, so a minimal shim, tools/tensordict_shim.py, stands in;
+the timed code is all reference code). The TPU side runs this framework
+with the identical training_step math inside one jit.
+
+Not run by the driver (bench.py is the primary metric); prints one JSON
+line for the record.
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ N = int(os.environ.get("VPINN_N", "64"))  # unit-square mesh resolution
 EPOCHS = int(os.environ.get("VPINN_EPOCHS", "50"))
 WIDTH = int(os.environ.get("VPINN_WIDTH", "15"))
 DEPTH = int(os.environ.get("VPINN_DEPTH", "4"))
+THREADS = int(os.environ.get("VPINN_CPU_THREADS", str(os.cpu_count() or 8)))
 
 
 def log(*a):
@@ -57,15 +62,42 @@ def tpu_epoch_time():
         )
     )
 
+    def exact(x, y):
+        return jnp.sin(math.pi * x) * jnp.sin(math.pi * y)
+
+    def exact_dx(x, y):
+        return math.pi * jnp.cos(math.pi * x) * jnp.sin(math.pi * y)
+
+    def exact_dy(x, y):
+        return math.pi * jnp.sin(math.pi * x) * jnp.cos(math.pi * y)
+
+    def h1_exact(basis):
+        x, y = basis.integration_points[..., 0:1], basis.integration_points[..., 1:2]
+        return exact(x, y) ** 2 + exact_dx(x, y) ** 2 + exact_dy(x, y) ** 2
+
+    exact_norm = jnp.sqrt(jnp.sum(V.integrate_functional(h1_exact)))
+
     def residual(basis, gradient):
         pts = basis.integration_points
         x, y = pts[..., 0:1], pts[..., 1:2]
         rhs = 2.0 * math.pi**2 * jnp.sin(math.pi * x) * jnp.sin(math.pi * y)
         return rhs * basis.v - (basis.v_grad @ jnp.matrix_transpose(gradient(pts)))
 
+    def h1_norm(basis, net, gradient):
+        pts = basis.integration_points
+        x, y = pts[..., 0:1], pts[..., 1:2]
+        g = gradient(pts)
+        return (
+            (exact(x, y) - net(pts)) ** 2
+            + (exact_dx(x, y) - g[..., 0:1]) ** 2
+            + (exact_dy(x, y) - g[..., 1:2]) ** 2
+        )
+
     tx = optax.adam(1e-3)
     opt_state = tx.init(nn)
 
+    # the full example_weak training step: loss + the two metrics the
+    # reference computes every epoch (same work on both sides)
     @jax.jit
     def step(net, opt_state):
         def loss_fn(net):
@@ -73,121 +105,165 @@ def tpu_epoch_time():
             return (r.T @ (gram_inv @ r))[0, 0]
 
         loss, grads = jax.value_and_grad(loss_fn)(net)
+        relative = jnp.sqrt(loss) / exact_norm**2
+        h1_err = jnp.sqrt(
+            jnp.sum(V.integrate_functional(h1_norm, net, net.gradient))
+        )
         updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(net, updates), opt_state, loss
+        return (
+            optax.apply_updates(net, updates),
+            opt_state,
+            loss,
+            relative,
+            h1_err / exact_norm,
+        )
 
-    nn, opt_state, loss = step(nn, opt_state)
+    nn, opt_state, loss, rel, acc = step(nn, opt_state)
     _ = float(loss)  # sync
     t0 = time.perf_counter()
     for _ in range(EPOCHS):
-        nn, opt_state, loss = step(nn, opt_state)
-    final = float(loss)  # sync
+        nn, opt_state, loss, rel, acc = step(nn, opt_state)
+    final = float(loss)  # forces the host sync axon needs
     dt = (time.perf_counter() - t0) / EPOCHS
-    log(f"tpu: {dt*1e3:.2f} ms/epoch  loss {final:.4e}  cells {mesh.n_cells}")
+    log(
+        f"tpu: {dt*1e3:.2f} ms/epoch  loss {final:.4e} "
+        f"acc {float(acc):.4f}  cells {mesh.n_cells}"
+    )
     return dt, mesh.n_cells
 
 
-def cpu_epoch_time(n_cells_expected):
+def _reference_mesh_dict():
+    """The same mesh as the TPU side, in triangle-library key layout
+    (incl. unique edges + cell neighbors so the reference takes its O(E)
+    topology path, abstract_mesh.py:207-230)."""
+    import pytorch_fem_solver_tpu as fem
+    from pytorch_fem_solver_tpu.mesh.topology import build_tri_topology
+
+    tri = fem.unit_square(n=N)
+    verts = np.asarray(tri["vertices"], dtype=np.float64)
+    cells = np.asarray(tri["triangles"], dtype=np.int64)
+    markers = np.asarray(tri["vertex_markers"], dtype=np.int64)
+    topo = build_tri_topology(verts, cells, markers)
+
+    # neighbors (T, 3), -1-padded: the reference only uses -1 vs not
+    T = cells.shape[0]
+    neighbors = -np.ones((T, 3), dtype=np.int64)
+    fill = np.zeros(T, dtype=np.int64)
+    for a, b in np.asarray(topo["interior_edges_cells"]):
+        neighbors[a, fill[a]] = b
+        fill[a] += 1
+        neighbors[b, fill[b]] = a
+        fill[b] += 1
+
+    return {
+        "vertices": verts,
+        "vertex_markers": markers.reshape(-1, 1).astype(np.int32),
+        "triangles": cells.astype(np.int32),
+        "edges": np.asarray(topo["edges_vertices"], dtype=np.int32),
+        "edge_markers": np.asarray(topo["edges_markers"], dtype=np.int32),
+        "neighbors": neighbors.astype(np.int32),
+    }
+
+
+def reference_epoch_time(n_cells_expected):
+    """Drive the actual /root/reference package as the CPU baseline."""
     import torch
 
-    torch.set_num_threads(os.cpu_count() or 8)
+    torch.set_num_threads(THREADS)
     torch.set_default_dtype(torch.float32)
 
-    import pytorch_fem_solver_tpu as fem
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import tools.tensordict_shim as tensordict_shim
 
-    # same mesh/quadrature data, reference-style torch pipeline
-    mesh = fem.MeshTri(fem.unit_square(n=N))
-    V = fem.Basis(mesh, fem.ElementTri(1, 4))
-    pts = torch.tensor(np.asarray(V.integration_points, dtype=np.float32))
-    v = torch.tensor(np.asarray(V.v, dtype=np.float32))
-    v_grad = torch.tensor(np.asarray(V.v_grad, dtype=np.float32))
-    dx = torch.tensor(np.asarray(V._dx, dtype=np.float32))
-    dofs = torch.tensor(
-        np.asarray(V._global_dofs4elements).astype(np.int64)
+    sys.modules.setdefault("tensordict", tensordict_shim)
+    sys.path.insert(0, "/root/reference")
+    from torch_fem import (  # noqa: E402 — the real reference package
+        Basis,
+        ElementTri,
+        FeedForwardNeuralNetwork,
+        MeshTri,
+        Model,
     )
-    inner = torch.tensor(
-        np.asarray(V._basis_parameters["inner_dofs"]).astype(np.int64)
-    )
-    n_dofs = V.n_dofs
-    assert mesh.n_cells == n_cells_expected, "CPU run rebuilt a different mesh"
 
-    import jax.numpy as jnp
+    mesh = MeshTri(triangulation=_reference_mesh_dict())
+    basis = Basis(mesh, ElementTri(polynomial_order=1, integration_order=4))
+    assert basis.v_grad.shape[0] == n_cells_expected, "mesh mismatch"
 
-    gram_inv_np = np.asarray(
-        jnp.linalg.inv(
-            V.reduce(
-                V.integrate_bilinear_form(
-                    lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
-                )
-            )
-        ),
-        dtype=np.float32,
-    )
-    gram_inv = torch.tensor(gram_inv_np)
+    class BoundaryConstrain(torch.nn.Module):
+        def forward(self, inputs):
+            x, y = torch.split(inputs, 1, dim=-1)
+            return x * (x - 1) * y * (y - 1)
 
-    layers = []
-    dims = [2] + [WIDTH] * (DEPTH + 1) + [1]
-    for i, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
-        layers.append(torch.nn.Linear(a, b))
-        if i < len(dims) - 2:
-            layers.append(torch.nn.Tanh())
-
-    class BCNet(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.net = torch.nn.Sequential(*layers)
-
-        def forward(self, x):
-            xx, yy = x[..., 0:1], x[..., 1:2]
-            return self.net(x) * (xx * (xx - 1) * yy * (yy - 1))
-
-    module = BCNet()
-    scripted = torch.jit.script(module)  # the reference scripts its MLP
-    net = module  # keep eager params for the optimizer
-
-    def forward(x):
-        return scripted(x)
-
-    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
-
-    def epoch():
-        opt.zero_grad()
-        p = pts.clone().requires_grad_(True)
-        out = forward(p)
-        grad = torch.autograd.grad(
-            [out], [p], grad_outputs=[torch.ones_like(out)], create_graph=True
-        )[0]
-        x, y = pts[..., 0:1], pts[..., 1:2]
-        rhs = (
-            2.0
-            * math.pi**2
-            * torch.sin(math.pi * x)
-            * torch.sin(math.pi * y)
+    gram_inv = torch.inverse(
+        basis.reduce(
+            basis.integrate_bilinear_form(lambda b: b.v_grad @ b.v_grad.mT)
         )
-        integrand = rhs * v - (v_grad @ grad.mT)
-        local = (integrand * dx).sum(-3)
-        r_full = torch.zeros(n_dofs, 1)
-        r_full.index_put_(
-            (dofs.reshape(-1),), local.reshape(-1, 1), accumulate=True
-        )
-        r = r_full[inner]
-        loss = (r.T @ (gram_inv @ r))[0, 0]
-        loss.backward()
-        opt.step()
-        return float(loss)
+    )
 
-    epoch()  # warmup
+    def exact(x, y):
+        return torch.sin(math.pi * x) * torch.sin(math.pi * y)
+
+    def exact_dx(x, y):
+        return math.pi * torch.cos(math.pi * x) * torch.sin(math.pi * y)
+
+    def exact_dy(x, y):
+        return math.pi * torch.sin(math.pi * x) * torch.cos(math.pi * y)
+
+    def h1_exact(b):
+        x, y = torch.split(b.integration_points, 1, dim=-1)
+        return exact(x, y) ** 2 + exact_dx(x, y) ** 2 + exact_dy(x, y) ** 2
+
+    exact_norm = torch.sqrt(torch.sum(basis.integrate_functional(h1_exact)))
+
+    def residual(b, gradient):
+        pts = b.integration_points
+        x, y = torch.split(pts, 1, dim=-1)
+        rhs = 2.0 * math.pi**2 * torch.sin(math.pi * x) * torch.sin(math.pi * y)
+        return rhs * b.v - (b.v_grad @ gradient(pts).mT)
+
+    def h1_norm(b, net, gradient):
+        pts = b.integration_points
+        x, y = torch.split(pts, 1, dim=-1)
+        dx, dy = torch.split(gradient(pts), 1, dim=-1)
+        return (
+            (exact(x, y) - net(pts)) ** 2
+            + (exact_dx(x, y) - dx) ** 2
+            + (exact_dy(x, y) - dy) ** 2
+        )
+
+    def training_step(net):
+        r = basis.reduce(basis.integrate_linear_form(residual, net.gradient))
+        loss = r.T @ (gram_inv @ r)
+        relative = torch.sqrt(loss) / exact_norm**2
+        h1_err = torch.sqrt(
+            torch.sum(basis.integrate_functional(h1_norm, net, net.gradient))
+        )
+        return loss, relative, h1_err / exact_norm
+
+    def make_model(epochs):
+        nn = FeedForwardNeuralNetwork(
+            input_dimension=2,
+            output_dimension=1,
+            nb_hidden_layers=DEPTH,
+            neurons_per_layers=WIDTH,
+            boundary_condition_modifier=BoundaryConstrain(),
+        )
+        return Model(neural_network=nn, training_step=training_step, epochs=epochs)
+
+    make_model(3).train()  # warms TorchScript compilation caches
+
+    model = make_model(EPOCHS)
     t0 = time.perf_counter()
-    for _ in range(EPOCHS):
-        final = epoch()
+    model.train()
     dt = (time.perf_counter() - t0) / EPOCHS
-    log(f"cpu: {dt*1e3:.2f} ms/epoch  loss {final:.4e}")
+    final = model.get_training_history()[0][-1]
+    log(f"reference-cpu: {dt*1e3:.2f} ms/epoch  loss {final:.4e}  threads {THREADS}")
     return dt
 
 
 def main():
     tpu_dt, n_cells = tpu_epoch_time()
-    cpu_dt = cpu_epoch_time(n_cells)
+    cpu_dt = reference_epoch_time(n_cells)
     print(
         json.dumps(
             {
@@ -202,6 +278,9 @@ def main():
                     "width": WIDTH,
                     "depth": DEPTH,
                     "cpu_s_per_epoch": cpu_dt,
+                    "cpu_threads": THREADS,
+                    "baseline": "actual reference package Model.train "
+                    "(torch_fem/model/model.py:61-99) via tensordict shim",
                 },
             }
         )
