@@ -24,6 +24,8 @@ import time
 import numpy as np
 
 H = float(os.environ.get("BENCH_H", "0.03"))
+CPU_THREADS = int(os.environ.get("BENCH_CPU_THREADS", str(os.cpu_count() or 8)))
+CPU_REPEATS = int(os.environ.get("BENCH_CPU_REPEATS", "5"))
 PCG_ITERS = int(os.environ.get("BENCH_PCG_ITERS", "600"))  # iteration cap
 TOL = float(os.environ.get("BENCH_TOL", "1e-6"))  # relative residual target
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
@@ -74,8 +76,9 @@ def timed_solve(assemble_and_solve):
         x_host = np.asarray(x)
         times.append(time.perf_counter() - t0)
     tpu_time = float(np.median(times))
+    spread = (float(np.min(times)), float(np.max(times)))
     log(f"tpu times: {['%.4f' % t for t in times]} -> median {tpu_time:.4f}s")
-    return tpu_time, float(res), int(iters), x_host
+    return tpu_time, float(res), int(iters), x_host, spread
 
 
 def tpu_run_bsr(mesh):
@@ -218,10 +221,10 @@ def tpu_run_bsr(mesh):
         rel = info.residual_norm / jnp.sqrt(jnp.sum(b_pad * b_pad))
         return x, info.iterations, rel
 
-    tpu_time, res, iters, x_host = timed_solve(assemble_and_solve)
+    tpu_time, res, iters, x_host, spread = timed_solve(assemble_and_solve)
     x_full = np.zeros(V.n_dofs, dtype=np.float64)
     x_full[st.inner_perm] = x_host[: st.n_inner].astype(np.float64)
-    return tpu_time, res, iters, x_full
+    return tpu_time, res, iters, x_full, spread
 
 
 def tpu_run(mesh):
@@ -300,17 +303,23 @@ def tpu_run(mesh):
             jnp.sum(b_red * b_red)
         )
 
-    tpu_time, res, iters, x_host = timed_solve(assemble_and_solve)
+    tpu_time, res, iters, x_host, spread = timed_solve(assemble_and_solve)
     x_full = np.zeros(n, dtype=np.float64)
     x_full[np.asarray(inner)] = x_host.astype(np.float64)
-    return tpu_time, res, iters, x_full
+    return tpu_time, res, iters, x_full, spread
 
 
 def cpu_baseline(mesh):
-    """Reference-style torch-CPU: vectorized local assembly + Jacobi-PCG."""
+    """Reference-style torch-CPU: vectorized local assembly + Jacobi-PCG.
+
+    Pinned protocol: BENCH_CPU_THREADS (default all cores), median of
+    BENCH_CPU_REPEATS runs with the spread reported — the shared host can
+    swing 2-3x between days, so cross-round comparisons should use the TPU
+    absolute time and treat vs_baseline as indicative.
+    """
     import torch
 
-    torch.set_num_threads(os.cpu_count() or 8)
+    torch.set_num_threads(CPU_THREADS)
 
     coords = torch.tensor(
         np.asarray(mesh["cells", "coordinates"], dtype=np.float32)
@@ -397,28 +406,29 @@ def cpu_baseline(mesh):
     x, res, iters = pcg_tol(local, b, diag)
     log(f"cpu warmup: converged in {iters} iters, rel res {float(res):.3e}")
 
-    # the shared 1-core host is noisy: median of >= 3 runs keeps the
-    # recorded ratio from swinging with background load
+    # the shared host is noisy: median of CPU_REPEATS runs + spread
     times = []
-    for _ in range(max(3, REPEATS // 2)):
+    for _ in range(max(3, CPU_REPEATS)):
         t0 = time.perf_counter()
         local, b, diag = assemble()
         x, res, iters = pcg_tol(local, b, diag)
         times.append(time.perf_counter() - t0)
     cpu_time = float(np.median(times))
+    spread = (float(np.min(times)), float(np.max(times)))
     log(f"cpu times: {['%.4f' % t for t in times]} -> median {cpu_time:.4f}s")
 
     x_full = np.zeros(n, dtype=np.float64)
     x_full[inner.numpy()] = x.numpy().astype(np.float64)
-    return cpu_time, float(res), iters, x_full
+    return cpu_time, float(res), iters, x_full, spread
 
 
 def main():
     mesh = build_mesh()
+    n_dofs = mesh.n_global_dofs
 
     run = tpu_run_bsr if FORMAT == "bsr" else tpu_run
-    tpu_time, tpu_res, tpu_iters, x_tpu = run(mesh)
-    cpu_time, cpu_res, cpu_iters, x_cpu = cpu_baseline(mesh)
+    tpu_time, tpu_res, tpu_iters, x_tpu, tpu_spread = run(mesh)
+    cpu_time, cpu_res, cpu_iters, x_cpu, cpu_spread = cpu_baseline(mesh)
 
     denom = np.linalg.norm(x_cpu) or 1.0
     sol_diff = float(np.linalg.norm(x_tpu - x_cpu) / denom)
@@ -432,12 +442,20 @@ def main():
         "detail": {
             "h": H,
             "tol": TOL,
+            "n_dofs": n_dofs,
             "tpu_iters": tpu_iters,
             "cpu_iters": cpu_iters,
             "cpu_baseline_s": cpu_time,
             "tpu_residual": tpu_res,
             "cpu_residual": cpu_res,
             "solution_rel_diff": sol_diff,
+            # absolute figures of merit: stable across rounds, unlike
+            # vs_baseline whose shared-host denominator swings 2-3x
+            "tpu_s_per_iteration": tpu_time / max(tpu_iters, 1),
+            "tpu_dof_iters_per_s": n_dofs * tpu_iters / tpu_time,
+            "tpu_time_spread_s": list(tpu_spread),
+            "cpu_time_spread_s": list(cpu_spread),
+            "cpu_threads": CPU_THREADS,
         },
     }
     print(json.dumps(result))

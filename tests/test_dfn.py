@@ -484,3 +484,33 @@ def test_network_adaptive_refinement_trace_conformity():
 
     with pytest.raises(ValueError, match="host-side"):
         m_rt.refined(np.zeros(m.n_cells, bool))
+
+
+def test_benchmark_network_quality_floor():
+    """Every triangle of the benchmark network clears the triangle
+    library's default quality bound (min angle >= 20 deg), and adaptive
+    refinement preserves a floor (longest-edge bisection is
+    quality-stable)."""
+    from pytorch_fem_solver_tpu.mesh.quality import triangle_min_angles
+
+    mesh = build_benchmark_network(h=0.3)
+    ma = triangle_min_angles(
+        np.asarray(mesh["vertices", "coordinates"]),
+        np.asarray(mesh["cells", "vertices"]),
+    )
+    assert ma.min() >= 20.0, float(ma.min())
+
+    for _ in range(2):
+        v = np.asarray(mesh["vertices", "coordinates"])
+        t = np.asarray(mesh["cells", "vertices"])
+        p = v[t]
+        areas = 0.5 * np.abs(
+            (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+            - (p[:, 1, 1] - p[:, 0, 1]) * (p[:, 2, 0] - p[:, 0, 0])
+        )
+        mesh = mesh.refined(areas >= np.percentile(areas, 80))
+    ma = triangle_min_angles(
+        np.asarray(mesh["vertices", "coordinates"]),
+        np.asarray(mesh["cells", "vertices"]),
+    )
+    assert ma.min() >= 20.0, float(ma.min())

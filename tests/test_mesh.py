@@ -172,3 +172,63 @@ def test_adaptive_refinement_invariants():
     eta = np.array([3.0, 1.0, 2.0, 0.5])
     assert dorfler_mark(eta, theta=0.6).tolist() == [True, False, False, False]
     assert dorfler_mark(eta, theta=0.7).tolist() == [True, False, True, False]
+
+
+def test_pslg_nonconvex_lshape():
+    """Non-convex outlines are respected (the convex hull's notch triangles
+    are discarded): exact L-shape area, positive orientation."""
+    from pytorch_fem_solver_tpu.mesh.pslg import triangulate_pslg
+    from pytorch_fem_solver_tpu.mesh.quality import quality_report
+
+    v = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], float)
+    s = np.array([[0, 1], [1, 2], [2, 3], [3, 4], [4, 5], [5, 0]])
+    out = triangulate_pslg(v, s, h=0.15)
+    q = quality_report(out["vertices"], out["triangles"])
+    assert abs(q["total_area"] - 3.0) < 1e-12, q
+    assert q["min_angle"] >= 20.0, q
+    # no orphaned vertices after the exterior drop
+    assert set(np.unique(out["triangles"])) == set(range(len(out["vertices"])))
+
+
+def test_pslg_domain_with_hole():
+    from pytorch_fem_solver_tpu.mesh.pslg import triangulate_pslg
+    from pytorch_fem_solver_tpu.mesh.quality import quality_report
+
+    v = np.array(
+        [[0, 0], [3, 0], [3, 3], [0, 3], [1, 1], [2, 1], [2, 2], [1, 2]],
+        float,
+    )
+    s = np.array(
+        [[0, 1], [1, 2], [2, 3], [3, 0], [4, 5], [5, 6], [6, 7], [7, 4]]
+    )
+    m = np.array([1, 1, 1, 1, 2, 2, 2, 2])
+    out = triangulate_pslg(v, s, h=0.2, segment_markers=m)
+    q = quality_report(out["vertices"], out["triangles"])
+    assert abs(q["total_area"] - 8.0) < 1e-12, q  # 9 - 1 hole
+    # hole-rim vertices carry the hole's marker label
+    labels = out["vertex_labels"][:, 0]
+    assert (labels == 2).any() and (labels == 1).any()
+
+
+def test_pslg_min_angle_floor():
+    """The min_angle knob smooths free points past the requested floor
+    (the triangle library's "q" role) and raises when unattainable."""
+    import pytest
+
+    from pytorch_fem_solver_tpu.mesh.pslg import triangulate_pslg
+    from pytorch_fem_solver_tpu.mesh.quality import triangle_min_angles
+
+    rng = np.random.default_rng(0)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 7))
+    v = np.stack([np.cos(ang), 0.7 * np.sin(ang)], -1)
+    s = np.stack([np.arange(7), (np.arange(7) + 1) % 7], -1)
+
+    out = triangulate_pslg(v, s, h=0.13)
+    base = triangle_min_angles(out["vertices"], out["triangles"]).min()
+    assert base < 25.0  # the knob has real work to do here
+
+    out2 = triangulate_pslg(v, s, h=0.13, min_angle=25.0)
+    assert triangle_min_angles(out2["vertices"], out2["triangles"]).min() >= 25.0
+
+    with pytest.raises(RuntimeError, match="min_angle"):
+        triangulate_pslg(v, s, h=0.13, min_angle=59.0)
