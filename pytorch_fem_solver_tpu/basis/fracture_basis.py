@@ -181,13 +181,59 @@ class FractureBasis(AbstractBasis):
     # -- DOFs on the global triangulation ----------------------------------
 
     def _compute_dofs(self, mesh, element):
-        if element.polynomial_order != 1:
-            raise NotImplementedError("Polynomial order not implemented")
-
         g = self.global_triangulation
-        coords_4_global_dofs = g["vertices_3D"]
-        global_dofs_4_elements = g["triangles"]  # (B*T, 3)
-        nodes_4_boundary_dofs = g["vertex_markers"][:, None]
+
+        if element.polynomial_order == 1:
+            coords_4_global_dofs = g["vertices_3D"]
+            global_dofs_4_elements = g["triangles"]  # (B*T, 3)
+            nodes_4_boundary_dofs = g["vertex_markers"][:, None]
+
+        elif element.polynomial_order == 2:
+            # P2 on the glued triangulation (beyond the reference, whose P2
+            # DOF map is commented out, basis.py:26-49): vertex DOFs + one
+            # DOF per unique *global* edge. Trace edges carry the same
+            # global vertex pair in every incident fracture, so midpoint
+            # DOFs are shared and pressure continuity extends to P2 —
+            # matching FractureNetworkBasis on the flat layout.
+            gverts = np.asarray(g["vertices_3D"])
+            gcells = np.asarray(g["triangles"])
+            gedges = np.asarray(g["edges"])  # lexicographically sorted rows
+            edge_markers = np.asarray(g["edge_markers"]).reshape(-1)
+            vmark = np.asarray(g["vertex_markers"]).reshape(-1)
+            n_gverts = gverts.shape[0]
+
+            # local edge order (01, 12, 02) matches the P2 shape functions;
+            # unique-edge rows are sorted, so their codes are ascending and
+            # searchsorted maps cell edges straight to global edge ids
+            local = np.sort(gcells[:, [[0, 1], [1, 2], [0, 2]]], axis=-1)
+            edge_codes = gedges[:, 0].astype(np.int64) * n_gverts + gedges[:, 1]
+            local_codes = local[..., 0].astype(np.int64) * n_gverts + local[..., 1]
+            cell_edges = np.searchsorted(edge_codes, local_codes)
+
+            midpoints = gverts[gedges].mean(axis=1)
+            # a midpoint is Dirichlet iff its edge is a boundary edge of at
+            # least one incident fracture (edge_markers is the OR over
+            # fractures) and both endpoints are marked
+            edge_dirichlet = (
+                (edge_markers != 0)
+                & (vmark[gedges[:, 0]] != 0)
+                & (vmark[gedges[:, 1]] != 0)
+            ).astype(np.int64)
+
+            coords_4_global_dofs = jnp.asarray(
+                np.concatenate([gverts, midpoints], axis=0),
+                dtype=config.default_dtype(),
+            )
+            global_dofs_4_elements = jnp.asarray(
+                np.concatenate([gcells, cell_edges + n_gverts], axis=1),
+                dtype=config.index_dtype(),
+            )
+            nodes_4_boundary_dofs = jnp.asarray(
+                np.concatenate([vmark, edge_dirichlet], axis=0).reshape(-1, 1),
+                dtype=config.index_dtype(),
+            )
+        else:
+            raise NotImplementedError("Polynomial order not implemented")
 
         coords_4_elements = coords_4_global_dofs[global_dofs_4_elements]
 
@@ -282,14 +328,11 @@ class FractureBasis(AbstractBasis):
             interpolation_grad = (values * v_grad).sum(-2, keepdims=True)
             return interpolation, interpolation_grad
 
-        nodes = self.mesh["vertices", "coordinates_3d"]
-        g2l = self.global_triangulation["global2local_idx"]
-
         def _global_nodal_values(function):
-            local_vals = function(nodes).reshape(B * nodes.shape[-2], -1)
-            # average duplicated (trace) copies -> global nodal values; for a
-            # continuous function all copies agree
-            return local_vals[self.global_triangulation["local2global_idx"]]
+            # evaluate at the global DOF coordinates (vertices + P2 edge
+            # midpoints); identical to sampling the canonical local copy —
+            # canonical-copy coordinates ARE the global coordinates
+            return function(self._coords4global_dofs)
 
         def interpolator(function):
             return (_global_nodal_values(function)[dof_idx] * v).sum(

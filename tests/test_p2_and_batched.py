@@ -104,3 +104,95 @@ def test_meshes_tri_direct_batch():
     normals = np.asarray(batch["interior_edges", "normals"])
     np.testing.assert_allclose(np.linalg.norm(normals, axis=-1), 1.0, atol=1e-13)
 
+
+
+def a_form(basis):
+    return basis.v_grad @ jnp.matrix_transpose(basis.v_grad)
+
+
+def test_p2_tilted_fracture_convergence_oh2():
+    """P2 on the batched fracture path (beyond the reference, whose P2 DOF
+    map is commented out): O(h^2) H1 convergence on the manufactured
+    tilted-plane problem of test_single_fracture.py."""
+    s2 = 1.0 / np.sqrt(2.0)
+    anchors = np.array([[[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]])
+    f3d = np.array([[[0.0, 0.0, 0.0], [s2, s2, 0.0], [0.0, 0.0, 1.0]]])
+
+    errs = []
+    for n in (4, 8):
+        tri = fem.rectangle(n, n)
+        mesh = fem.FracturesTri([tri], f3d, anchor_vertices_2d=anchors)
+        V = fem.FractureBasis(mesh, fem.ElementTri(2, 4))
+
+        def chart(c):
+            s = (c[..., 0:1] + c[..., 1:2]) * s2
+            t = c[..., 2:3]
+            return s, t
+
+        def rhs(c):
+            s, t = chart(c)
+            return 2.0 * jnp.pi**2 * jnp.sin(jnp.pi * s) * jnp.sin(jnp.pi * t)
+
+        u = V.solve(
+            V.integrate_bilinear_form(a_form),
+            V.solution_tensor(),
+            V.integrate_linear_form(lambda b: rhs(b.integration_points) * b.v),
+        )
+        Iu, Iug = V.interpolate(V, u)
+
+        def h1_err(basis, uh, uh_grad):
+            s, t = chart(basis.integration_points)
+            e = jnp.sin(jnp.pi * s) * jnp.sin(jnp.pi * t)
+            ds = jnp.pi * jnp.cos(jnp.pi * s) * jnp.sin(jnp.pi * t)
+            dt = jnp.pi * jnp.sin(jnp.pi * s) * jnp.cos(jnp.pi * t)
+            g = jnp.concatenate([ds * s2, ds * s2, dt], axis=-1)
+            return (uh - e) ** 2 + ((uh_grad - g) ** 2).sum(-1, keepdims=True)
+
+        errs.append(
+            float(jnp.sqrt(V.integrate_functional(h1_err, Iu, Iug).sum()))
+        )
+
+    assert errs[0] / errs[1] > 3.5, errs  # O(h^2): ratio ~4 per halving
+
+
+def test_p2_batched_and_flat_dfn_paths_agree():
+    """P2 solves on FractureBasis (batched) and FractureNetworkBasis (flat)
+    agree DOF-for-DOF on the same two-fracture geometry, including the
+    shared trace midpoint DOFs."""
+    tri = fem.rectangle(6, 3, x0=-1.0, x1=1.0, y0=0.0, y1=1.0)
+    anchors = np.array([[[-1.0, 0.0], [1.0, 0.0], [-1.0, 1.0]]] * 2)
+    f3d = np.array(
+        [
+            [[-1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [-1.0, 1.0, 0.0]],
+            [[0.0, 0.0, -1.0], [0.0, 0.0, 1.0], [0.0, 1.0, -1.0]],
+        ]
+    )
+    batched = fem.FracturesTri([tri, tri], f3d, anchor_vertices_2d=anchors)
+    Vb = fem.FractureBasis(batched, fem.ElementTri(2, 4))
+
+    flat = fem.FractureNetworkMesh(
+        [tri, tri], f3d, anchor_vertices_2d=anchors
+    )
+    Vf = fem.FractureNetworkBasis(flat, fem.ElementTri(2, 4))
+
+    assert Vb.n_dofs == Vf.n_dofs
+
+    def rhs(c):
+        return 1.0 + c[..., 1:2]
+
+    def solve(V):
+        return V.solve(
+            V.integrate_bilinear_form(a_form),
+            V.solution_tensor(),
+            V.integrate_linear_form(lambda b: rhs(b.integration_points) * b.v),
+        )
+
+    ub, uf = solve(Vb), solve(Vf)
+
+    cb = np.round(np.asarray(Vb._coords4global_dofs), 9)
+    cf = np.round(np.asarray(Vf._coords4global_dofs), 9)
+    lookup = {tuple(c): i for i, c in enumerate(cf)}
+    perm = np.array([lookup[tuple(c)] for c in cb])
+    np.testing.assert_allclose(
+        np.asarray(ub)[:, 0], np.asarray(uf)[perm, 0], atol=1e-10
+    )
