@@ -30,10 +30,11 @@ mesh = fem.MeshTri(fem.unit_square(max_area=0.5**8))
 elements = fem.ElementTri(polynomial_order=1, integration_order=4)
 discrete_basis = fem.Basis(mesh, elements)
 
-gram_matrix_inverse = jnp.linalg.inv(
-    discrete_basis.reduce(
-        discrete_basis.integrate_bilinear_form(common.stiffness_form)
-    )
+# r -> G^{-1} r through a Cholesky factor (FEM_GRAM=pcg switches to the
+# matrix-free solver — O(nnz) memory, for test spaces too large to hold a
+# dense Gram; both are differentiable inside the jitted step)
+gram_solve = discrete_basis.gram_solver(
+    common.stiffness_form, method=os.environ.get("FEM_GRAM", "cholesky")
 )
 
 exact_norm = jnp.sqrt(discrete_basis.integrate_functional(common.h1_exact).sum())
@@ -47,7 +48,7 @@ def training_step(neural_network):
             common.residual_form, neural_network.gradient
         )
     )
-    loss = (residual_vector.T @ (gram_matrix_inverse @ residual_vector))[0, 0]
+    loss = (residual_vector.T @ gram_solve(residual_vector))[0, 0]
     relative_loss = jnp.sqrt(loss) / exact_norm**2
     h1_error = jnp.sqrt(
         discrete_basis.integrate_functional(

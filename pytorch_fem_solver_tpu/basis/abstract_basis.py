@@ -330,6 +330,84 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         u = solution.at[..., inner, 0].add(x)
         return (u, info) if return_info else u
 
+    def gram_solver(
+        self,
+        form: Callable[..., jnp.ndarray],
+        method: str = "cholesky",
+        tol: float = 1e-12,
+        maxiter: Optional[int] = None,
+    ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        """Differentiable ``r -> G^{-1} r`` on the reduced DOFs, where G is
+        the Gram matrix of ``form`` on this basis (RVPINN loss
+        ``r^T G^{-1} r``, reference examples/example_weak.py:84-86).
+
+        * ``method="cholesky"``: factor the dense reduced Gram once
+          (O(n^2) memory like the reference's ``torch.inverse``, but a
+          stable triangular solve per application).
+        * ``method="pcg"``: matrix-free Jacobi-PCG on the hybrid-ELL
+          operator — O(nnz) memory, so RVPINN test spaces scale with the
+          FEM side. Wrapped in a custom VJP (G is SPD and constant, so the
+          backward pass is another solve), making the returned callable
+          safe under ``jax.grad`` despite the inner ``while_loop``.
+
+        The returned callable accepts ``(n_inner, 1)`` or ``(n_inner,)``
+        vectors and preserves the shape.
+        """
+        if method == "cholesky":
+            from jax.scipy.linalg import cho_factor, cho_solve
+
+            gram = self.reduce(self.integrate_bilinear_form(form))
+            factor = cho_factor(gram)
+            return lambda r: cho_solve(factor, r)
+
+        if method != "pcg":
+            raise ValueError(
+                f"unknown gram_solver method: {method!r} "
+                "(expected 'cholesky' or 'pcg')"
+            )
+
+        from ..ops.solvers import pcg
+        from ..ops.sparse import (
+            ell_diagonal,
+            ell_matvec,
+            ell_values_from_local,
+            get_ell_structure,
+        )
+
+        structure = get_ell_structure(self, max_k=8)
+        local = self.integrate_bilinear_form_local(form)
+        values = ell_values_from_local(structure, local)
+        diag = ell_diagonal(structure, values)
+        n = structure.n_inner
+        cap = maxiter if maxiter is not None else max(10 * n, 100)
+
+        def _solve_flat(r_flat):
+            x, _ = pcg(
+                lambda v: ell_matvec(structure, values, v),
+                r_flat,
+                precond_diag=diag,
+                tol=tol,
+                maxiter=cap,
+            )
+            return x
+
+        @jax.custom_vjp
+        def solve(r):
+            flat = r.reshape(-1)
+            return _solve_flat(flat).reshape(r.shape)
+
+        def solve_fwd(r):
+            return solve(r), None
+
+        def solve_bwd(_, cotangent):
+            # G symmetric: d(G^{-1} r) applied to the cotangent is another
+            # G^{-1} solve
+            flat = cotangent.reshape(-1)
+            return (_solve_flat(flat).reshape(cotangent.shape),)
+
+        solve.defvjp(solve_fwd, solve_bwd)
+        return solve
+
     # -- abstract surface -------------------------------------------------
 
     @abc.abstractmethod
