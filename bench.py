@@ -133,8 +133,20 @@ def tpu_run_bsr(mesh):
         values = bsr_values_from_local_symmetric(st, local)
         diag = bsr_diagonal(st, values)
         b_pad = bsr_reduce(st, b)
-        if PRECOND in ("two_level", "smoothed", "three_level", "auto", "mult", "mult3", "affine"):
-            if PRECOND == "mult":
+        if PRECOND in ("two_level", "smoothed", "three_level", "auto", "mult", "mult3", "affine", "aggblock"):
+            if PRECOND == "aggblock":
+                # aggregate-sized (g x g) diagonal-block smoother: resolves
+                # all intra-aggregate coupling exactly, same coarse level,
+                # still zero gathers per iteration (table builds host-side
+                # at trace time)
+                from pytorch_fem_solver_tpu.ops.precondition import (
+                    agg_block_two_level_from_values,
+                )
+
+                precond = agg_block_two_level_from_values(
+                    st, values, diag, g=AGG, operand_dtype=operand_dtype
+                )
+            elif PRECOND == "mult":
                 # symmetrized multiplicative V(1,1) cycle: half the
                 # iterations of the additive combination for 2 extra
                 # (optionally bf16) SpMVs per apply
