@@ -42,6 +42,7 @@ PRECOND_DTYPE = os.environ.get("BENCH_PRECOND_DTYPE", "f32")
 FORMAT = os.environ.get("BENCH_FORMAT", "bsr")  # bsr | ell
 OMEGA = float(os.environ.get("BENCH_OMEGA", "0.8"))
 AGG = int(os.environ.get("BENCH_AGG", "0")) or None  # None = adaptive
+AGG_SMOOTH = int(os.environ.get("BENCH_AGG_SMOOTH", "0")) or None  # aggblock gs
 
 
 def log(*args):
@@ -145,7 +146,8 @@ def tpu_run_bsr(mesh):
                 )
 
                 precond = agg_block_two_level_from_values(
-                    st, values, diag, g=AGG, operand_dtype=operand_dtype
+                    st, values, diag, g=AGG, gs=AGG_SMOOTH,
+                    operand_dtype=operand_dtype,
                 )
             elif PRECOND == "mult":
                 # symmetrized multiplicative V(1,1) cycle: half the

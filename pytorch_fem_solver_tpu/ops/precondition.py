@@ -302,9 +302,10 @@ class AggBlockTwoLevel(NamedTuple):
     g x g inverse per solve.
     """
 
-    inv_agg: jnp.ndarray  # (nc, g, g) aggregate diagonal-block inverses
+    inv_agg: jnp.ndarray  # (ns, gs, gs) smoother diagonal-block inverses
     coarse_inv: jnp.ndarray  # (nc, nc)
-    g: int
+    g: int  # coarse aggregate size
+    gs: int  # smoother block size (>= g allowed; both divide n_pad)
 
     def coarse_apply(self, r: jnp.ndarray) -> jnp.ndarray:
         r_c = r.reshape(-1, self.g).sum(axis=-1)
@@ -313,7 +314,7 @@ class AggBlockTwoLevel(NamedTuple):
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         fine = _mixed_matvec(
-            "rij,rj->ri", self.inv_agg, r.reshape(-1, self.g), r.dtype
+            "rij,rj->ri", self.inv_agg, r.reshape(-1, self.gs), r.dtype
         ).reshape(-1)
         return fine + self.coarse_apply(r)
 
@@ -346,23 +347,33 @@ def agg_block_two_level_from_values(
     values,
     diag,
     g: int | None = None,
+    gs: int | None = None,
     table: np.ndarray | None = None,
     operand_dtype=None,
 ):
     """Jittable numeric setup of the aggregate-block two-level M.
 
     Same Galerkin coarse level as ``block_two_level_from_values``; the fine
-    smoother inverts the (g, g) aggregate diagonal blocks instead of the
-    (8, 8) ones. ``table`` may be precomputed via ``build_agg_block_table``
-    (host, value-independent, cacheable per basis).
+    smoother inverts the (gs, gs) aggregate diagonal blocks instead of the
+    (8, 8) ones. ``gs`` (default ``g``) may exceed the coarse aggregate
+    size to strengthen the smoother independently of the coarse space —
+    both must divide n_pad (guaranteed for power-of-two multiples of the
+    base aggregate by the builder's padding). ``table`` may be precomputed
+    via ``build_agg_block_table`` (host, value-independent, cacheable).
     """
     base = block_two_level_from_values(
         structure, values, diag, g=g, fine="jacobi", operand_dtype=operand_dtype
     )
     g = base.g
+    gs = g if gs is None else gs
+    if gs % structure.block or structure.n_pad % gs:
+        raise ValueError(
+            f"smoother block size {gs} must be a multiple of "
+            f"block {structure.block} and divide n_pad {structure.n_pad}"
+        )
     k = structure.block
     if table is None:
-        table = build_agg_block_table(structure, g)
+        table = build_agg_block_table(structure, gs)
     v1, v2 = values
     flat = jnp.concatenate(
         [
@@ -372,17 +383,17 @@ def agg_block_two_level_from_values(
         ],
         axis=0,
     )
-    blocks = flat[jnp.asarray(table)]  # (nc, bpa, bpa, k, k)
-    D = blocks.transpose(0, 1, 3, 2, 4).reshape(-1, g, g)
+    blocks = flat[jnp.asarray(table)]  # (ns, bpa, bpa, k, k)
+    D = blocks.transpose(0, 1, 3, 2, 4).reshape(-1, gs, gs)
     # padding rows carry zero diagonals: pin to identity (their residual is
     # identically zero, the value never matters)
     zero_d = jnp.diagonal(D, axis1=-2, axis2=-1) == 0
-    D = D + jnp.eye(g, dtype=D.dtype) * zero_d[:, None, :]
+    D = D + jnp.eye(gs, dtype=D.dtype) * zero_d[:, None, :]
     inv_agg = batched_small_inv(D)
     if operand_dtype is not None:
         inv_agg = inv_agg.astype(operand_dtype)
     return AggBlockTwoLevel(
-        inv_agg=inv_agg, coarse_inv=base.coarse_inv, g=g
+        inv_agg=inv_agg, coarse_inv=base.coarse_inv, g=g, gs=gs
     )
 
 
