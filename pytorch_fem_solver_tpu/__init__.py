@@ -33,7 +33,7 @@ from .mesh import (
     refine_uniform,
     unit_square,
 )
-from .mesh import triangulate_pslg
+from .mesh import quality_report, triangle_min_angles, triangulate_pslg
 from .models import FeedForwardNeuralNetwork, Model
 
 __all__ = [
@@ -45,6 +45,8 @@ __all__ = [
     "InteriorEdgesNetworkBasis",
     "FractureNetworkMesh",
     "triangulate_pslg",
+    "triangle_min_angles",
+    "quality_report",
     "BoundaryEdgesBasis",
     "InteriorEdgesBasis",
     "InteriorEdgesFractureBasis",

@@ -227,10 +227,12 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                 raise NotImplementedError(
                     "method='bsr' solves the reduced (interior-DOF) system"
                 )
-            if precondition not in ("two_level", "mult_two_level", "jacobi"):
+            if precondition not in (
+                "two_level", "agg_block", "mult_two_level", "jacobi"
+            ):
                 raise ValueError(
                     f"unknown precondition: {precondition!r} (expected "
-                    "'two_level', 'mult_two_level' or 'jacobi')"
+                    "'two_level', 'agg_block', 'mult_two_level' or 'jacobi')"
                 )
             from ..ops.bsr import (
                 bsr_diagonal,
@@ -259,6 +261,17 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                 from ..ops.precondition import auto_preconditioner
 
                 precond = auto_preconditioner(self, structure, values, diag)
+            elif precondition == "agg_block":
+                # aggregate-sized diagonal-block smoother + same coarse
+                # level: measured fastest single-chip choice on the DFN
+                # benchmark (72 vs 82 iterations at 107k DOFs)
+                from ..ops.precondition import (
+                    agg_block_two_level_from_values,
+                )
+
+                precond = agg_block_two_level_from_values(
+                    structure, values, diag
+                )
             elif precondition == "mult_two_level":
                 # symmetrized multiplicative V(1,1) cycle: ~half the
                 # iterations of the additive two-level for 2 extra SpMVs

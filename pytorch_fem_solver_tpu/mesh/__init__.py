@@ -6,6 +6,7 @@ from .meshes_tri import MeshesTri
 from .fracture_network import FractureNetworkMesh
 from .fractures_tri import FracturesTri
 from .pslg import triangulate_pslg
+from .quality import quality_report, triangle_min_angles
 from .patches import Patches
 
 __all__ = [
@@ -14,6 +15,8 @@ __all__ = [
     "FracturesTri",
     "FractureNetworkMesh",
     "triangulate_pslg",
+    "triangle_min_angles",
+    "quality_report",
     "Patches",
     "rectangle",
     "refine_uniform",

@@ -595,3 +595,16 @@ def test_affine_two_level_converges_and_cuts_iterations():
     M0 = block_two_level_from_values(st, values, diag, g=ast.g)
     _, info0 = pcg(matvec, b_pad, precond=M0, tol=1e-11, maxiter=3000)
     assert int(info.iterations) < int(info0.iterations)
+
+
+def test_solve_iterative_agg_block_precondition():
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**9))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(a_form)
+    b = V.integrate_linear_form(l_form)
+    u_ref = V.solve_iterative(local, b, tol=1e-12)
+    u, info = V.solve_iterative(
+        local, b, tol=1e-12, precondition="agg_block", return_info=True
+    )
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-10)
+    assert bool(info.converged)
