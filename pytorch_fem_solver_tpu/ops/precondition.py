@@ -365,7 +365,10 @@ def agg_block_two_level_from_values(
         structure, values, diag, g=g, fine="jacobi", operand_dtype=operand_dtype
     )
     g = base.g
-    gs = g if gs is None else gs
+    # default smoother size tracks the aggregate but caps at 128: the table
+    # holds bpa^2 = (gs/8)^2 blocks per aggregate, so gs=256 would gather
+    # ~1G floats of in-aggregate blocks at the ~1M-DOF scale
+    gs = min(g, 128) if gs is None else gs
     if gs % structure.block or structure.n_pad % gs:
         raise ValueError(
             f"smoother block size {gs} must be a multiple of "
@@ -375,15 +378,20 @@ def agg_block_two_level_from_values(
     if table is None:
         table = build_agg_block_table(structure, gs)
     v1, v2 = values
+    # gather 64-wide flat rows, NOT (k, k) blocks: the TPU (8, 128) tile
+    # layout pads an 8-wide last axis 16x, which blows the gather buffer to
+    # ~15 GB at the 1M-DOF scale (measured OOM); 64-wide rows pad only 2x
     flat = jnp.concatenate(
         [
-            v1.reshape(-1, k, k),
-            v2.reshape(-1, k, k),
-            jnp.zeros((1, k, k), dtype=v1.dtype),
+            v1.reshape(-1, k * k),
+            v2.reshape(-1, k * k),
+            jnp.zeros((1, k * k), dtype=v1.dtype),
         ],
         axis=0,
     )
-    blocks = flat[jnp.asarray(table)]  # (ns, bpa, bpa, k, k)
+    rows = flat[jnp.asarray(table)]  # (ns, bpa, bpa, k*k)
+    bpa = gs // k
+    blocks = rows.reshape(-1, bpa, bpa, k, k)
     D = blocks.transpose(0, 1, 3, 2, 4).reshape(-1, gs, gs)
     # padding rows carry zero diagonals: pin to identity (their residual is
     # identically zero, the value never matters)
