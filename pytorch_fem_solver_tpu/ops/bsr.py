@@ -67,7 +67,8 @@ class BSRStructure(NamedTuple):
     entry_slot_sym: jnp.ndarray = None  # (T*n_loc*(n_loc+1)/2,) canonical-
     #   pair slots for symmetric assembly (drop slot on Dirichlet entries)
     tpartner: jnp.ndarray = None  # (S_blocks,) mirror block id per block
-    bkeys_host: np.ndarray = None  # (n_blocks,) host br*nb+bc of stored blocks
+    ubr_host: np.ndarray = None  # (n_blocks,) host block-row of stored blocks
+    ubc_host: np.ndarray = None  # (n_blocks,) host block-col of stored blocks
     blk_id_host: np.ndarray = None  # (n_blocks,) host flat value-block id
 
 
@@ -272,7 +273,8 @@ def build_bsr_structure(
         heavy_rows=jnp.asarray(heavy_rows, dtype=i_t),
         entry_slot_sym=jnp.asarray(entry_slot_sym, dtype=i_t),
         tpartner=jnp.asarray(tpartner, dtype=i_t),
-        bkeys_host=bkeys,
+        ubr_host=ubr,
+        ubc_host=ubc,
         blk_id_host=blk_id,
     )
 

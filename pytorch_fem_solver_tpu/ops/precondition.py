@@ -329,10 +329,11 @@ def build_agg_block_table(structure, g: int) -> np.ndarray:
     nb, B = structure.bcols.shape
     nh, B2 = structure.bcols2.shape
     sentinel = nb * B + nh * B2
-    bkeys = structure.bkeys_host
     blk_id = structure.blk_id_host
-    ubr = bkeys // structure.nb
-    ubc = bkeys % structure.nb
+    # ubr/ubc are stored decoded so the table stays valid on row-padded
+    # copies of the structure (the sharded path _replaces nb/n_pad)
+    ubr = structure.ubr_host
+    ubc = structure.ubc_host
     agg_r = ubr // bpa
     in_agg = (ubc // bpa) == agg_r
     table = np.full((nc, bpa, bpa), sentinel, dtype=np.int64)
@@ -545,24 +546,38 @@ def get_three_level_structure(
 def auto_preconditioner(basis, structure, values, diag, operand_dtype=None):
     """Size-appropriate aggregate preconditioner for the BSR operator.
 
-    Measured on the DFN benchmark (after fixing the aggregate-divisibility
-    degeneration): the exact two-level wins through g = 128 — 82 it/0.172 s
-    at 107k DOFs (g=32), 148 it/0.621 s at 245k (g=64), 224 it/1.451 s at
-    437k (g=128, vs the additive three-level's 223 it/1.465 s — a tie).
-    Beyond g = 128 the per-aggregate mode loss keeps growing while the
-    three-level holds its fine aggregate at g1 = 32, so the sparse-coarse
-    hierarchy takes over there. The multiplicative V(1,1) cycles halve the
-    iteration count but pay 2 extra SpMVs per apply — measured net losses
-    at every size (e.g. 128 it/1.683 s at 437k).
+    Round-2 measured policy: the **aggregate-block two-level**
+    (``agg_block_two_level_from_values``) wins at every measured size on
+    the DFN benchmark — 72 it/0.170 s at 107k DOFs (g=32), 116 it/0.586 s
+    at 245k (g=64), 167 it/1.427 s at 437k (g=128, vs the sparse-coarse
+    three-level's 223 it/1.494 s same-day), and 200 it/3.640 s at 980k
+    (g=256 with the smoother capped at gs=128). Earlier measured losers
+    (multiplicative V(1,1) cycles, smoothed aggregation, bf16 operands)
+    are documented in docs/performance.md; the sparse-coarse three-level
+    remains available as an explicit option for sizes where the dense
+    (nc, nc) coarse inverse eventually outgrows HBM (nc is capped at 4096,
+    so that wall is far out).
     """
     g = default_aggregate_size(structure)
-    if g <= 128:
-        return block_two_level_from_values(
-            structure, values, diag, g=g, operand_dtype=operand_dtype
-        )
-    tl = get_three_level_structure(basis, structure)
-    return three_level_from_values(
-        tl, structure, values, diag, operand_dtype=operand_dtype
+    table = None
+    cache = getattr(basis, "_agg_block_tables", None)
+    if cache is None:
+        cache = {}
+        try:
+            basis._agg_block_tables = cache
+        except AttributeError:  # basis-like without attribute support
+            cache = None
+    gs = min(g, 128)
+    if cache is not None:
+        key = (structure.nb, structure.bcols.shape[1], gs)
+        table = cache.get(key)
+    if table is None:
+        table = build_agg_block_table(structure, gs)
+        if cache is not None:
+            cache[key] = table
+    return agg_block_two_level_from_values(
+        structure, values, diag, g=g, gs=gs, table=table,
+        operand_dtype=operand_dtype,
     )
 
 

@@ -263,7 +263,7 @@ def solve_pcg_sharded_bsr(
         bsr_values_from_local,
         get_bsr_structure,
     )
-    from ..ops.precondition import block_two_level_from_values
+    from ..ops.precondition import agg_block_two_level_from_values
 
     if device_mesh is None:
         device_mesh = make_device_mesh()
@@ -297,7 +297,11 @@ def solve_pcg_sharded_bsr(
     values_pair = (values_p, jnp.zeros((0, 0, k, k), dtype=values_p.dtype))
     diag_p = bsr_diagonal(padded, values_pair)
     if precondition == "two_level":
-        precond = block_two_level_from_values(padded, values_pair, diag_p)
+        # aggregate-block smoother, matching the single-chip auto policy
+        # (iteration parity with solve_iterative's two_level is asserted
+        # in tests and the driver dryrun); the host block tables stay
+        # valid on the row-padded structure (decoded ubr/ubc)
+        precond = agg_block_two_level_from_values(padded, values_pair, diag_p)
     elif precondition == "jacobi":
         safe = jnp.where(diag_p != 0, diag_p, 1.0)
         inv_diag = 1.0 / safe

@@ -269,9 +269,12 @@ def test_three_level_preconditioner_solves_to_dense():
     assert int(info.iterations) < int(info_j.iterations)
 
 
-def test_auto_preconditioner_picks_two_level_when_small():
+def test_auto_preconditioner_picks_agg_block():
+    """Round-2 measured policy: auto uses the aggregate-block smoother at
+    every size (docs/performance.md), with the host table cached per
+    basis."""
     from pytorch_fem_solver_tpu.ops.precondition import (
-        BlockTwoLevel,
+        AggBlockTwoLevel,
         auto_preconditioner,
     )
 
@@ -281,7 +284,17 @@ def test_auto_preconditioner_picks_two_level_when_small():
     values = bsr_values_from_local(st, V.integrate_bilinear_form_local(a_form))
     diag = bsr_diagonal(st, values)
     pre = auto_preconditioner(V, st, values, diag)
-    assert isinstance(pre, BlockTwoLevel)
+    assert isinstance(pre, AggBlockTwoLevel)
+    # table cache kicks in on the second build
+    assert len(V._agg_block_tables) == 1
+    pre2 = auto_preconditioner(V, st, values, diag)
+    assert len(V._agg_block_tables) == 1
+    # and the preconditioned solve still reaches the right answer
+    b_pad = bsr_reduce(st, V.integrate_linear_form(l_form))
+    x, info = pcg(
+        lambda v: bsr_matvec(st, values, v), b_pad, precond=pre, tol=1e-12
+    )
+    assert bool(info.converged)
 
 
 def test_bf16_operand_preconditioner_same_solution():
