@@ -78,8 +78,8 @@ V = fem.Basis(mesh, fem.ElementTri(1, 4))
 V_edges = fem.InteriorEdgesBasis(mesh, fem.ElementLine(1, 2))
 jump, h_T, h_E, n_E = common.make_edge_jump(V, V_edges)
 
-gram_inverse = jnp.linalg.inv(
-    V.reduce(V.integrate_bilinear_form(common.stiffness_form))
+gram_solve = V.gram_solver(
+    common.stiffness_form, method=os.environ.get("FEM_GRAM", "cholesky")
 )
 exact_norm = jnp.sqrt(V.integrate_functional(h1_exact).sum())
 
@@ -92,7 +92,7 @@ def bulk(basis, triangle_size, net):
 
 def training_step(net):
     r = V.reduce(V.integrate_linear_form(residual, net.gradient))
-    loss = (r.T @ (gram_inverse @ r))[0, 0]
+    loss = (r.T @ gram_solve(r))[0, 0]
     loss = loss + V_edges.integrate_functional(jump, n_E, h_E, net).sum()
     loss = loss + V.integrate_functional(bulk, h_T, net).sum()
     h1_error = jnp.sqrt(V.integrate_functional(h1_norm, net, net.gradient).sum())

@@ -39,12 +39,9 @@ V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 4))
 print(f"h={H}: {mesh.n_cells} cells, {V.n_dofs} global DOFs, "
       f"interpolant variant: {USE_INTERPOLANT}")
 
-gram_inverse = jnp.linalg.inv(
-    V.reduce(
-        V.integrate_bilinear_form(
-            lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
-        )
-    )
+gram_solve = V.gram_solver(
+    lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad),
+    method=os.environ.get("FEM_GRAM", "cholesky"),
 )
 exact_norm = jnp.sqrt(V.integrate_functional(common.dfn_h1_exact).sum())
 
@@ -77,7 +74,7 @@ def h1_error_nn(basis, net):
 
 def training_step(net):
     r = V.reduce(V.integrate_linear_form(residual, net))
-    loss = (r.T @ (gram_inverse @ r))[0, 0]
+    loss = (r.T @ gram_solve(r))[0, 0]
     h1_error = jnp.sqrt(V.integrate_functional(h1_error_nn, net).sum())
     return loss, jnp.sqrt(loss) / exact_norm**2, h1_error / exact_norm
 

@@ -35,12 +35,9 @@ for level in range(LEVELS):
     mesh = build_fracture_network(common.two_fracture_geometry(), h=h)
     V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 4))
 
-    gram_inverse = jnp.linalg.inv(
-        V.reduce(
-            V.integrate_bilinear_form(
-                lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
-            )
-        )
+    gram_solve = V.gram_solver(
+        lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad),
+        method=os.environ.get("FEM_GRAM", "cholesky"),
     )
     exact_norm = jnp.sqrt(V.integrate_functional(common.dfn_h1_exact).sum())
 
@@ -57,10 +54,10 @@ for level in range(LEVELS):
             (tangent - common.dfn_exact_grad(pts)) ** 2
         ).sum(-1, keepdims=True)
 
-    def training_step(net, V=V, gram_inverse=gram_inverse, exact_norm=exact_norm,
+    def training_step(net, V=V, gram_solve=gram_solve, exact_norm=exact_norm,
                       residual=residual, h1_err=h1_err):
         r = V.reduce(V.integrate_linear_form(residual, net))
-        loss = (r.T @ (gram_inverse @ r))[0, 0]
+        loss = (r.T @ gram_solve(r))[0, 0]
         h1 = jnp.sqrt(V.integrate_functional(h1_err, net).sum())
         return loss, jnp.sqrt(loss) / exact_norm**2, h1 / exact_norm
 

@@ -69,7 +69,7 @@ def residual(basis, net):
     return basis.v - (basis.v_grad @ jnp.matrix_transpose(net.gradient(pts)))
 
 
-gram_inverse = jnp.linalg.inv(V.reduce(V.integrate_bilinear_form(a_form)))
+gram_solve = V.gram_solver(a_form, method=os.environ.get("FEM_GRAM", "cholesky"))
 
 
 def h1_error_vs_fem(basis, net):
@@ -85,7 +85,7 @@ def h1_error_vs_fem(basis, net):
 
 def training_step(net):
     r = V.reduce(V.integrate_linear_form(residual, net))
-    weak = (r.T @ (gram_inverse @ r))[0, 0]
+    weak = (r.T @ gram_solve(r))[0, 0]
     bc = jnp.mean(net(boundary_nodes) ** 2)
     loss = weak + BC_WEIGHT * bc
     h1 = jnp.sqrt(V.integrate_functional(h1_error_vs_fem, net).sum())

@@ -24,8 +24,8 @@ V_edges = fem.InteriorEdgesBasis(mesh, fem.ElementLine(1, 2))
 
 jump, h_T, h_E, n_E = common.make_edge_jump(V, V_edges)
 
-gram_inverse = jnp.linalg.inv(
-    V.reduce(V.integrate_bilinear_form(common.stiffness_form))
+gram_solve = V.gram_solver(
+    common.stiffness_form, method=os.environ.get("FEM_GRAM", "cholesky")
 )
 exact_norm = jnp.sqrt(V.integrate_functional(common.h1_exact).sum())
 
@@ -40,7 +40,7 @@ def bulk(basis, triangle_size, net):
 
 def training_step(net):
     r = V.reduce(V.integrate_linear_form(common.residual_form, net.gradient))
-    weak_loss = (r.T @ (gram_inverse @ r))[0, 0]
+    weak_loss = (r.T @ gram_solve(r))[0, 0]
     estimator = (
         V_edges.integrate_functional(jump, n_E, h_E, net).sum()
         + V.integrate_functional(bulk, h_T, net).sum()
