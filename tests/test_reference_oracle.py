@@ -171,3 +171,43 @@ def test_solve_matches_actual_reference(reference):
         u_ref.detach().cpu().numpy()[perm, 0],
         atol=1e-12,
     )
+
+
+def test_edge_functional_matches_actual_reference(reference):
+    """Interior-edge quadrature parity: integrate an analytic function over
+    all interior edges through both frameworks' edge bases.
+
+    Reference quirk (not replicated): its edge ``integration_points`` carry
+    the quadrature axis at dim -2 — (Ei, 1, q, d) — while its ``_dx`` holds
+    quadrature at dim -3, so a function of edge coordinates written in the
+    cell convention silently broadcasts weights against ALL quadrature
+    points (a 2x overcount at q=2; verified against the exact Simpson
+    integral 6.02287...). Our edge basis keeps the uniform (..., E, q,
+    n_loc, d) convention, matching the analytic value exactly; the
+    reference side of this test transposes into its own layout first.
+    """
+    import torch
+
+    tri = fem.unit_square(n=6)
+    mesh = fem.MeshTri(tri)
+    Ve = fem.InteriorEdgesBasis(mesh, fem.ElementLine(1, 2))
+
+    rmesh = reference.MeshTri(triangulation=_reference_mesh_dict(tri))
+    rVe = reference.InteriorEdgesBasis(
+        rmesh, reference.ElementLine(polynomial_order=1, integration_order=2)
+    )
+
+    def f_ours(b):
+        x, y = b.integration_points[..., 0:1], b.integration_points[..., 1:2]
+        return 1.0 + x * x - 2.0 * y
+
+    def f_ref(b):
+        pts = b.integration_points.transpose(-3, -2)  # quirk: q lives at -2
+        x, y = torch.split(pts, 1, dim=-1)
+        return 1.0 + x * x - 2.0 * y
+
+    total = float(Ve.integrate_functional(f_ours).sum())
+    total_ref = float(rVe.integrate_functional(f_ref).sum())
+    # exact value of the quadratic's edge integral (Simpson per segment)
+    assert abs(total - 6.0228715691906345) < 1e-12, total
+    assert abs(total - total_ref) < 1e-12, (total, total_ref)
