@@ -455,8 +455,10 @@ def main():
     run = tpu_run_bsr if FORMAT == "bsr" else tpu_run
     tpu_time, tpu_res, tpu_iters, x_tpu, tpu_spread = run(mesh)
     if SKIP_CPU:
-        cpu_time, cpu_res, cpu_iters, cpu_spread = float("nan"), float("nan"), -1, (0.0, 0.0)
-        sol_diff = float("nan")
+        # None -> JSON null: float('nan') would serialize as bare NaN,
+        # which strict JSON consumers (jq, JSON.parse) reject
+        cpu_time, cpu_res, cpu_iters, cpu_spread = None, None, -1, (0.0, 0.0)
+        sol_diff = None
     else:
         cpu_time, cpu_res, cpu_iters, x_cpu, cpu_spread = cpu_baseline(mesh)
         denom = np.linalg.norm(x_cpu) or 1.0
@@ -467,7 +469,7 @@ def main():
         "metric": "seven_fractures_dfn_assembly_pcg_wallclock",
         "value": tpu_time,
         "unit": "s",
-        "vs_baseline": cpu_time / tpu_time,
+        "vs_baseline": None if cpu_time is None else cpu_time / tpu_time,
         "detail": {
             "h": H,
             "tol": TOL,

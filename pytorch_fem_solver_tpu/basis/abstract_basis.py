@@ -347,7 +347,7 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         self,
         form: Callable[..., jnp.ndarray],
         method: str = "cholesky",
-        tol: float = 1e-12,
+        tol: Optional[float] = None,
         maxiter: Optional[int] = None,
     ) -> Callable[[jnp.ndarray], jnp.ndarray]:
         """Differentiable ``r -> G^{-1} r`` on the reduced DOFs, where G is
@@ -365,7 +365,14 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
 
         The returned callable accepts ``(n_inner, 1)`` or ``(n_inner,)``
         vectors and preserves the shape.
+
+        ``tol`` defaults to the working precision: 1e-12 under x64, 1e-6
+        in float32 (the TPU default) — a fixed 1e-12 target is unreachable
+        in f32 (eps ~1.2e-7) and would spin the pcg path to its iteration
+        cap on every application.
         """
+        if tol is None:
+            tol = 1e-12 if jnp.finfo(config.default_dtype()).eps < 1e-10 else 1e-6
         if method == "cholesky":
             from jax.scipy.linalg import cho_factor, cho_solve
 
@@ -547,6 +554,8 @@ _CACHE_ATTRS = (
     "_ell_structures",
     "_two_level_structure",
     "_three_level_structures",
+    "_agg_block_tables",
+    "_affine_two_level_structures",
 )
 
 

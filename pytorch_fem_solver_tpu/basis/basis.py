@@ -43,14 +43,15 @@ class Basis(AbstractBasis):
             vert_markers = np.asarray(mesh["vertices", "markers"]).reshape(-1)
             n_vertices = verts.shape[0]
 
-            # map each cell's local edges (01, 12, 02 — matching the local
-            # P2 shape function order 4*l1*l2, 4*l2*l3, 4*l3*l1) to the
-            # unique-edge ids
-            local = np.sort(cells[:, [[0, 1], [1, 2], [0, 2]]], axis=-1)
-            edges_sorted = np.sort(edges, axis=-1)
-            edge_codes = edges_sorted[:, 0] * n_vertices + edges_sorted[:, 1]
+            # map each cell's local edges to the mesh's unique-edge ids
+            # (shared helpers: topology.p2_cell_edge_pairs fixes the local
+            # order, encode_edge_pairs widens to int64)
+            from ..mesh.topology import encode_edge_pairs, p2_cell_edge_pairs
+
+            local = p2_cell_edge_pairs(cells)
+            edge_codes = encode_edge_pairs(np.sort(edges, axis=-1), n_vertices)
             code_order = np.argsort(edge_codes)
-            local_codes = local[..., 0] * n_vertices + local[..., 1]
+            local_codes = encode_edge_pairs(local, n_vertices)
             cell_edges = code_order[
                 np.searchsorted(edge_codes[code_order], local_codes)
             ]

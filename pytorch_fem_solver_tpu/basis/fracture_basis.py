@@ -202,12 +202,14 @@ class FractureBasis(AbstractBasis):
             vmark = np.asarray(g["vertex_markers"]).reshape(-1)
             n_gverts = gverts.shape[0]
 
-            # local edge order (01, 12, 02) matches the P2 shape functions;
             # unique-edge rows are sorted, so their codes are ascending and
             # searchsorted maps cell edges straight to global edge ids
-            local = np.sort(gcells[:, [[0, 1], [1, 2], [0, 2]]], axis=-1)
-            edge_codes = gedges[:, 0].astype(np.int64) * n_gverts + gedges[:, 1]
-            local_codes = local[..., 0].astype(np.int64) * n_gverts + local[..., 1]
+            # (shared helpers in mesh.topology)
+            from ..mesh.topology import encode_edge_pairs, p2_cell_edge_pairs
+
+            local = p2_cell_edge_pairs(gcells)
+            edge_codes = encode_edge_pairs(gedges, n_gverts)
+            local_codes = encode_edge_pairs(local, n_gverts)
             cell_edges = np.searchsorted(edge_codes, local_codes)
 
             midpoints = gverts[gedges].mean(axis=1)
@@ -331,8 +333,12 @@ class FractureBasis(AbstractBasis):
         def _global_nodal_values(function):
             # evaluate at the global DOF coordinates (vertices + P2 edge
             # midpoints); identical to sampling the canonical local copy —
-            # canonical-copy coordinates ARE the global coordinates
-            return function(self._coords4global_dofs)
+            # canonical-copy coordinates ARE the global coordinates.
+            # Force a trailing component axis: a scalar function returning
+            # (N,) would otherwise broadcast its n_loc axis against the
+            # trailing 1 of v/v_grad — a silent outer product.
+            vals = function(self._coords4global_dofs)
+            return vals.reshape(vals.shape[0], -1)
 
         def interpolator(function):
             return (_global_nodal_values(function)[dof_idx] * v).sum(

@@ -55,8 +55,10 @@ class FractureNetworkBasis(Basis):
             gcells = global_ids[np.asarray(mesh["cells", "vertices"])]
             n_gverts = gverts.shape[0]
 
-            # local edge order (01, 12, 02) matches the P2 shape functions
-            local = np.sort(gcells[:, [[0, 1], [1, 2], [0, 2]]], axis=-1)
+            # local edge order fixed by the shared helper (mesh.topology)
+            from ..mesh.topology import encode_edge_pairs, p2_cell_edge_pairs
+
+            local = p2_cell_edge_pairs(gcells)
             edges, inverse = np.unique(
                 local.reshape(-1, 2), axis=0, return_inverse=True,
             )
@@ -72,8 +74,8 @@ class FractureNetworkBasis(Basis):
                 global_ids[np.asarray(mesh["boundary_edges", "vertices"])],
                 axis=-1,
             )
-            be_codes = be_pairs[:, 0] * n_gverts + be_pairs[:, 1]
-            edge_codes = edges[:, 0] * n_gverts + edges[:, 1]
+            be_codes = encode_edge_pairs(be_pairs, n_gverts)
+            edge_codes = encode_edge_pairs(edges, n_gverts)
             edge_mark = (
                 np.isin(edge_codes, be_codes)
                 & (gmark[edges[:, 0]] != 0)

@@ -127,3 +127,26 @@ def build_tri_topology(
         "cells_min_length": cells_min_length,
         "vertex_markers": vertex_markers,
     }
+
+
+def p2_cell_edge_pairs(cells: np.ndarray) -> np.ndarray:
+    """``(T, 3, 2)`` sorted vertex pairs of each cell's local edges.
+
+    Local edge order is (01, 12, 02), matching the P2 shape-function layout
+    (``element_tri.py``: midpoint functions 4*l1*l2, 4*l2*l3, 4*l3*l1).
+    Shared by every P2 DOF builder (plain, DFN-batched, DFN-flat) so the
+    edge-identification logic exists exactly once.
+    """
+    cells = np.asarray(cells)
+    return np.sort(cells[:, [[0, 1], [1, 2], [0, 2]]], axis=-1)
+
+
+def encode_edge_pairs(pairs: np.ndarray, n_vertices: int) -> np.ndarray:
+    """Scalar int64 code per (sorted) vertex pair: ``v0 * n_vertices + v1``.
+
+    Always widens to int64 before the multiply: index tables default to
+    int32 (``config.index_dtype``) and ``v0 * n_vertices`` silently wraps
+    past ~46k vertices under NumPy 2.x promotion rules.
+    """
+    p = np.asarray(pairs)
+    return p[..., 0].astype(np.int64) * int(n_vertices) + p[..., 1]

@@ -18,6 +18,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import re
 import time
 from typing import Any, Callable, Optional
 
@@ -25,6 +26,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+
+def _treedef_signature(treedef) -> str:
+    """Process-stable architecture signature of a pytree structure.
+
+    ``str(treedef)`` embeds the memory addresses of any function leaves in
+    the structure metadata (``<function tanh at 0x7f...>``), which differ
+    between interpreter runs — comparing raw strings would reject every
+    checkpoint loaded in a fresh process. Strip the addresses; the function
+    names and the tree shape remain, which is what identifies the
+    architecture.
+    """
+    return re.sub(r"0x[0-9a-fA-F]+", "0x", str(treedef))
 
 
 class Model:
@@ -234,7 +248,7 @@ class Model:
         )
         # architecture signature: validated on load so a checkpoint never
         # silently restores into a different network shape
-        arrays["treedef"] = np.array(str(treedef))
+        arrays["treedef"] = np.array(_treedef_signature(treedef))
         arrays["leaf_shapes"] = np.array(
             [str(tuple(np.shape(x))) for x in leaves]
         )
@@ -253,7 +267,9 @@ class Model:
         """
         data = np.load(path)
         leaves, treedef = jax.tree_util.tree_flatten(self._neural_network)
-        if "treedef" in data and str(data["treedef"]) != str(treedef):
+        if "treedef" in data and _treedef_signature(
+            str(data["treedef"])
+        ) != _treedef_signature(treedef):
             raise ValueError(
                 f"checkpoint {path!r} was written for a different network "
                 f"architecture:\n  checkpoint: {data['treedef']}\n"

@@ -382,8 +382,12 @@ def shard_basis_cells(basis, device_mesh: Optional[Mesh] = None):
     def cell_axis_of(x):
         # the CELL axis only (axis 0 flat, axis 1 behind a batch); anything
         # else (quadrature, batch) must stay replicated — sharding it would
-        # force cross-device traffic into every per-cell op
-        return 1 if (batched and x.ndim >= 2 and x.shape[1] == n_cells) else 0
+        # force cross-device traffic into every per-cell op. The padded
+        # count must match too: ``shard_leading`` sees arrays AFTER
+        # ``pad_cells`` grew the cell axis to n_cells + pad.
+        if batched and x.ndim >= 2 and x.shape[1] in (n_cells, n_cells + pad):
+            return 1
+        return 0
 
     def pad_cells(x, mode):
         ca = cell_axis_of(x)
@@ -420,11 +424,26 @@ def shard_basis_cells(basis, device_mesh: Optional[Mesh] = None):
         # zeros (local values carry _dx == 0); rebuild the scatter indices
         # to match the padded cell count
         dofs = basis._global_dofs4elements
-        zshape = list(dofs.shape)
-        zshape[-2] = pad
-        dofs_p = jnp.concatenate(
-            [dofs, jnp.zeros(zshape, dtype=dofs.dtype)], axis=-2
-        )
+        if batched and dofs.ndim == 2 and dofs.shape[0] != n_cells:
+            # flat (B*T, n_loc) global-dof table of a batched basis (the
+            # DFN glue): local values flatten as (B, T_pad, n_loc), so the
+            # padding rows must be interleaved PER FRACTURE, not appended
+            # once at the end — otherwise the scatter indices and the
+            # flattened values disagree by (B-1)*pad rows
+            n_batch = dofs.shape[0] // n_cells
+            d3 = dofs.reshape(n_batch, n_cells, -1)
+            zeros = jnp.zeros(
+                (n_batch, pad, d3.shape[-1]), dtype=dofs.dtype
+            )
+            dofs_p = jnp.concatenate([d3, zeros], axis=1).reshape(
+                n_batch * (n_cells + pad), -1
+            )
+        else:
+            zshape = list(dofs.shape)
+            zshape[-2] = pad
+            dofs_p = jnp.concatenate(
+                [dofs, jnp.zeros(zshape, dtype=dofs.dtype)], axis=-2
+            )
         out._global_dofs4elements = dofs_p
         batch_size = dofs_p.shape[0] if dofs_p.ndim == 3 else None
         rebuilt = out._build_assembly_parameters(

@@ -250,3 +250,24 @@ def test_collinear_anchor_rejection():
     with pytest.raises(ValueError, match="collinear"):
         # default anchors = first three grid vertices, which are collinear
         fem.FracturesTri([tri], f3d)
+
+
+def test_interpolate_function_returning_1d_values():
+    """A closure returning (N,) per-node values (no trailing component
+    axis) must interpolate identically to its (N, 1) twin — the nodal
+    values are reshaped before broadcasting against v/v_grad, otherwise
+    the n_loc axis silently pairs with the trailing 1 of the shape table
+    (an outer product, not an interpolant)."""
+    mesh, V = build_two_fracture(3)
+    f_flat = lambda c: 0.25 * c[..., 0] + 0.5 * c[..., 1]  # (N,)
+    f_col = lambda c: (0.25 * c[..., 0] + 0.5 * c[..., 1])[..., None]
+
+    interp_flat, grad_flat = V.interpolate(V, None)
+    # interpolate returns closures when tensor is None
+    vals_flat = np.asarray(interp_flat(f_flat))
+    vals_col = np.asarray(interp_flat(f_col))
+    assert vals_flat.shape == vals_col.shape
+    np.testing.assert_allclose(vals_flat, vals_col, atol=1e-14)
+    g_flat = np.asarray(grad_flat(f_flat))
+    g_col = np.asarray(grad_flat(f_col))
+    np.testing.assert_allclose(g_flat, g_col, atol=1e-14)

@@ -232,3 +232,28 @@ def test_pslg_min_angle_floor():
 
     with pytest.raises(RuntimeError, match="min_angle"):
         triangulate_pslg(v, s, h=0.13, min_angle=59.0)
+
+
+def test_encode_edge_pairs_is_overflow_safe():
+    """Edge codes must widen to int64 before the multiply: int32 vertex ids
+    times a >46k vertex count wraps under NumPy 2.x promotion, which can
+    collide an interior edge's code with a boundary code (silently marking
+    interior P2 midpoint DOFs as Dirichlet)."""
+    from pytorch_fem_solver_tpu.mesh.topology import (
+        encode_edge_pairs,
+        p2_cell_edge_pairs,
+    )
+
+    n_verts = 120_000  # n^2 ~ 1.4e10 >> 2^31
+    pairs = np.array([[119_998, 119_999], [0, 1]], dtype=np.int32)
+    codes = encode_edge_pairs(pairs, n_verts)
+    assert codes.dtype == np.int64
+    assert codes[0] == 119_998 * 120_000 + 119_999
+    assert codes[0] > np.iinfo(np.int32).max  # would have wrapped
+
+    cells = np.array([[2, 0, 1]], dtype=np.int32)
+    local = p2_cell_edge_pairs(cells)
+    # local edge order (01, 12, 02) on the SORTED pairs of cell [2, 0, 1]
+    np.testing.assert_array_equal(
+        local[0], [[0, 2], [0, 1], [1, 2]]
+    )

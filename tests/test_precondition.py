@@ -165,3 +165,32 @@ def test_agg_block_two_level_matches_and_converges():
     u_ref = V.solve_iterative(local, b, tol=1e-12, precondition="two_level")
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-9)
     assert bool(info.converged)
+
+
+def test_solve_iterative_preserves_basis_pytree_structure():
+    """Preconditioner setup caches host tables on the basis; every such
+    attribute must be excluded from the pytree flatten, or the first solve
+    silently changes the basis treedef and forces a recompile of every
+    jitted function that takes the basis as an argument."""
+    import jax
+
+    mesh = fem.MeshTri(fem.unit_square(n=12))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    local = V.integrate_bilinear_form_local(
+        lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+    )
+    b = V.integrate_linear_form(lambda b_: b_.v)
+    before = jax.tree_util.tree_structure(V)
+    for method, precond in (
+        ("bsr", "two_level"),
+        ("bsr", "agg_block"),
+        ("bsr", "jacobi"),
+        ("ell", "two_level"),
+    ):
+        V.solve_iterative(
+            local, b, method=method, precondition=precond, tol=1e-10
+        )
+        after = jax.tree_util.tree_structure(V)
+        assert before == after, (
+            f"basis pytree changed after solve_iterative({method}, {precond})"
+        )

@@ -235,3 +235,44 @@ def test_benchmark_network_iteration_parity(eight_devices):
     np.testing.assert_allclose(
         np.asarray(u_se), np.asarray(u_jac), atol=1e-7
     )
+
+
+def test_sharded_batched_basis_pads_and_shards(eight_devices):
+    """Batched (fracture) bases with a non-divisible per-fracture cell
+    count must be padded AND genuinely sharded along the CELL axis (axis 1
+    behind the batch axis) — the padded cell count must still be recognized
+    as the cell axis by the sharder."""
+    tri = fem.rectangle(5, 3, x0=-1.0, x1=1.0, y0=0.0, y1=1.0)
+    anchors = np.array([[[-1.0, 0.0], [1.0, 0.0], [-1.0, 1.0]]] * 2)
+    f3d = np.array(
+        [
+            [[-1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [-1.0, 1.0, 0.0]],
+            [[0.0, 0.0, -1.0], [0.0, 0.0, 1.0], [0.0, 1.0, -1.0]],
+        ]
+    )
+    dfn = fem.FracturesTri([tri, tri], f3d, anchor_vertices_2d=anchors)
+    V = fem.FractureBasis(dfn, fem.ElementTri(1, 2))
+    n_cells = V.integration_points.shape[1]
+    assert n_cells % 8 != 0, "fixture must exercise the padding path"
+    pad = (-n_cells) % 8
+
+    V_sh = shard_basis_cells(V, eight_devices)
+    axis_name = eight_devices.axis_names[0]
+    for arr in (V_sh.v_grad, V_sh.integration_points, V_sh._dx):
+        assert arr.shape[1] == n_cells + pad, arr.shape
+        spec = arr.sharding.spec
+        assert len(spec) > 1 and spec[1] == axis_name, (
+            f"batched array not cell-sharded: spec={spec}"
+        )
+
+    # padded cells carry zero weight: total area of the two isometric
+    # 2x1 rectangles stays exact
+    area = float(V_sh.integrate_functional(lambda b: b.v).sum())
+    assert abs(area - 4.0) < 1e-12
+
+    # assembled linear form parity with the unsharded basis
+    b_ref = np.asarray(V.integrate_linear_form(load))
+    b_sh = np.asarray(
+        jax.jit(lambda basis: basis.integrate_linear_form(load))(V_sh)
+    )
+    np.testing.assert_allclose(b_sh, b_ref, atol=1e-12)

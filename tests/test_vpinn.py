@@ -284,3 +284,50 @@ def test_gram_solver_pcg_scales_without_dense_gram():
     # verify G y == r through the assembled operator action
     G = V.reduce(V.integrate_bilinear_form(stiffness))
     np.testing.assert_allclose(np.asarray(G @ y), np.asarray(r), atol=1e-8)
+
+
+def test_checkpoint_signature_survives_process_restart(tmp_path):
+    """The stored architecture signature must not depend on per-process
+    function memory addresses: ``str(treedef)`` embeds ``<function tanh at
+    0x7f...>`` which differs between interpreter runs. Simulate a restart
+    by rewriting every address in the stored signature."""
+    import re
+
+    import jax
+
+    mesh = fem.MeshTri(fem.unit_square(n=3))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    nn = fem.FeedForwardNeuralNetwork(2, 1, 1, 5, boundary_condition_modifier=bc)
+
+    def training_step(net):
+        val = net(V.integration_points)
+        loss = V.integrate_functional(lambda b: val**2).sum()
+        return loss, loss, loss
+
+    model = fem.Model(
+        neural_network=nn, training_step=training_step, epochs=1,
+        progress_bar=False,
+    )
+    model.train()
+    path = tmp_path / "ckpt.npz"
+    model.save_checkpoint(str(path))
+
+    # the raw treedef repr really does carry addresses (the failure mode)
+    raw = str(jax.tree_util.tree_flatten(nn)[1])
+    assert re.search(r"0x[0-9a-fA-F]+", raw)
+
+    # rewrite the stored signature as another process would have written it
+    data = dict(np.load(str(path), allow_pickle=False))
+    tampered = re.sub(r"0x[0-9a-fA-F]*", "0xdeadbeef", str(data["treedef"]))
+    data["treedef"] = np.array(tampered)
+    np.savez(str(path), **data)
+
+    model2 = fem.Model(
+        neural_network=nn, training_step=training_step, epochs=1,
+        progress_bar=False,
+    )
+    restored = model2.load_checkpoint(str(path))  # must NOT raise
+    pts = jnp.asarray(np.random.default_rng(0).uniform(size=(4, 2)))
+    np.testing.assert_array_equal(
+        np.asarray(restored(pts)), np.asarray(model.neural_network(pts))
+    )
