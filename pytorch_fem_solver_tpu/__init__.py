@@ -21,6 +21,7 @@ from .basis import (
     InteriorEdgesFractureBasis,
     InteriorEdgesNetworkBasis,
     PatchesBasis,
+    VectorBasis,
 )
 from .element import ElementLine, ElementTri
 from .mesh import (
@@ -51,6 +52,7 @@ __all__ = [
     "InteriorEdgesBasis",
     "InteriorEdgesFractureBasis",
     "PatchesBasis",
+    "VectorBasis",
     "ElementLine",
     "ElementTri",
     "MeshTri",

@@ -7,6 +7,7 @@ from .fracture_network_basis import FractureNetworkBasis, InteriorEdgesNetworkBa
 from .interior_edges_basis import BoundaryEdgesBasis, InteriorEdgesBasis
 from .interior_edges_fracture_basis import InteriorEdgesFractureBasis
 from .patches_basis import PatchesBasis
+from .vector_basis import VectorBasis
 
 __all__ = [
     "AbstractBasis",
@@ -18,5 +19,6 @@ __all__ = [
     "InteriorEdgesBasis",
     "InteriorEdgesFractureBasis",
     "PatchesBasis",
+    "VectorBasis",
     "build_global_triangulation",
 ]

@@ -228,11 +228,12 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                     "method='bsr' solves the reduced (interior-DOF) system"
                 )
             if precondition not in (
-                "two_level", "agg_block", "mult_two_level", "jacobi"
+                "two_level", "agg_block", "mult_two_level", "rbm", "jacobi"
             ):
                 raise ValueError(
                     f"unknown precondition: {precondition!r} (expected "
-                    "'two_level', 'agg_block', 'mult_two_level' or 'jacobi')"
+                    "'two_level', 'agg_block', 'mult_two_level', 'rbm' or "
+                    "'jacobi')"
                 )
             from ..ops.bsr import (
                 bsr_diagonal,
@@ -279,6 +280,21 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                 from ..ops.precondition import mult_two_level_from_values
 
                 precond = mult_two_level_from_values(structure, values, diag)
+            elif precondition == "rbm":
+                # rigid-body-mode coarse space for vector bases
+                # (elasticity): the default for VectorBasis under
+                # 'two_level' too — this spelling forces it explicitly
+                from ..ops.precondition import (
+                    affine_two_level_from_values,
+                    get_affine_two_level_structure,
+                )
+
+                ast = get_affine_two_level_structure(
+                    self, structure, rbm=True
+                )
+                precond = affine_two_level_from_values(
+                    ast, structure, values, diag
+                )
             b_pad = bsr_reduce(structure, vector)
             x, info = pcg(
                 lambda v: bsr_matvec(structure, values, v),

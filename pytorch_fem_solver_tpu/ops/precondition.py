@@ -570,7 +570,19 @@ def auto_preconditioner(basis, structure, values, diag, operand_dtype=None):
     remains available as an explicit option for sizes where the dense
     (nc, nc) coarse inverse eventually outgrows HBM (nc is capped at 4096,
     so that wall is far out).
+
+    Vector bases (``n_components >= 2``, e.g. elasticity) get the
+    rigid-body-mode coarse space instead: constants-per-aggregate force
+    equal corrections on every displacement component and degrade with
+    1/h, while the RBM space spans the operator's near-nullspace
+    (measured on the 2D plane-strain plate: see docs/performance.md).
     """
+    if int(getattr(basis, "n_components", 1)) >= 2:
+        # aggregate size defaults from the mode count inside the builder
+        ast = get_affine_two_level_structure(basis, structure, rbm=True)
+        return affine_two_level_from_values(
+            ast, structure, values, diag, operand_dtype=operand_dtype
+        )
     g = default_aggregate_size(structure)
     table = None
     cache = getattr(basis, "_agg_block_tables", None)
@@ -717,8 +729,60 @@ def default_affine_aggregate_size(
     return _bounded_divisor_search(structure.n_pad, base, mult0)
 
 
+def elasticity_rbm_modes(
+    coords: np.ndarray,
+    components: np.ndarray,
+    include_stretch: bool = False,
+) -> np.ndarray:
+    """Per-DOF rigid-body-mode columns for vector-valued (elasticity) forms.
+
+    For an interleaved vector basis (``basis.VectorBasis``: DOF of
+    (node i, comp c) = i*nc + c), constants-per-aggregate coarse spaces
+    force equal corrections on every displacement component; the
+    near-nullspace of the elasticity operator is instead the rigid body
+    modes — per-component translations plus rotations. Returns the
+    (n, k) non-constant mode columns to pass to
+    ``build_affine_two_level_structure(modes=...)`` (the builder prepends
+    the ones column, so translations span {1} x {indicator columns}):
+
+    * component indicators for c = 1..nc-1 (translations),
+    * one rotation column per coordinate pair (a, b):
+      ``-x_b`` on component-a DOFs, ``x_a`` on component-b DOFs,
+    * with ``include_stretch``: per-component coordinate columns
+      (captures linear strain fields — a larger coarse space, use with
+      proportionally larger aggregates).
+
+    Args:
+      coords: (n, d) coordinates of the (interior) DOFs.
+      components: (n,) component index of each DOF (``inner_ids % nc``).
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    components = np.asarray(components)
+    n, d = coords.shape
+    nc = int(components.max(initial=0)) + 1
+    cols = []
+    for c in range(1, nc):
+        cols.append((components == c).astype(np.float64))
+    for a in range(min(nc, d)):
+        for b in range(a + 1, min(nc, d)):
+            col = np.zeros(n)
+            sel_a = components == a
+            sel_b = components == b
+            col[sel_a] = -coords[sel_a, b]
+            col[sel_b] = coords[sel_b, a]
+            cols.append(col)
+    if include_stretch:
+        for c in range(nc):
+            sel = components == c
+            for j in range(d):
+                col = np.zeros(n)
+                col[sel] = coords[sel, j]
+                cols.append(col)
+    return np.stack(cols, axis=1)
+
+
 def build_affine_two_level_structure(
-    structure, coords, g: int | None = None
+    structure, coords, g: int | None = None, modes: np.ndarray | None = None
 ) -> AffineTwoLevelStructure:
     """Host-side W/QR and aggregate-pair bins (value-independent).
 
@@ -726,8 +790,12 @@ def build_affine_two_level_structure(
       structure: the BSR layout.
       coords: (n_inner, d) coordinates of the interior DOFs in ORIGINAL
         reduced order (same array the spatial ordering was built from).
+      modes: optional (n_inner, k) columns replacing the coordinate
+        columns — each is centered and scaled per aggregate, the constant
+        column is always prepended (e.g. ``elasticity_rbm_modes`` for
+        vector problems). None keeps the affine space [1, x, y, (z)].
     """
-    coords = np.asarray(coords)
+    coords = np.asarray(coords) if modes is None else np.asarray(modes)
     d = coords.shape[1]
     m = 1 + d
     if g is None:
@@ -782,20 +850,35 @@ def build_affine_two_level_structure(
 
 
 def get_affine_two_level_structure(
-    basis, structure, g: int | None = None
+    basis, structure, g: int | None = None, rbm: bool = False
 ) -> AffineTwoLevelStructure:
-    """Cached-per-basis affine coarse tables."""
+    """Cached-per-basis affine (or rigid-body-mode) coarse tables.
+
+    ``rbm=True`` (requires a vector basis carrying ``n_components``) swaps
+    the coordinate columns for ``elasticity_rbm_modes``.
+    """
     cache = getattr(basis, "_affine_two_level_structures", None)
     if cache is None:
         cache = {}
         basis._affine_two_level_structures = cache
     key = (structure.nb, structure.bcols.shape[1],
-           structure.heavy_rows.shape[0], g)
+           structure.heavy_rows.shape[0], g, rbm)
     ast = cache.get(key)
     if ast is None:
         inner = np.asarray(basis._basis_parameters["inner_dofs"])
         coords = np.asarray(basis._coords4global_dofs)[inner]
-        ast = build_affine_two_level_structure(structure, coords, g=g)
+        modes = None
+        if rbm:
+            nc = int(getattr(basis, "n_components", 1))
+            if nc < 2:
+                raise ValueError(
+                    "rbm coarse space requires a vector basis "
+                    "(n_components >= 2)"
+                )
+            modes = elasticity_rbm_modes(coords, inner % nc)
+        ast = build_affine_two_level_structure(
+            structure, coords, g=g, modes=modes
+        )
         cache[key] = ast
     return ast
 

@@ -43,6 +43,7 @@ def run_example(name, env_extra, timeout=600):
     "name",
     [
         "example_weak.py",
+        "example_elasticity.py",
         "example_adaptive.py",
         "example_adaptive_dfn.py",
         "example_mixed_bc.py",
