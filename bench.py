@@ -128,28 +128,112 @@ def tpu_run_bsr(mesh):
 
     operand_dtype = jnp.bfloat16 if PRECOND_DTYPE == "bf16" else None
 
+    # Constants-vs-arguments split (measured): the per-ITERATION gather
+    # tables (bcols/bcols2/heavy_rows, ~nb*B entries) must stay jit
+    # CONSTANTS — passing them as arguments cost 3.5x per PCG iteration
+    # (1.7 -> 6.0 ms at 107k DOFs; XLA specializes constant gather
+    # descriptors). The huge one-shot tables (entry_slot_sym ~ 6T entries,
+    # used once per solve) and the basis arrays are passed as ARGUMENTS:
+    # as closure constants they blow the serialized compile payload past
+    # the axon remote-compile body limit at the 2M-DOF scale (HTTP 413).
+    big_tables = {
+        "bcols": st.bcols,
+        "entry_slot": st.entry_slot,
+        "entry_slot_sym": st.entry_slot_sym,
+        "bcols2": st.bcols2,
+        "heavy_rows": st.heavy_rows,
+        "tpartner": st.tpartner,
+    }
+    agg_table = None
+    if PRECOND == "aggblock":
+        from pytorch_fem_solver_tpu.ops.precondition import (
+            build_agg_block_table,
+            default_aggregate_size,
+        )
+
+        g_eff = AGG or default_aggregate_size(st)
+        gs_eff = AGG_SMOOTH or min(g_eff, 128)
+        agg_table = jnp.asarray(build_agg_block_table(st, gs_eff))
+
+    # chunked symmetric stiffness assembly above ~2.5M cells: the fused
+    # (T, n_loc, n_loc) local-matrix temp lives in a (…, 3, 3)-tiled layout
+    # the TPU pads ~57x — 7.6 GB at 4M cells (measured OOM at 2M DOFs).
+    # Streaming the canonical-pair scatter over cell chunks caps the temp
+    # at chunk size; the mirror completion runs once at the end.
+    CHUNK = int(os.environ.get("BENCH_ASM_CHUNK", str(1 << 18)))
+    n_cells_total = int(mesh.n_cells)
+    chunk_xs = None
+    iu, ju = np.triu_indices(3)
+    if n_cells_total > 2_500_000:
+        f_t = np.asarray(V.v_grad).dtype
+        pad_c = (-n_cells_total) % CHUNK
+        nchunks = (n_cells_total + pad_c) // CHUNK
+        vg0 = np.pad(
+            np.asarray(V.v_grad)[:, 0], ((0, pad_c), (0, 0), (0, 0))
+        )
+        dxs = np.pad(
+            np.asarray(V._dx).sum(axis=1)[:, 0, 0], (0, pad_c)
+        )
+        es = np.pad(
+            np.asarray(st.entry_slot_sym).reshape(n_cells_total, 6),
+            ((0, pad_c), (0, 0)),
+            constant_values=st.n_values,  # dropped by the OOB scatter mode
+        )
+        d = vg0.shape[-1]
+        chunk_xs = {
+            "vg": jnp.asarray(vg0.reshape(nchunks, CHUNK, 3, d), dtype=f_t),
+            "dxs": jnp.asarray(dxs.reshape(nchunks, CHUNK), dtype=f_t),
+            "slots": jnp.asarray(es.reshape(nchunks, CHUNK * 6)),
+        }
+        log(f"chunked assembly: {nchunks} chunks of {CHUNK} cells")
+
+    # one-time transfer: basis arrays are host-committed (HostConstructed);
+    # passing them as jit arguments without this re-ships them over the
+    # axon tunnel on EVERY call (measured +0.21 s/solve at 107k DOFs)
+    device = jax.devices()[0]
+    V, big_tables, agg_table, chunk_xs = jax.device_put(
+        (V, big_tables, agg_table, chunk_xs), device
+    )
+
     @jax.jit
-    def assemble_and_solve():
-        local = V.integrate_bilinear_form_local(a_form)
+    def assemble_and_solve(V, tables, agg_table, chunk_xs):
+        st_d = st._replace(**tables)
         b = V.integrate_linear_form(l_form)
         # the stiffness form is symmetric: canonical-pair assembly scatters
         # 6 entries per element instead of 9 (scatters charge per element)
-        values = bsr_values_from_local_symmetric(st, local)
-        diag = bsr_diagonal(st, values)
-        b_pad = bsr_reduce(st, b)
+        if chunk_xs is None:
+            local = V.integrate_bilinear_form_local(a_form)
+            values = bsr_values_from_local_symmetric(st_d, local)
+        else:
+            from pytorch_fem_solver_tpu.ops.bsr import (
+                bsr_complete_symmetric,
+            )
+
+            w = jnp.asarray(np.where(iu == ju, 0.5, 1.0), dtype=b.dtype)
+
+            def chunk_body(vals, xs):
+                g, dxs_c, slots = xs["vg"], xs["dxs"], xs["slots"]
+                e = (g[:, iu, :] * g[:, ju, :]).sum(-1) * dxs_c[:, None] * w
+                return vals.at[slots].add(e.reshape(-1), mode="drop"), None
+
+            vals0 = jnp.zeros((st.n_values,), dtype=b.dtype)
+            vals, _ = jax.lax.scan(chunk_body, vals0, chunk_xs)
+            values = bsr_complete_symmetric(st_d, vals)
+        diag = bsr_diagonal(st_d, values)
+        b_pad = bsr_reduce(st_d, b)
         if PRECOND in ("two_level", "smoothed", "three_level", "auto", "mult", "mult3", "affine", "aggblock"):
             if PRECOND == "aggblock":
                 # aggregate-sized (g x g) diagonal-block smoother: resolves
                 # all intra-aggregate coupling exactly, same coarse level,
-                # still zero gathers per iteration (table builds host-side
-                # at trace time)
+                # still zero gathers per iteration (host-built table passed
+                # as a jit argument, see big_tables above)
                 from pytorch_fem_solver_tpu.ops.precondition import (
                     agg_block_two_level_from_values,
                 )
 
                 precond = agg_block_two_level_from_values(
-                    st, values, diag, g=AGG, gs=AGG_SMOOTH,
-                    operand_dtype=operand_dtype,
+                    st_d, values, diag, g=AGG, gs=AGG_SMOOTH,
+                    table=agg_table, operand_dtype=operand_dtype,
                 )
             elif PRECOND == "mult":
                 # symmetrized multiplicative V(1,1) cycle: half the
@@ -163,7 +247,7 @@ def tpu_run_bsr(mesh):
                 # gather is dtype-independent) and collapse the cycle's
                 # quality at h<=0.02 (233 vs ~75 iterations)
                 precond = mult_two_level_from_values(
-                    st, values, diag, g=AGG, operand_dtype=operand_dtype
+                    st_d, values, diag, g=AGG, operand_dtype=operand_dtype
                 )
             elif PRECOND == "affine":
                 # per-aggregate [1, x, y, z] coarse space (orthonormalized):
@@ -176,7 +260,7 @@ def tpu_run_bsr(mesh):
 
                 ast = get_affine_two_level_structure(V, st, g=AGG)
                 precond = affine_two_level_from_values(
-                    ast, st, values, diag, operand_dtype=operand_dtype
+                    ast, st_d, values, diag, operand_dtype=operand_dtype
                 )
             elif PRECOND == "mult3":
                 from pytorch_fem_solver_tpu.ops.precondition import (
@@ -186,7 +270,7 @@ def tpu_run_bsr(mesh):
 
                 tl3 = get_three_level_structure(V, st)
                 precond = mult_three_level_from_values(
-                    tl3, st, values, diag, operand_dtype=operand_dtype
+                    tl3, st_d, values, diag, operand_dtype=operand_dtype
                 )
             elif PRECOND == "three_level":
                 # sparse-coarse additive 3-level: the scalable choice once
@@ -198,7 +282,7 @@ def tpu_run_bsr(mesh):
 
                 tl3 = get_three_level_structure(V, st)
                 precond = three_level_from_values(
-                    tl3, st, values, diag, operand_dtype=operand_dtype
+                    tl3, st_d, values, diag, operand_dtype=operand_dtype
                 )
             elif PRECOND == "auto":
                 from pytorch_fem_solver_tpu.ops.precondition import (
@@ -206,22 +290,22 @@ def tpu_run_bsr(mesh):
                 )
 
                 precond = auto_preconditioner(
-                    V, st, values, diag, operand_dtype=operand_dtype
+                    V, st_d, values, diag, operand_dtype=operand_dtype
                 )
             elif PRECOND == "smoothed":
                 # matrix-free smoothed aggregation: fewest iterations, but
                 # two extra SpMVs per iteration — loses to the plain coarse
                 # correction once the SpMV is the dominant cost
                 precond = smoothed_two_level_matrix_free(
-                    st, values, diag, g=AGG, omega=OMEGA
+                    st_d, values, diag, g=AGG, omega=OMEGA
                 )
             else:
                 # block-Jacobi fine + aggregate coarse: 1 SpMV/iteration
                 precond = block_two_level_from_values(
-                    st, values, diag, g=AGG, operand_dtype=operand_dtype
+                    st_d, values, diag, g=AGG, operand_dtype=operand_dtype
                 )
             x, info = pcg(
-                lambda v: bsr_matvec(st, values, v),
+                lambda v: bsr_matvec(st_d, values, v),
                 b_pad,
                 precond=precond,
                 tol=TOL,
@@ -229,7 +313,7 @@ def tpu_run_bsr(mesh):
             )
         else:
             x, info = pcg(
-                lambda v: bsr_matvec(st, values, v),
+                lambda v: bsr_matvec(st_d, values, v),
                 b_pad,
                 precond_diag=diag,
                 tol=TOL,
@@ -238,7 +322,9 @@ def tpu_run_bsr(mesh):
         rel = info.residual_norm / jnp.sqrt(jnp.sum(b_pad * b_pad))
         return x, info.iterations, rel
 
-    tpu_time, res, iters, x_host, spread = timed_solve(assemble_and_solve)
+    tpu_time, res, iters, x_host, spread = timed_solve(
+        lambda: assemble_and_solve(V, big_tables, agg_table, chunk_xs)
+    )
     try:  # HBM headroom for the scale envelope (axon may not expose it)
         stats = jax.local_devices()[0].memory_stats()
         log(

@@ -331,13 +331,33 @@ def bsr_values_from_local_symmetric(structure: BSRStructure, local_matrices):
         .at[structure.entry_slot_sym]
         .add(local_sym, mode="drop")
     )
+    return bsr_complete_symmetric(structure, values)
+
+
+def bsr_complete_symmetric(structure: BSRStructure, values):
+    """Mirror-complete canonically scattered symmetric values.
+
+    ``values`` is the flat (n_values,) buffer holding each unordered DOF
+    pair's contribution in its canonical (row-block <= col-block) slot,
+    with the scalar diagonal pre-halved (see
+    ``bsr_values_from_local_symmetric``, which packs+scatters and then
+    calls this). Exposed separately so chunked/streaming assembly paths
+    (huge meshes where the (T, n_loc, n_loc) local temp would blow the
+    TPU tile padding) can scatter incrementally and complete once.
+    """
     k = structure.block
     nb, B = structure.bcols.shape
     nh, B2 = structure.bcols2.shape
     # mirror completion: gather partners as flat 64-wide rows (measured
-    # 3.7 ms vs 5.5 ms for gathering (8, 8) blocks), transpose the copy
-    g = values.reshape(-1, k * k)[structure.tpartner]
-    full = values.reshape(-1, k, k) + g.reshape(-1, k, k).transpose(0, 2, 1)
+    # 3.7 ms vs 5.5 ms for gathering (8, 8) blocks) and transpose the copy
+    # as a static 64-column permutation — staying in (N, k*k) form keeps
+    # the TPU (8, 128) tile padding at 2x, where an (N, 8, 8) intermediate
+    # pads 16x (an 11.6 GB temp at the 2M-DOF scale, measured HBM OOM)
+    tperm = jnp.asarray(
+        np.arange(k * k).reshape(k, k).T.reshape(-1), dtype=jnp.int32
+    )
+    flat = values.reshape(-1, k * k)
+    full = flat + flat[structure.tpartner][:, tperm]
     v1 = full[: nb * B].reshape(nb, B, k, k)
     v2 = full[nb * B :].reshape(nh, B2, k, k)
     return v1, v2
