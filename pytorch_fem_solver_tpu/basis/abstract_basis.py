@@ -88,11 +88,30 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
 
     # -- integration ------------------------------------------------------
 
+    @staticmethod
+    def _evaluate_form(function, *args, **kwargs):
+        """Evaluate a user form at full f32 matmul precision.
+
+        TPU MXU matmuls default to reduced-precision (bf16) multiplication
+        for f32 operands. Harmless for NN training, but an assembly
+        integrand computed with 8 mantissa bits perturbs the operator at
+        ~1e-3 relative — measured: the benchmark's TPU-vs-CPU solution
+        parity degraded 8.8e-6 -> 1.4e-3 the moment the basis arrays
+        stopped being compile-time constants (constants were folded in
+        full precision on host). Forms must be exact; a user form can
+        still opt down via an explicit ``precision=`` inside the closure.
+        Costs ~4% on the DFN benchmark.
+        """
+        with jax.default_matmul_precision("highest"):
+            return function(*args, **kwargs)
+
     def integrate_functional(
         self, function: Callable[..., jnp.ndarray], *args: Any, **kwargs: Any
     ) -> jnp.ndarray:
         """Per-cell integral of a functional: sums quadrature and local axes."""
-        return (function(self, *args, **kwargs) * self._dx).sum(-3).sum(-2)
+        return (
+            self._evaluate_form(function, self, *args, **kwargs) * self._dx
+        ).sum(-3).sum(-2)
 
     def integrate_bilinear_form_local(
         self, function: Callable[..., jnp.ndarray], *args: Any, **kwargs: Any
@@ -103,13 +122,17 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         scatter assembly below or the matrix-free operator in
         ``ops.operators`` without materializing a global matrix.
         """
-        return (function(self, *args, **kwargs) * self._dx).sum(-3)
+        return (
+            self._evaluate_form(function, self, *args, **kwargs) * self._dx
+        ).sum(-3)
 
     def integrate_linear_form_local(
         self, function: Callable[..., jnp.ndarray], *args: Any, **kwargs: Any
     ) -> jnp.ndarray:
         """Unassembled element load vectors (..., n_cells, n_loc, 1)."""
-        return (function(self, *args, **kwargs) * self._dx).sum(-3)
+        return (
+            self._evaluate_form(function, self, *args, **kwargs) * self._dx
+        ).sum(-3)
 
     def integrate_bilinear_form(
         self, function: Callable[..., jnp.ndarray], *args: Any, **kwargs: Any
