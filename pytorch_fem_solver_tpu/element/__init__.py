@@ -2,13 +2,16 @@
 
 from .abstract_element import AbstractElement
 from .element_line import ElementLine
+from .element_tet import ElementTet
 from .element_tri import ElementTri
-from .quadrature import line_rule, triangle_rule
+from .quadrature import line_rule, tetrahedron_rule, triangle_rule
 
 __all__ = [
     "AbstractElement",
     "ElementLine",
+    "ElementTet",
     "ElementTri",
     "line_rule",
+    "tetrahedron_rule",
     "triangle_rule",
 ]

@@ -1,4 +1,4 @@
-"""Gaussian quadrature rules on the reference triangle and segment.
+"""Gaussian quadrature rules on the reference triangle, tetrahedron, segment.
 
 Static host-side tables (NumPy float64). The convention matches the reference
 library (/root/reference/torch_fem/element/element_tri.py:77-130 and
@@ -6,15 +6,26 @@ element_line.py:21-43): weights are *normalized* so they sum to one and the
 integral weight is ``reference_element_measure * weight * |det J|``.
 
 Triangle rules are the classical symmetric (Dunavant) rules on the reference
-triangle with vertices (0,0), (1,0), (0,1); segment rules are Gauss-Legendre
-on [-1, 1].
+triangle with vertices (0,0), (1,0), (0,1); tetrahedron rules are the
+classical symmetric (Keast) rules on the reference tet with vertices
+(0,0,0), (1,0,0), (0,1,0), (0,0,1) — a 3D extension beyond the 2D-only
+reference; segment rules are Gauss-Legendre on [-1, 1]. Every rule's
+polynomial exactness is asserted against analytic monomial integrals in
+``tests/test_element.py``.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["triangle_rule", "line_rule", "TRI_RULE_ORDERS", "LINE_RULE_ORDERS"]
+__all__ = [
+    "triangle_rule",
+    "tetrahedron_rule",
+    "line_rule",
+    "TRI_RULE_ORDERS",
+    "TET_RULE_ORDERS",
+    "LINE_RULE_ORDERS",
+]
 
 
 def _tri_rules() -> dict[int, tuple[np.ndarray, np.ndarray]]:
@@ -75,6 +86,94 @@ def _tri_rules() -> dict[int, tuple[np.ndarray, np.ndarray]]:
     return rules
 
 
+def _perm_aaab(a: float) -> np.ndarray:
+    """The 4 barycentric permutations (a,a,a,b), b = 1-3a, as (x,y,z) nodes.
+
+    Barycentric (l1,l2,l3,l4) maps to reference coords (l2,l3,l4).
+    """
+    b = 1.0 - 3.0 * a
+    bary = np.array(
+        [
+            [b, a, a, a],
+            [a, b, a, a],
+            [a, a, b, a],
+            [a, a, a, b],
+        ]
+    )
+    return bary[:, 1:]
+
+
+def _perm_aabb(a: float) -> np.ndarray:
+    """The 6 barycentric permutations (a,a,b,b), b = 1/2-a, as (x,y,z) nodes."""
+    b = 0.5 - a
+    bary = np.array(
+        [
+            [a, a, b, b],
+            [a, b, a, b],
+            [a, b, b, a],
+            [b, a, a, b],
+            [b, a, b, a],
+            [b, b, a, a],
+        ]
+    )
+    return bary[:, 1:]
+
+
+def _tet_rules() -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """Symmetric Keast rules; weights normalized to sum to 1 (= x6 the
+    conventional tables, whose weights sum to the reference volume 1/6)."""
+    rules: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    # degree 1: centroid rule
+    rules[1] = (np.array([[0.25, 0.25, 0.25]]), np.array([1.0]))
+
+    # degree 2: 4-point symmetric rule
+    a = (5.0 - np.sqrt(5.0)) / 20.0
+    rules[2] = (_perm_aaab(a), np.full(4, 0.25))
+
+    # degree 3: 5-point rule (centroid + 4), negative centroid weight
+    nodes = np.concatenate([np.array([[0.25, 0.25, 0.25]]), _perm_aaab(1.0 / 6.0)])
+    weights = np.concatenate([np.array([-0.8]), np.full(4, 0.45)])
+    rules[3] = (nodes, weights)
+
+    # degree 4: 11-point Keast rule
+    nodes = np.concatenate(
+        [
+            np.array([[0.25, 0.25, 0.25]]),
+            _perm_aaab(1.0 / 14.0),
+            _perm_aabb(0.3994035761667992),
+        ]
+    )
+    weights = 6.0 * np.concatenate(
+        [
+            np.array([-74.0 / 5625.0]),
+            np.full(4, 343.0 / 45000.0),
+            np.full(6, 56.0 / 2250.0),
+        ]
+    )
+    rules[4] = (nodes, weights)
+
+    # degree 5: 14-point rule (two aaab orbits + one aabb orbit; weights
+    # already sum to 1 in this table's convention)
+    nodes = np.concatenate(
+        [
+            _perm_aaab(0.3108859192633006),
+            _perm_aaab(0.0927352503108912),
+            _perm_aabb(0.0455037041256497),
+        ]
+    )
+    weights = np.concatenate(
+        [
+            np.full(4, 0.1126879257180162),
+            np.full(4, 0.0734930431163619),
+            np.full(6, 0.0425460207770812),
+        ]
+    )
+    rules[5] = (nodes, weights)
+
+    return rules
+
+
 def _line_rules() -> dict[int, tuple[np.ndarray, np.ndarray]]:
     rules: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -104,8 +203,10 @@ def _line_rules() -> dict[int, tuple[np.ndarray, np.ndarray]]:
 
 
 _TRI_RULES = _tri_rules()
+_TET_RULES = _tet_rules()
 _LINE_RULES = _line_rules()
 TRI_RULE_ORDERS = tuple(sorted(_TRI_RULES))
+TET_RULE_ORDERS = tuple(sorted(_TET_RULES))
 LINE_RULE_ORDERS = tuple(sorted(_LINE_RULES))
 
 
@@ -117,6 +218,17 @@ def triangle_rule(order: int) -> tuple[np.ndarray, np.ndarray]:
             f"(available: {TRI_RULE_ORDERS})"
         )
     nodes, weights = _TRI_RULES[order]
+    return nodes.copy(), weights.copy()
+
+
+def tetrahedron_rule(order: int) -> tuple[np.ndarray, np.ndarray]:
+    """Return (nodes (n_q, 3), normalized weights (n_q,)) on the ref tet."""
+    if order not in _TET_RULES:
+        raise NotImplementedError(
+            f"Tetrahedron integration order {order} not implemented "
+            f"(available: {TET_RULE_ORDERS})"
+        )
+    nodes, weights = _TET_RULES[order]
     return nodes.copy(), weights.copy()
 
 

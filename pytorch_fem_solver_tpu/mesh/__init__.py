@@ -1,6 +1,7 @@
 """Mesh layer: host-built, statically-shaped triangle meshes as pytrees."""
 
-from .generation import rectangle, refine_uniform, unit_square
+from .generation import box, rectangle, refine_uniform, unit_cube, unit_square
+from .mesh_tet import MeshTet
 from .mesh_tri import MeshTri
 from .meshes_tri import MeshesTri
 from .fracture_network import FractureNetworkMesh
@@ -10,6 +11,7 @@ from .quality import quality_report, triangle_min_angles
 from .patches import Patches
 
 __all__ = [
+    "MeshTet",
     "MeshTri",
     "MeshesTri",
     "FracturesTri",
@@ -18,7 +20,9 @@ __all__ = [
     "triangle_min_angles",
     "quality_report",
     "Patches",
+    "box",
     "rectangle",
+    "unit_cube",
     "refine_uniform",
     "unit_square",
 ]

@@ -25,6 +25,8 @@ __all__ = [
     "unit_square",
     "refine_uniform",
     "triangulation_max_area",
+    "box",
+    "unit_cube",
 ]
 
 
@@ -170,3 +172,92 @@ def triangulation_max_area(triangulation: dict) -> float:
     d2 = p[:, 2] - p[:, 0]
     areas = 0.5 * np.abs(d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])
     return float(areas.max())
+
+
+def box(
+    nx: int,
+    ny: int,
+    nz: int,
+    x0: float = 0.0,
+    x1: float = 1.0,
+    y0: float = 0.0,
+    y1: float = 1.0,
+    z0: float = 0.0,
+    z1: float = 1.0,
+) -> dict:
+    """Structured tetrahedralization of a box with nx*ny*nz cubes.
+
+    Each cube is split into 6 tetrahedra along its main diagonal
+    (Freudenthal/Kuhn subdivision): one tet per permutation pi of the axes,
+    with vertices (0, e_{pi0}, e_{pi0}+e_{pi1}, (1,1,1)). Every cube uses the
+    same diagonal, so shared faces match across cubes and the mesh is
+    conforming. All tets are emitted positively oriented (det J > 0).
+
+    3D counterpart of :func:`rectangle`; the reference library (2D-only,
+    ``triangle``-based) has no equivalent.
+    """
+    if nx < 1 or ny < 1 or nz < 1:
+        raise ValueError("nx, ny and nz must be >= 1")
+
+    xs = np.linspace(x0, x1, nx + 1)
+    ys = np.linspace(y0, y1, ny + 1)
+    zs = np.linspace(z0, z1, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    vertices = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    def vid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    i, j, k = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    i, j, k = i.ravel(), j.ravel(), k.ravel()
+
+    # the 6 axis permutations; each path 0 -> e_a -> e_a+e_b -> (1,1,1)
+    perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
+    eye = np.eye(3, dtype=np.int64)
+    tets = []
+    for a, b, c in perms:
+        o1 = eye[a]
+        o2 = eye[a] + eye[b]
+        corners = [
+            (0, 0, 0),
+            tuple(o1),
+            tuple(o2),
+            (1, 1, 1),
+        ]
+        tet = np.stack(
+            [vid(i + di, j + dj, k + dk) for (di, dj, dk) in corners], axis=1
+        )
+        tets.append(tet)
+    tetrahedra = np.concatenate(tets, axis=0)
+
+    # enforce positive orientation (odd permutations produce det < 0)
+    p = vertices[tetrahedra]
+    det = np.linalg.det((p[:, 1:] - p[:, [0]]).transpose(0, 2, 1))
+    neg = det < 0
+    tetrahedra[neg] = tetrahedra[neg][:, [0, 2, 1, 3]]
+
+    markers = np.zeros((vertices.shape[0], 1), dtype=np.int64)
+    coords = vertices
+    eps = 1e-12
+    edge = (
+        (np.abs(coords[:, 0] - x0) < eps)
+        | (np.abs(coords[:, 0] - x1) < eps)
+        | (np.abs(coords[:, 1] - y0) < eps)
+        | (np.abs(coords[:, 1] - y1) < eps)
+        | (np.abs(coords[:, 2] - z0) < eps)
+        | (np.abs(coords[:, 2] - z1) < eps)
+    )
+    markers[edge] = 1
+
+    return {
+        "vertices": vertices,
+        "tetrahedra": tetrahedra,
+        "vertex_markers": markers,
+    }
+
+
+def unit_cube(n: int) -> dict:
+    """Unit-cube tet mesh with n^3 cubes (6 n^3 tetrahedra), h = sqrt(3)/n."""
+    return box(n, n, n)

@@ -129,15 +129,142 @@ def build_tri_topology(
     }
 
 
-def p2_cell_edge_pairs(cells: np.ndarray) -> np.ndarray:
-    """``(T, 3, 2)`` sorted vertex pairs of each cell's local edges.
+#: local vertex pairs forming the 6 edges of a tetrahedron; the first three
+#: extend the triangle convention, the last three are the apex edges. Must
+#: match the P2 shape-function layout in ``element_tet.py``.
+TET_EDGE_PERMUTATIONS = np.array(
+    [[0, 1], [1, 2], [0, 2], [0, 3], [1, 3], [2, 3]], dtype=np.int64
+)
 
-    Local edge order is (01, 12, 02), matching the P2 shape-function layout
-    (``element_tri.py``: midpoint functions 4*l1*l2, 4*l2*l3, 4*l3*l1).
-    Shared by every P2 DOF builder (plain, DFN-batched, DFN-flat) so the
-    edge-identification logic exists exactly once.
+#: local vertex triples forming the 4 faces of a tetrahedron (face i is
+#: opposite vertex 3-i under this ordering's complement; orientation is not
+#: meaningful here — faces are stored vertex-sorted)
+TET_FACE_PERMUTATIONS = np.array(
+    [[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], dtype=np.int64
+)
+
+
+def build_tet_topology(
+    vertices: np.ndarray,
+    tetrahedra: np.ndarray,
+    vertex_markers: np.ndarray | None = None,
+) -> dict:
+    """Derive face + edge topology for a 3D tetrahedral mesh.
+
+    3D counterpart of :func:`build_tri_topology` (the reference library is
+    2D-only). Faces play the role edges play in 2D: the interior/boundary
+    split, adjacent cells and oriented normals all live on the unique faces;
+    unique *edges* are additionally derived because P2 DOFs sit on them.
+
+    Returns a dict of NumPy arrays:
+      faces_vertices (F,3), faces_markers (F,1)  [1 = boundary],
+      interior_faces_vertices (Fi,3), interior_faces_cells (Fi,2),
+      boundary_faces_vertices (Fb,3), boundary_faces_cells (Fb,1),
+      interior_faces_area (Fi,1,1), interior_faces_normals (Fi,1,3),
+      edges_vertices (E,2), edges_markers (E,1)  [1 = on a boundary face],
+      cells_min_length (T,1,1,1), vertex_markers (n,1).
+    """
+    vertices = np.asarray(vertices, dtype=np.float64)
+    tets = np.asarray(tetrahedra, dtype=np.int64)
+
+    local_faces = tets[:, TET_FACE_PERMUTATIONS]  # (T, 4, 3)
+    flat = np.sort(local_faces.reshape(-1, 3), axis=1)  # (4T, 3)
+    faces, inverse, counts = np.unique(
+        flat, axis=0, return_inverse=True, return_counts=True
+    )
+    if counts.max(initial=0) > 2:
+        raise ValueError("non-manifold mesh: a face is shared by >2 tetrahedra")
+    inverse = inverse.reshape(-1)
+    order = np.argsort(inverse, kind="stable")
+    cells_of_occurrence = order // 4
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+
+    interior_ids = np.nonzero(counts == 2)[0]
+    boundary_ids = np.nonzero(counts == 1)[0]
+
+    starts = offsets[interior_ids]
+    interior_cells = np.sort(
+        np.stack(
+            [cells_of_occurrence[starts], cells_of_occurrence[starts + 1]],
+            axis=1,
+        ),
+        axis=1,
+    )
+    boundary_cells = cells_of_occurrence[offsets[boundary_ids]].reshape(-1, 1)
+
+    interior_faces_vertices = faces[interior_ids]
+    boundary_faces_vertices = faces[boundary_ids]
+    faces_markers = (counts == 1).astype(np.int64).reshape(-1, 1)
+
+    if vertex_markers is None:
+        vertex_markers = np.zeros((vertices.shape[0], 1), dtype=np.int64)
+        vertex_markers[np.unique(boundary_faces_vertices)] = 1
+    else:
+        vertex_markers = np.asarray(vertex_markers, dtype=np.int64).reshape(-1, 1)
+
+    # interior face geometry: areas + unit normals oriented from the first
+    # adjacent cell toward the second (same centroid test as 2D)
+    p = vertices[interior_faces_vertices]  # (Fi, 3, 3)
+    cross = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+    doubled = np.linalg.norm(cross, axis=-1, keepdims=True)
+    area = 0.5 * doubled
+    normal = cross / np.maximum(doubled, 1e-300)
+
+    centroids = vertices[tets].mean(axis=1)  # (T, 3)
+    c1 = centroids[interior_cells[:, 0]]
+    c2 = centroids[interior_cells[:, 1]]
+    flip = ((c2 - c1) * normal).sum(axis=-1) < 0
+    normal[flip] *= -1.0
+
+    # unique edges (P2 DOF sites); an edge is boundary iff it lies on a
+    # boundary face
+    local_edges = tets[:, TET_EDGE_PERMUTATIONS].reshape(-1, 2)
+    edges = np.unique(np.sort(local_edges, axis=1), axis=0)
+    n_vertices = vertices.shape[0]
+    edge_codes = encode_edge_pairs(edges, n_vertices)
+    bf = boundary_faces_vertices
+    bf_edges = np.sort(
+        bf[:, [[0, 1], [1, 2], [0, 2]]].reshape(-1, 2), axis=1
+    )
+    boundary_edge_codes = np.unique(encode_edge_pairs(bf_edges, n_vertices))
+    edges_markers = (
+        np.isin(edge_codes, boundary_edge_codes).astype(np.int64).reshape(-1, 1)
+    )
+
+    cell_edge_coords = vertices[tets[:, TET_EDGE_PERMUTATIONS]]  # (T, 6, 2, 3)
+    cell_edge_len = np.linalg.norm(
+        cell_edge_coords[:, :, 1] - cell_edge_coords[:, :, 0], axis=-1
+    )
+    cells_min_length = cell_edge_len.min(axis=1).reshape(-1, 1, 1, 1)
+
+    return {
+        "faces_vertices": faces,
+        "faces_markers": faces_markers,
+        "interior_faces_vertices": interior_faces_vertices,
+        "interior_faces_cells": interior_cells,
+        "boundary_faces_vertices": boundary_faces_vertices,
+        "boundary_faces_cells": boundary_cells,
+        "interior_faces_area": area.reshape(-1, 1, 1),
+        "interior_faces_normals": normal.reshape(-1, 1, 3),
+        "edges_vertices": edges,
+        "edges_markers": edges_markers,
+        "cells_min_length": cells_min_length,
+        "vertex_markers": vertex_markers,
+    }
+
+
+def p2_cell_edge_pairs(cells: np.ndarray) -> np.ndarray:
+    """``(T, n_edges, 2)`` sorted vertex pairs of each cell's local edges.
+
+    Local edge order matches the P2 shape-function layout: (01, 12, 02) for
+    triangles (``element_tri.py``: midpoint functions 4*l1*l2, 4*l2*l3,
+    4*l3*l1) and (01, 12, 02, 03, 13, 23) for tetrahedra
+    (``element_tet.py``). Shared by every P2 DOF builder (plain, DFN-batched,
+    DFN-flat, 3D) so the edge-identification logic exists exactly once.
     """
     cells = np.asarray(cells)
+    if cells.shape[-1] == 4:
+        return np.sort(cells[:, TET_EDGE_PERMUTATIONS], axis=-1)
     return np.sort(cells[:, [[0, 1], [1, 2], [0, 2]]], axis=-1)
 
 
