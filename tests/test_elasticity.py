@@ -228,3 +228,138 @@ def test_vector_basis_validation():
     V = fem.VectorBasis(mesh, fem.ElementTri(1, 2))
     with pytest.raises(NotImplementedError):
         V.interpolate(fem.Basis(mesh, fem.ElementTri(1, 2)), None)
+
+
+# -- 3D linear elasticity (tetrahedral tier) ---------------------------------
+
+
+def u_exact_3d(p):
+    """Bubble displacement field, zero on the cube boundary."""
+    w = (
+        p[..., 0] * (1 - p[..., 0])
+        * p[..., 1] * (1 - p[..., 1])
+        * p[..., 2] * (1 - p[..., 2])
+    )
+    return jnp.stack([w, 2 * w, -w], axis=-1)
+
+
+def body_force_3d(p):
+    """f = -div sigma(u_exact_3d), via forward-mode autodiff (independent of
+    the assembly pipeline under test)."""
+    import jax
+
+    def u_fn(x):
+        w = x[0] * (1 - x[0]) * x[1] * (1 - x[1]) * x[2] * (1 - x[2])
+        return jnp.stack([w, 2 * w, -w])
+
+    def sigma(x):
+        G = jax.jacfwd(u_fn)(x)
+        eps = 0.5 * (G + G.T)
+        return 2 * MU * eps + LAM * jnp.trace(eps) * jnp.eye(3)
+
+    def divsig(x):
+        return jnp.einsum("ijj->i", jax.jacfwd(sigma)(x))
+
+    flat = p.reshape(-1, 3)
+    return -jax.vmap(divsig)(flat).reshape(p.shape)
+
+
+def load_3d(b):
+    p = b.integration_points[..., 0, :]  # (T, q, 3)
+    f = body_force_3d(p)
+    return (b.v * f[..., None, :]).sum(-1, keepdims=True)
+
+
+def numpy_elasticity_oracle_3d(verts, cells):
+    """Plain per-element P1 3D Lame assembly (independent loop code)."""
+    n = len(verts)
+    K = np.zeros((3 * n, 3 * n))
+    gref = np.array(
+        [[-1.0, -1.0, -1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    )
+    for tet in cells:
+        p = verts[tet]
+        J = np.stack([p[1] - p[0], p[2] - p[0], p[3] - p[0]], axis=1)
+        detJ = abs(np.linalg.det(J))
+        gphys = gref @ np.linalg.inv(J)  # (4, 3)
+        Ke = np.zeros((12, 12))
+        for i in range(4):
+            for ci in range(3):
+                Gi = np.zeros((3, 3))
+                Gi[ci] = gphys[i]
+                Ei = 0.5 * (Gi + Gi.T)
+                for j in range(4):
+                    for cj in range(3):
+                        Gj = np.zeros((3, 3))
+                        Gj[cj] = gphys[j]
+                        Ej = 0.5 * (Gj + Gj.T)
+                        Ke[3 * i + ci, 3 * j + cj] = (
+                            2 * MU * (Ei * Ej).sum()
+                            + LAM * np.trace(Gi) * np.trace(Gj)
+                        ) * detJ / 6
+        idx = np.stack([3 * tet, 3 * tet + 1, 3 * tet + 2], axis=1).reshape(-1)
+        K[np.ix_(idx, idx)] += Ke
+    return K
+
+
+def _solve_manufactured_3d(n, **solve_kwargs):
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+
+    mesh = MeshTet(unit_cube(n))
+    V = fem.VectorBasis(mesh, ElementTet(1, 2))
+    local = V.integrate_bilinear_form_local(elasticity)
+    b = V.integrate_linear_form(load_3d)
+    u, info = V.solve_iterative(
+        local, b, tol=1e-12, return_info=True, **solve_kwargs
+    )
+    uh, _ = V.interpolate(V, u)
+    err2 = ((uh[..., 0, :] - u_exact_3d(V.integration_points[..., 0, :])) ** 2).sum(
+        -1
+    )
+    e_l2 = float(
+        jnp.sqrt(
+            jnp.sum(V.integrate_functional(lambda b_: err2[..., None, None]))
+        )
+    )
+    return V, u, e_l2, info
+
+
+def test_vector_assembly_3d_matches_numpy_oracle():
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+
+    mesh = MeshTet(unit_cube(2))
+    V = fem.VectorBasis(mesh, ElementTet(1, 2))
+    A = np.asarray(V.integrate_bilinear_form(elasticity))
+    K = numpy_elasticity_oracle_3d(
+        np.asarray(mesh["vertices", "coordinates"]),
+        np.asarray(mesh["cells", "vertices"]),
+    )
+    assert np.abs(A - A.T).max() == 0.0
+    np.testing.assert_allclose(A, K, atol=1e-12)
+
+
+def test_elasticity_3d_converges():
+    _, _, e1, _ = _solve_manufactured_3d(3)
+    _, _, e2, _ = _solve_manufactured_3d(6)
+    assert math.log2(e1 / e2) > 1.5, (e1, e2)
+
+
+def test_elasticity_3d_rbm_matches_dense():
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+
+    mesh = MeshTet(unit_cube(4))
+    V = fem.VectorBasis(mesh, ElementTet(1, 2))
+    A = V.integrate_bilinear_form(elasticity)
+    b = V.integrate_linear_form(load_3d)
+    u_dense = V.solve(A, V.solution_tensor(), b)
+    local = V.integrate_bilinear_form_local(elasticity)
+    u_rbm, info = V.solve_iterative(
+        local, b, tol=1e-12, precondition="two_level", return_info=True
+    )
+    assert bool(info.converged)
+    np.testing.assert_allclose(
+        np.asarray(u_rbm), np.asarray(u_dense), atol=1e-10
+    )
