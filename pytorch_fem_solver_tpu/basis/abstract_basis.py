@@ -382,6 +382,19 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         u = solution.at[..., inner, 0].add(x)
         return (u, info) if return_info else u
 
+    def compiled_solver(self, bilinear_form, linear_form=None, **kwargs):
+        """One-jit assemble+solve pipeline for this basis (BSR path).
+
+        ``solve_iterative`` dispatches each op eagerly — on a tunneled TPU
+        that costs ~31 ms RTT per op (a 36k-DOF 3D solve measured 8.4 s
+        eager vs 0.17 s compiled). This builds every host structure once
+        and returns ``solve() -> (u, PCGInfo)`` compiled to a single XLA
+        program; see :func:`ops.compiled.compiled_bsr_solver` for options.
+        """
+        from ..ops.compiled import compiled_bsr_solver
+
+        return compiled_bsr_solver(self, bilinear_form, linear_form, **kwargs)
+
     def gram_solver(
         self,
         form: Callable[..., jnp.ndarray],

@@ -25,15 +25,19 @@ from .abstract_basis import AbstractBasis, register_basis_pytree
 class InteriorEdgesBasis(AbstractBasis):
     """P1 basis on interior edges (line elements embedded in the 2D mesh)."""
 
+    #: mesh group the facet quadrature lives on; subclasses re-target it
+    #: (boundary edges, 3D interior/boundary faces) and inherit everything
+    facet_group = "interior_edges"
+
     def _compute_dofs(self, mesh, element):
         if element.polynomial_order != 1:
             raise NotImplementedError("Polynomial order not implemented")
 
-        # DOFs live on mesh vertices; each edge's local DOFs are its two
-        # endpoint vertex ids (correct edge-restricted P1 map, unlike the
+        # DOFs live on mesh vertices; each facet's local DOFs are its
+        # vertex ids (correct facet-restricted P1 map, unlike the
         # reference placeholder).
         coords_4_global_dofs = mesh["vertices", "coordinates"]
-        global_dofs_4_elements = mesh["interior_edges", "vertices"]
+        global_dofs_4_elements = mesh[self.facet_group, "vertices"]
         nodes_4_boundary_dofs = mesh["vertices", "markers"]
 
         coords_4_elements = mesh.compute_coordinates_4_cells(
@@ -57,16 +61,16 @@ class InteriorEdgesBasis(AbstractBasis):
         )
 
     def _edge_coordinates(self, mesh):
-        return mesh["interior_edges", "coordinates"]
+        return mesh[self.facet_group, "coordinates"]
 
     def _adjacent_cells(self):
-        """Cell ids adjacent to each edge, shape (E, n_sides).
+        """Cell ids adjacent to each facet, shape (E, n_sides).
 
-        Interior edges have two sides (n_sides=2, for jump terms); boundary
-        edges one (n_sides=1, for flux traces). ``Basis.interpolate``
-        dispatches through this so both variants share the trace machinery.
+        Interior facets have two sides (n_sides=2, for jump terms); boundary
+        facets one (n_sides=1, for flux traces). ``Basis.interpolate``
+        dispatches through this so every variant shares the trace machinery.
         """
-        return self.mesh["interior_edges", "cells"]
+        return self.mesh[self.facet_group, "cells"]
 
     def _compute_jacobian_map(self, mesh, element):
         return jnp.matrix_transpose(self._edge_coordinates(mesh)) @ (
@@ -95,27 +99,4 @@ class BoundaryEdgesBasis(InteriorEdgesBasis):
     ``dirichlet_lift`` for mixed boundary-condition problems.
     """
 
-    def _compute_dofs(self, mesh, element):
-        if element.polynomial_order != 1:
-            raise NotImplementedError("Polynomial order not implemented")
-
-        coords_4_global_dofs = mesh["vertices", "coordinates"]
-        global_dofs_4_elements = mesh["boundary_edges", "vertices"]
-        nodes_4_boundary_dofs = mesh["vertices", "markers"]
-
-        coords_4_elements = mesh.compute_coordinates_4_cells(
-            coords_4_global_dofs, global_dofs_4_elements
-        )
-
-        return (
-            coords_4_global_dofs,
-            global_dofs_4_elements,
-            nodes_4_boundary_dofs,
-            coords_4_elements,
-        )
-
-    def _edge_coordinates(self, mesh):
-        return mesh["boundary_edges", "coordinates"]
-
-    def _adjacent_cells(self):
-        return self.mesh["boundary_edges", "cells"]
+    facet_group = "boundary_edges"

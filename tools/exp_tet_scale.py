@@ -1,0 +1,90 @@
+"""3D tet-tier TPU scale probe: Poisson on unit_cube(n) via solve_iterative.
+
+Measures host topology build, assembly+solve wall time (host-copy
+synchronized — block_until_ready does not sync on axon) and PCG iteration
+counts for the production BSR path with the two-level preconditioner.
+
+Usage: python tools/exp_tet_scale.py [n ...]   (defaults 32 48 64)
+Knobs: TET_PRECOND (default two_level), TET_TOL (1e-6), TET_REPEATS (3).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import pytorch_fem_solver_tpu as fem
+from pytorch_fem_solver_tpu.element import ElementTet
+from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+
+PRECOND = os.environ.get("TET_PRECOND", "auto")
+TOL = float(os.environ.get("TET_TOL", "1e-6"))
+REPEATS = int(os.environ.get("TET_REPEATS", "3"))
+PI = np.pi
+
+
+def stiffness_form(basis):
+    return basis.v_grad @ jnp.matrix_transpose(basis.v_grad)
+
+
+def load_form(basis):
+    p = basis.integration_points
+    return (
+        3
+        * PI**2
+        * jnp.sin(PI * p[..., 0:1])
+        * jnp.sin(PI * p[..., 1:2])
+        * jnp.sin(PI * p[..., 2:3])
+        * basis.v
+    )
+
+
+def run(n):
+    t0 = time.perf_counter()
+    mesh = MeshTet(unit_cube(n))
+    t_mesh = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    V = fem.Basis(mesh, ElementTet(1, integration_order=2))
+    t_basis = time.perf_counter() - t0
+    n_dofs = int(V._coords4global_dofs.shape[-2])
+
+    # one jitted program for the whole assemble+solve (eager dispatch over
+    # the axon tunnel costs ~31 ms RTT per op)
+    t0 = time.perf_counter()
+    solve = V.compiled_solver(
+        stiffness_form, load_form, tol=TOL, precondition=PRECOND
+    )
+    t_struct = time.perf_counter() - t0
+
+    # warmup (compile) + timed repeats; np.asarray forces axon sync
+    u, info = solve()
+    _ = np.asarray(u)
+    times = []
+    for _i in range(REPEATS):
+        t0 = time.perf_counter()
+        u, info = solve()
+        _ = np.asarray(u)
+        times.append(time.perf_counter() - t0)
+    it = int(info.iterations)
+    med = sorted(times)[len(times) // 2]
+    print(
+        f"n={n:4d} dofs={n_dofs:9d} cells={mesh.n_cells:9d} "
+        f"mesh={t_mesh:6.1f}s basis={t_basis:5.1f}s struct={t_struct:5.1f}s "
+        f"solve={med:7.3f}s (spread {min(times):.3f}-{max(times):.3f}) "
+        f"iters={it} converged={bool(info.converged)} "
+        f"s/iter={med / max(it, 1) * 1e3:7.2f}ms",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    ns = [int(a) for a in sys.argv[1:]] or [32, 48, 64]
+    print(f"platform={jax.devices()[0].platform} precond={PRECOND} tol={TOL}")
+    for n in ns:
+        run(n)
