@@ -17,13 +17,15 @@ from .basis import (
     FractureBasis,
     FractureNetworkBasis,
     BoundaryEdgesBasis,
+    BoundaryFacesBasis,
+    InteriorFacesBasis,
     InteriorEdgesBasis,
     InteriorEdgesFractureBasis,
     InteriorEdgesNetworkBasis,
     PatchesBasis,
     VectorBasis,
 )
-from .element import ElementLine, ElementTri
+from .element import ElementLine, ElementTri, ElementTriSurface
 from .mesh import (
     FractureNetworkMesh,
     FracturesTri,
@@ -49,12 +51,15 @@ __all__ = [
     "triangle_min_angles",
     "quality_report",
     "BoundaryEdgesBasis",
+    "BoundaryFacesBasis",
+    "InteriorFacesBasis",
     "InteriorEdgesBasis",
     "InteriorEdgesFractureBasis",
     "PatchesBasis",
     "VectorBasis",
     "ElementLine",
     "ElementTri",
+    "ElementTriSurface",
     "MeshTri",
     "MeshesTri",
     "FracturesTri",

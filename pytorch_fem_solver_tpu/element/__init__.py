@@ -3,7 +3,7 @@
 from .abstract_element import AbstractElement
 from .element_line import ElementLine
 from .element_tet import ElementTet
-from .element_tri import ElementTri
+from .element_tri import ElementTri, ElementTriSurface
 from .quadrature import line_rule, tetrahedron_rule, triangle_rule
 
 __all__ = [
@@ -11,6 +11,7 @@ __all__ = [
     "ElementLine",
     "ElementTet",
     "ElementTri",
+    "ElementTriSurface",
     "line_rule",
     "tetrahedron_rule",
     "triangle_rule",

@@ -117,3 +117,34 @@ class ElementTri(AbstractElement):
         det_map_jacobian = det[..., None, None, None]
         inv_map_jacobian = inv[..., None, :, :]
         return det_map_jacobian, inv_map_jacobian
+
+
+class ElementTriSurface(ElementTri):
+    """Reference triangle mapped into R^d (d >= 2): facet-quadrature element.
+
+    Used by the 3D face bases (``InteriorFacesBasis``/``BoundaryFacesBasis``)
+    the way ``ElementLine`` serves the 2D edge bases: the chart Jacobian J is
+    a (d, 2) column pair, the integration measure is the Gram determinant
+    ``sqrt(det(J^T J))`` (= |det J| when d = 2), and the "inverse" is the
+    pseudo-inverse ``(J^T J)^{-1} J^T``, so the element's own shape-function
+    gradients are *tangential* gradients expressed in ambient R^d
+    coordinates. The 3D extension has no reference-library counterpart (the
+    reference is 2D-only).
+    """
+
+    def compute_det_and_inv_map(self, map_jacobian):
+        G = jnp.matrix_transpose(map_jacobian) @ map_jacobian  # (..., 2, 2)
+        a = G[..., 0, 0]
+        b = G[..., 0, 1]
+        c = G[..., 1, 0]
+        d = G[..., 1, 1]
+        det_G = a * d - b * c
+        det = jnp.sqrt(det_G)
+        adj = jnp.stack(
+            [jnp.stack([d, -b], axis=-1), jnp.stack([-c, a], axis=-1)],
+            axis=-2,
+        )
+        pinv = (adj @ jnp.matrix_transpose(map_jacobian)) / det_G[
+            ..., None, None
+        ]
+        return det[..., None, None, None], pinv[..., None, :, :]

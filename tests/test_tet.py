@@ -243,3 +243,101 @@ def test_tet_iterative_matches_dense():
         np.testing.assert_allclose(
             np.asarray(u), np.asarray(u_dense), atol=1e-9, err_msg=method
         )
+
+
+# -- face bases (3D facet machinery) -----------------------------------------
+
+
+def test_face_functionals_integrate_areas(cube_mesh):
+    Vf = fem.InteriorFacesBasis(cube_mesh, fem.ElementTriSurface(1, 2))
+    tot = float(
+        Vf.integrate_functional(
+            lambda b: jnp.ones_like(b.integration_points[..., :1])
+        ).sum()
+    )
+    expect = float(np.asarray(cube_mesh["interior_faces", "area"]).sum())
+    assert abs(tot - expect) < 1e-12
+    Vb = fem.BoundaryFacesBasis(cube_mesh, fem.ElementTriSurface(1, 2))
+    surf = float(
+        Vb.integrate_functional(
+            lambda b: jnp.ones_like(b.integration_points[..., :1])
+        ).sum()
+    )
+    assert abs(surf - 6.0) < 1e-12
+
+
+def test_face_basis_requires_surface_element(cube_mesh):
+    import pytest as _pytest
+
+    from pytorch_fem_solver_tpu.element import ElementTri
+
+    with _pytest.raises(TypeError):
+        fem.InteriorFacesBasis(cube_mesh, ElementTri(1, 2))
+
+
+def test_two_sided_face_traces_of_linear_function(cube_mesh):
+    V = fem.Basis(cube_mesh, ElementTet(1, 2))
+    Vf = fem.InteriorFacesBasis(cube_mesh, fem.ElementTriSurface(1, 2))
+    coords = np.asarray(V._coords4global_dofs)
+    u = jnp.asarray(
+        (2.0 * coords[:, 0] - 0.7 * coords[:, 1] + 0.4 * coords[:, 2] + 0.3)
+        .reshape(-1, 1)
+    )
+    vals, grads = V.interpolate(Vf, u)
+    pts = np.asarray(Vf.integration_points)  # (Fi, q, 1, 3)
+    exact = 2.0 * pts[..., 0:1] - 0.7 * pts[..., 1:2] + 0.4 * pts[..., 2:3] + 0.3
+    v = np.asarray(vals)  # (Fi, 2, q, 1, 1)
+    for side in range(2):
+        np.testing.assert_allclose(
+            v[:, side, :, 0, :], exact[:, :, 0, :], atol=1e-12
+        )
+    g = np.asarray(grads)
+    np.testing.assert_allclose(g[..., 0], 2.0, atol=1e-12)
+    np.testing.assert_allclose(g[..., 1], -0.7, atol=1e-12)
+    np.testing.assert_allclose(g[..., 2], 0.4, atol=1e-12)
+    normals = np.asarray(cube_mesh["interior_faces", "normals"])
+    jump = (g[:, 0, 0] * normals).sum(-1) - (g[:, 1, 0] * normals).sum(-1)
+    np.testing.assert_allclose(jump, 0.0, atol=1e-12)
+
+
+def test_face_normal_gradient_jump_closed_form(cube_mesh):
+    """Flux jump of a random P1 function vs a per-cell NumPy gradient oracle."""
+    V = fem.Basis(cube_mesh, ElementTet(1, 2))
+    Vf = fem.InteriorFacesBasis(cube_mesh, fem.ElementTriSurface(1, 2))
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.normal(size=(cube_mesh.n_vertices, 1)))
+
+    _, grads = V.interpolate(Vf, u)
+    g = np.asarray(grads)  # (Fi, 2, 1, 1, 3)
+    normals = np.asarray(cube_mesh["interior_faces", "normals"])  # (Fi, 1, 3)
+    jump = (g[:, 0, 0] * normals).sum(-1) - (g[:, 1, 0] * normals).sum(-1)
+
+    verts = np.asarray(cube_mesh["vertices", "coordinates"])
+    tets = np.asarray(cube_mesh["cells", "vertices"])
+    u_np = np.asarray(u).reshape(-1)
+    gref = np.array(
+        [[-1.0, -1.0, -1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    )
+    cell_grad = np.zeros((tets.shape[0], 3))
+    for c, tet in enumerate(tets):
+        p = verts[tet]
+        J = np.stack([p[1] - p[0], p[2] - p[0], p[3] - p[0]], axis=1)
+        cell_grad[c] = u_np[tet] @ (gref @ np.linalg.inv(J))
+    cells = np.asarray(cube_mesh["interior_faces", "cells"])
+    n0 = normals[:, 0, :]
+    expect = ((cell_grad[cells[:, 0]] - cell_grad[cells[:, 1]]) * n0).sum(-1)
+    np.testing.assert_allclose(jump[:, 0], expect, atol=1e-11)
+
+
+def test_neumann_surface_load_assembles():
+    """b_N = \int_Gamma g v dS with g = 1: entries sum to the surface area
+    and land only on boundary vertices."""
+    mesh = MeshTet(unit_cube(3))
+    Vb = fem.BoundaryFacesBasis(mesh, fem.ElementTriSurface(1, 2))
+    bN = np.asarray(
+        Vb.integrate_linear_form(lambda b: jnp.ones_like(b.v) * b.v)
+    ).reshape(-1)
+    assert abs(bN.sum() - 6.0) < 1e-12
+    markers = np.asarray(mesh["vertices", "markers"]).reshape(-1)
+    assert np.abs(bN[markers == 0]).max() == 0.0
+    assert (bN[markers == 1] > 0).all()
