@@ -276,3 +276,36 @@ def test_sharded_batched_basis_pads_and_shards(eight_devices):
         jax.jit(lambda basis: basis.integrate_linear_form(load))(V_sh)
     )
     np.testing.assert_allclose(b_sh, b_ref, atol=1e-12)
+
+
+def test_sharded_solvers_on_tet_mesh(eight_devices):
+    """3D tet basis through both multi-chip layouts == single-device solve.
+
+    The sharded paths are dimension-agnostic by design (row/block-row
+    partitions never look at coordinates); this pins that property for the
+    3D tier, including the two-level preconditioner under block-row padding.
+    """
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+    from pytorch_fem_solver_tpu.parallel import solve_pcg_sharded_bsr
+
+    mesh = MeshTet(unit_cube(5))
+    V = fem.Basis(mesh, ElementTet(1, 2))
+    local = V.integrate_bilinear_form_local(stiffness)
+
+    def load3(b):
+        p = b.integration_points
+        return (1.0 + p[..., 0:1] + p[..., 1:2] + p[..., 2:3]) * b.v
+
+    b = V.integrate_linear_form(load3)
+    u_single = V.solve_iterative(local, b, tol=1e-13)
+    u_bsr = solve_pcg_sharded_bsr(V, local, b, eight_devices, tol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(u_bsr), np.asarray(u_single), atol=1e-11
+    )
+    u_ell = solve_pcg_sharded_ell(
+        V, local, b, eight_devices, tol=1e-13, max_k=16
+    )
+    np.testing.assert_allclose(
+        np.asarray(u_ell), np.asarray(u_single), atol=1e-11
+    )
