@@ -1,6 +1,6 @@
 """Mesh layer: host-built, statically-shaped triangle meshes as pytrees."""
 
-from .generation import box, rectangle, refine_uniform, unit_cube, unit_square
+from .generation import box, rectangle, refine_uniform, refine_uniform_tet, unit_cube, unit_square
 from .mesh_tet import MeshTet
 from .mesh_tri import MeshTri
 from .meshes_tri import MeshesTri
@@ -24,5 +24,6 @@ __all__ = [
     "rectangle",
     "unit_cube",
     "refine_uniform",
+    "refine_uniform_tet",
     "unit_square",
 ]

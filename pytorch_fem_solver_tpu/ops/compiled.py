@@ -22,8 +22,30 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["compiled_bsr_solver"]
+
+
+class _CellChunkView:
+    """Cell-axis slice of a basis, handed to the user's bilinear form during
+    chunked assembly. Exposes exactly the array surface typical forms read
+    (``v``, ``v_grad``, ``integration_points``, the element); anything else
+    raises with a pointer to the unchunked path."""
+
+    def __init__(self, v, v_grad, integration_points, dx, element):
+        self.v = v
+        self.v_grad = v_grad
+        self.integration_points = integration_points
+        self._dx = dx
+        self._element = element
+
+    def __getattr__(self, name):
+        raise AttributeError(
+            f"chunked assembly exposes only v / v_grad / integration_points "
+            f"to the bilinear form (requested: {name!r}); pass "
+            "chunk_cells=0 to compiled_bsr_solver to disable chunking"
+        )
 
 
 def compiled_bsr_solver(
@@ -36,6 +58,7 @@ def compiled_bsr_solver(
     symmetric_form: bool = True,
     max_b: int = 8,
     operand_dtype=None,
+    chunk_cells: Optional[int] = None,
 ):
     """Build a jitted ``solve() -> (u, info)`` for a fixed basis + forms.
 
@@ -57,6 +80,14 @@ def compiled_bsr_solver(
         triangles, 10/16 for tets); only valid for symmetric forms.
       operand_dtype: reduced-precision preconditioner operands (expert knob;
         bf16 measured fragile at scale, see docs/performance.md).
+      chunk_cells: stream the symmetric stiffness scatter over cell chunks
+        of this size with ``lax.scan``. The fused (T, n_loc, n_loc) local
+        temp lives in a TPU-tile-padded layout (measured 32x expansion —
+        a 5.9 GB temp and HBM OOM at 3.1M tets); chunking caps it at chunk
+        size, with the mirror completion running once at the end. Default
+        (None) auto-enables 2^18-cell chunks above 2M cells; 0 disables.
+        Chunked forms may only read ``v`` / ``v_grad`` /
+        ``integration_points`` from the basis they are passed.
 
     Returns:
       ``solve(b=None) -> (u, PCGInfo)`` — jit-compiled end to end.
@@ -113,23 +144,74 @@ def compiled_bsr_solver(
         "tpartner": st.tpartner,
     }
 
+    # chunked symmetric assembly tables (see the chunk_cells arg doc)
+    n_cells = int(basis.v_grad.shape[-4])
+    n_loc = int(basis.v_grad.shape[-2])
+    if chunk_cells is None:
+        chunk_cells = (1 << 18) if n_cells > 2_000_000 else 0
+    use_chunks = bool(chunk_cells) and symmetric_form
+    chunk_xs = None
+    iu, ju = np.triu_indices(n_loc)
+    if use_chunks:
+        C = int(chunk_cells)
+        pad = (-n_cells) % C
+        nch = (n_cells + pad) // C
+
+        def _padded(x):
+            x = np.asarray(x)
+            padded = np.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+            return jnp.asarray(padded.reshape(nch, C, *x.shape[1:]))
+
+        slots = np.pad(
+            np.asarray(st.entry_slot_sym).reshape(n_cells, len(iu)),
+            ((0, pad), (0, 0)),
+            constant_values=st.n_values,  # dropped by the OOB scatter mode
+        )
+        chunk_xs = {
+            "v_grad": _padded(basis.v_grad),
+            "dx": _padded(basis._dx),
+            "pts": _padded(basis.integration_points),
+            "slots": jnp.asarray(slots.reshape(nch, C * len(iu))),
+        }
+
     # one-time device residency: host-committed arrays passed as jit args
     # would otherwise re-ship over the tunnel on every call
     device = jax.devices()[0]
-    basis_d, tables_d, agg_table_d = jax.device_put(
-        (basis, big_tables, agg_table), device
+    basis_d, tables_d, agg_table_d, chunk_xs_d = jax.device_put(
+        (basis, big_tables, agg_table, chunk_xs), device
     )
 
     n_dofs = basis.n_dofs
 
     @jax.jit
-    def _run(Vb, tables, agg_tbl, b):
+    def _run(Vb, tables, agg_tbl, chunks, b):
         st_d = st._replace(**tables)
-        local = Vb.integrate_bilinear_form_local(bilinear_form)
-        if symmetric_form:
-            values = bsr_values_from_local_symmetric(st_d, local)
+        if chunks is not None:
+            from .bsr import bsr_complete_symmetric
+
+            w = jnp.asarray(
+                np.where(iu == ju, 0.5, 1.0), dtype=Vb.v_grad.dtype
+            )
+
+            def chunk_body(vals, xs):
+                view = _CellChunkView(
+                    Vb.v, xs["v_grad"], xs["pts"], xs["dx"], Vb._element
+                )
+                local = (
+                    Vb._evaluate_form(bilinear_form, view) * xs["dx"]
+                ).sum(-3)
+                packed = (local[..., iu, ju] * w).reshape(-1)
+                return vals.at[xs["slots"]].add(packed, mode="drop"), None
+
+            vals0 = jnp.zeros((st.n_values,), dtype=Vb.v_grad.dtype)
+            vals, _ = jax.lax.scan(chunk_body, vals0, chunks)
+            values = bsr_complete_symmetric(st_d, vals)
         else:
-            values = bsr_values_from_local(st_d, local)
+            local = Vb.integrate_bilinear_form_local(bilinear_form)
+            if symmetric_form:
+                values = bsr_values_from_local_symmetric(st_d, local)
+            else:
+                values = bsr_values_from_local(st_d, local)
         if linear_form is not None:
             b = Vb.integrate_linear_form(linear_form)
         diag = bsr_diagonal(st_d, values)
@@ -165,11 +247,11 @@ def compiled_bsr_solver(
         dummy = jnp.zeros((n_dofs, 1), dtype=basis._coords4global_dofs.dtype)
 
         def solve(b=None):
-            return _run(basis_d, tables_d, agg_table_d, dummy)
+            return _run(basis_d, tables_d, agg_table_d, chunk_xs_d, dummy)
 
     else:
 
         def solve(b):
-            return _run(basis_d, tables_d, agg_table_d, b)
+            return _run(basis_d, tables_d, agg_table_d, chunk_xs_d, b)
 
     return solve

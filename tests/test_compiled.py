@@ -118,3 +118,41 @@ def test_compiled_3d_tet():
     u, info = V.compiled_solver(stiffness, load3, tol=1e-12)()
     assert bool(info.converged)
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_dense), atol=1e-10)
+
+
+def test_compiled_chunked_assembly_matches_plain():
+    """Chunked symmetric scatter (lax.scan streaming) == one-shot, with a
+    non-dividing chunk size (exercises the zero-pad + OOB-slot drop) and a
+    variable-coefficient form reading integration_points."""
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+
+    def load3(b):
+        return (1.0 + b.integration_points[..., 2:3]) * b.v
+
+    mesh = MeshTet(unit_cube(4))
+    V = fem.Basis(mesh, ElementTet(1, 2))
+
+    def var_stiffness(b):
+        x = b.integration_points[..., 0:1]
+        return (1.0 + x**2) * (b.v_grad @ jnp.matrix_transpose(b.v_grad))
+
+    u_plain, _ = V.compiled_solver(var_stiffness, load3, tol=1e-12)()
+    u_chunk, info = V.compiled_solver(
+        var_stiffness, load3, tol=1e-12, chunk_cells=100
+    )()
+    assert bool(info.converged)
+    np.testing.assert_array_equal(np.asarray(u_chunk), np.asarray(u_plain))
+
+
+def test_compiled_chunked_view_guards_unsupported_access():
+    mesh = fem.MeshTri(fem.unit_square(n=6))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+
+    def bad_form(b):
+        return b.mesh  # not part of the chunk view surface
+
+    with pytest.raises(AttributeError, match="chunked assembly"):
+        V.compiled_solver(bad_form, None, chunk_cells=16)(
+            jnp.zeros((V.n_dofs, 1))
+        )

@@ -341,3 +341,65 @@ def test_neumann_surface_load_assembles():
     markers = np.asarray(mesh["vertices", "markers"]).reshape(-1)
     assert np.abs(bN[markers == 0]).max() == 0.0
     assert (bN[markers == 1] > 0).all()
+
+
+# -- uniform red refinement ---------------------------------------------------
+
+
+def test_refine_uniform_tet_counts_volume_markers():
+    from pytorch_fem_solver_tpu.mesh import refine_uniform_tet
+    from pytorch_fem_solver_tpu.mesh.topology import build_tet_topology
+
+    t0 = unit_cube(2)
+    t1 = refine_uniform_tet(t0)
+    assert t1["tetrahedra"].shape == (8 * t0["tetrahedra"].shape[0], 4)
+    p = t1["vertices"][t1["tetrahedra"]]
+    det = np.linalg.det((p[:, 1:] - p[:, [0]]).transpose(0, 2, 1))
+    assert (det > 0).all()
+    assert abs(det.sum() / 6.0 - 1.0) < 1e-12
+    # propagated markers == markers derived from fresh topology
+    fresh = build_tet_topology(
+        np.asarray(t1["vertices"]), np.asarray(t1["tetrahedra"])
+    )["vertex_markers"]
+    np.testing.assert_array_equal(np.asarray(t1["vertex_markers"]), fresh)
+    # conforming (manifold) after refinement: MeshTet construction checks
+    MeshTet(t1)
+
+
+def test_refine_uniform_tet_shape_stable():
+    """Shortest-diagonal octahedron split: the worst min/max-edge aspect
+    must NOT degrade across levels (fixed-label diagonals + orientation
+    relabels measured 0.41 -> 0.33 -> 0.24 per level before the fix)."""
+    from pytorch_fem_solver_tpu.mesh import refine_uniform_tet
+
+    def worst_aspect(t):
+        p = np.asarray(t["vertices"])[np.asarray(t["tetrahedra"])]
+        e = p[:, [[0, 1], [1, 2], [0, 2], [0, 3], [1, 3], [2, 3]]]
+        L = np.linalg.norm(e[:, :, 1] - e[:, :, 0], axis=-1)
+        return (L.min(1) / L.max(1)).min()
+
+    t = unit_cube(1)
+    aspects = [worst_aspect(t)]
+    for _ in range(3):
+        t = refine_uniform_tet(t)
+        aspects.append(worst_aspect(t))
+    assert min(aspects) > 0.95 * aspects[0], aspects
+
+
+def test_refine_uniform_tet_convergence_family():
+    from pytorch_fem_solver_tpu.mesh import refine_uniform_tet
+
+    t = unit_cube(2)
+    errs = []
+    for _ in range(3):
+        V = fem.Basis(MeshTet(t), ElementTet(1, 2))
+        A = V.integrate_bilinear_form(stiffness_form)
+        b = V.integrate_linear_form(load_form)
+        u = V.solve(A, V.solution_tensor(), b)
+        uh, _ = V.interpolate(V, u)
+        d2 = (uh - exact_u(V.integration_points)) ** 2
+        errs.append(
+            float(jnp.sqrt(jnp.sum(V.integrate_functional(lambda b_: d2))))
+        )
+        t = refine_uniform_tet(t)
+    assert math.log2(errs[1] / errs[2]) > 1.6, errs
