@@ -7,7 +7,12 @@ from .meshes_tri import MeshesTri
 from .fracture_network import FractureNetworkMesh
 from .fractures_tri import FracturesTri
 from .pslg import triangulate_pslg
-from .quality import quality_report, triangle_min_angles
+from .quality import (
+    quality_report,
+    tet_min_dihedral_angles,
+    tet_quality_report,
+    triangle_min_angles,
+)
 from .patches import Patches
 
 __all__ = [
@@ -19,6 +24,8 @@ __all__ = [
     "triangulate_pslg",
     "triangle_min_angles",
     "quality_report",
+    "tet_min_dihedral_angles",
+    "tet_quality_report",
     "Patches",
     "box",
     "rectangle",

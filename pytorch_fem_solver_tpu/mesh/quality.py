@@ -12,7 +12,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["triangle_min_angles", "quality_report"]
+__all__ = [
+    "triangle_min_angles",
+    "quality_report",
+    "tet_min_dihedral_angles",
+    "tet_quality_report",
+]
 
 
 def triangle_min_angles(vertices, triangles) -> np.ndarray:
@@ -46,4 +51,71 @@ def quality_report(vertices, triangles) -> dict:
         "max_area": float(areas.max()),
         "total_area": float(areas.sum()),
         "n_triangles": int(len(angles)),
+    }
+
+
+def tet_min_dihedral_angles(vertices, tetrahedra) -> np.ndarray:
+    """Per-tet minimum dihedral angle in degrees, shape (T,).
+
+    The dihedral along edge (a, b) is the angle between the two faces
+    sharing it, computed from their (outward-agnostic) normals. Six edges
+    per tet; the regular tet's dihedral is ~70.53 deg, the structured Kuhn
+    subdivision's minimum is 45 deg. 3D counterpart of
+    :func:`triangle_min_angles`.
+    """
+    p = np.asarray(vertices, dtype=np.float64)[np.asarray(tetrahedra)]
+    # edge (i, j) with opposite vertices (k, l): faces (i, j, k), (i, j, l)
+    edges = [
+        (0, 1, 2, 3), (1, 2, 0, 3), (0, 2, 1, 3),
+        (0, 3, 1, 2), (1, 3, 0, 2), (2, 3, 0, 1),
+    ]
+    mins = None
+    for i, j, k, l in edges:
+        e = p[:, j] - p[:, i]
+        n1 = np.cross(e, p[:, k] - p[:, i])
+        n2 = np.cross(e, p[:, l] - p[:, i])
+        denom = np.linalg.norm(n1, axis=-1) * np.linalg.norm(n2, axis=-1)
+        cos = (n1 * n2).sum(-1) / np.where(denom > 0, denom, 1.0)
+        # n1, n2 both point "away" from the edge into their faces; the
+        # dihedral is pi minus the angle between them... both normals are
+        # e x (vertex - i), so the interior dihedral IS their angle
+        ang = np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+        mins = ang if mins is None else np.minimum(mins, ang)
+    return mins
+
+
+def tet_quality_report(vertices, tetrahedra) -> dict:
+    """Quality summary for a tet mesh: dihedral angles, radius-edge ratio
+    and volume statistics. ``radius_edge`` is circumradius / shortest edge
+    (>= sqrt(6)/4 ~ 0.612 for the regular tet; slivers blow it up)."""
+    vertices = np.asarray(vertices, dtype=np.float64)
+    tetrahedra = np.asarray(tetrahedra)
+    angles = tet_min_dihedral_angles(vertices, tetrahedra)
+    p = vertices[tetrahedra]
+    d = (p[:, 1:] - p[:, [0]]).transpose(0, 2, 1)
+    vols = np.linalg.det(d) / 6.0
+
+    # circumradius via the standard solve: |x - c|^2 equalized over vertices
+    a = p[:, 1] - p[:, 0]
+    b = p[:, 2] - p[:, 0]
+    c = p[:, 3] - p[:, 0]
+    A = np.stack([a, b, c], axis=1)  # (T, 3, 3)
+    rhs = 0.5 * np.stack(
+        [(a * a).sum(-1), (b * b).sum(-1), (c * c).sum(-1)], axis=1
+    )
+    center = np.linalg.solve(A, rhs[..., None])[..., 0]
+    circum = np.linalg.norm(center, axis=-1)
+    e = p[:, [[0, 1], [1, 2], [0, 2], [0, 3], [1, 3], [2, 3]]]
+    lmin = np.linalg.norm(e[:, :, 1] - e[:, :, 0], axis=-1).min(1)
+    radius_edge = circum / np.where(lmin > 0, lmin, 1.0)
+
+    return {
+        "min_dihedral": float(angles.min()),
+        "p1_dihedral": float(np.percentile(angles, 1)),
+        "median_dihedral": float(np.median(angles)),
+        "max_radius_edge": float(radius_edge.max()),
+        "min_volume": float(vols.min()),
+        "max_volume": float(vols.max()),
+        "total_volume": float(vols.sum()),
+        "n_tetrahedra": int(len(angles)),
     }

@@ -403,3 +403,38 @@ def test_refine_uniform_tet_convergence_family():
         )
         t = refine_uniform_tet(t)
     assert math.log2(errs[1] / errs[2]) > 1.6, errs
+
+
+# -- quality metrics ----------------------------------------------------------
+
+
+def test_tet_quality_metrics():
+    from pytorch_fem_solver_tpu.mesh import (
+        refine_uniform_tet,
+        tet_min_dihedral_angles,
+        tet_quality_report,
+    )
+
+    # the regular tetrahedron's dihedral angle is arccos(1/3) ~ 70.53 deg
+    reg = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1.0]])
+    ang = tet_min_dihedral_angles(reg, np.array([[0, 1, 2, 3]]))
+    np.testing.assert_allclose(ang, np.degrees(np.arccos(1 / 3)), atol=1e-9)
+
+    t = unit_cube(2)
+    r = tet_quality_report(t["vertices"], t["tetrahedra"])
+    # Kuhn tets: min dihedral exactly 45 deg, radius-edge sqrt(3)/2
+    assert abs(r["min_dihedral"] - 45.0) < 1e-9
+    assert abs(r["max_radius_edge"] - np.sqrt(3) / 2) < 1e-9
+    assert abs(r["total_volume"] - 1.0) < 1e-12
+
+    # red refinement keeps quality bounded: the similarity classes settle
+    # within two levels (45 -> 35.26 deg) and then stay exactly flat
+    r2 = tet_quality_report(*(lambda d: (d["vertices"], d["tetrahedra"]))(
+        refine_uniform_tet(t, 2)
+    ))
+    r3 = tet_quality_report(*(lambda d: (d["vertices"], d["tetrahedra"]))(
+        refine_uniform_tet(t, 3)
+    ))
+    assert r3["min_dihedral"] >= r2["min_dihedral"] - 1e-9
+    assert r3["min_dihedral"] > 30.0
+    assert abs(r3["max_radius_edge"] - r2["max_radius_edge"]) < 1e-9
