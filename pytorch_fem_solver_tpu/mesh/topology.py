@@ -169,13 +169,26 @@ def build_tet_topology(
 
     local_faces = tets[:, TET_FACE_PERMUTATIONS]  # (T, 4, 3)
     flat = np.sort(local_faces.reshape(-1, 3), axis=1)  # (4T, 3)
-    faces, inverse, counts = np.unique(
-        flat, axis=0, return_inverse=True, return_counts=True
-    )
+    n_vertices = vertices.shape[0]
+    if n_vertices**3 < 2**62:
+        # dedup over scalar int64 face codes: 1D unique beats the
+        # lexsort-backed axis=0 path, and the native radix tier
+        # (native/sort_unique) accelerates it further on big meshes
+        codes = (flat[:, 0] * n_vertices + flat[:, 1]) * n_vertices + flat[
+            :, 2
+        ]
+        order, uniq_codes, inverse, counts = _sort_unique_codes(codes)
+        ab, c = np.divmod(uniq_codes, n_vertices)
+        a, b = np.divmod(ab, n_vertices)
+        faces = np.stack([a, b, c], axis=1)
+    else:  # pragma: no cover - >2M-vertex meshes overflow the code space
+        faces, inverse, counts = np.unique(
+            flat, axis=0, return_inverse=True, return_counts=True
+        )
+        inverse = inverse.reshape(-1)
+        order = np.argsort(inverse, kind="stable")
     if counts.max(initial=0) > 2:
         raise ValueError("non-manifold mesh: a face is shared by >2 tetrahedra")
-    inverse = inverse.reshape(-1)
-    order = np.argsort(inverse, kind="stable")
     cells_of_occurrence = order // 4
     offsets = np.concatenate([[0], np.cumsum(counts)])
 
@@ -219,9 +232,12 @@ def build_tet_topology(
     # unique edges (P2 DOF sites); an edge is boundary iff it lies on a
     # boundary face
     local_edges = tets[:, TET_EDGE_PERMUTATIONS].reshape(-1, 2)
-    edges = np.unique(np.sort(local_edges, axis=1), axis=0)
-    n_vertices = vertices.shape[0]
-    edge_codes = encode_edge_pairs(edges, n_vertices)
+    all_edge_codes = encode_edge_pairs(
+        np.sort(local_edges, axis=1), n_vertices
+    )
+    _, edge_codes, _, _ = _sort_unique_codes(all_edge_codes)
+    ea, eb = np.divmod(edge_codes, n_vertices)
+    edges = np.stack([ea, eb], axis=1)
     bf = boundary_faces_vertices
     bf_edges = np.sort(
         bf[:, [[0, 1], [1, 2], [0, 2]]].reshape(-1, 2), axis=1
@@ -266,6 +282,26 @@ def p2_cell_edge_pairs(cells: np.ndarray) -> np.ndarray:
     if cells.shape[-1] == 4:
         return np.sort(cells[:, TET_EDGE_PERMUTATIONS], axis=-1)
     return np.sort(cells[:, [[0, 1], [1, 2], [0, 2]]], axis=-1)
+
+
+def _sort_unique_codes(codes: np.ndarray):
+    """(order, unique, inverse, counts) of int64 codes.
+
+    Routed through the native single-pass radix tier when available
+    (``native.sort_unique``), byte-identical NumPy fallback otherwise; both
+    match ``np.unique(codes, return_inverse=True, return_counts=True)``
+    plus the stable ascending argsort.
+    """
+    from ..native import sort_unique
+
+    result = sort_unique(codes)
+    if result is not None:
+        return result
+    uniq, inverse, counts = np.unique(
+        codes, return_inverse=True, return_counts=True
+    )
+    order = np.argsort(codes, kind="stable")
+    return order, uniq, inverse.reshape(-1), counts
 
 
 def encode_edge_pairs(pairs: np.ndarray, n_vertices: int) -> np.ndarray:
