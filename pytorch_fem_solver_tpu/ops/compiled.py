@@ -144,9 +144,11 @@ def compiled_bsr_solver(
         "tpartner": st.tpartner,
     }
 
-    # chunked symmetric assembly tables (see the chunk_cells arg doc)
-    n_cells = int(basis.v_grad.shape[-4])
-    n_loc = int(basis.v_grad.shape[-2])
+    # chunked symmetric assembly tables (see the chunk_cells arg doc);
+    # n_loc from the DOF map, not v_grad — a VectorBasis v_grad carries an
+    # extra component axis (t, q, n_vloc, nc, d)
+    n_cells = int(basis.v_grad.shape[0])
+    n_loc = int(basis._global_dofs4elements.shape[-1])
     if chunk_cells is None:
         chunk_cells = (1 << 18) if n_cells > 2_000_000 else 0
     use_chunks = bool(chunk_cells) and symmetric_form

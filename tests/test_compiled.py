@@ -156,3 +156,27 @@ def test_compiled_chunked_view_guards_unsupported_access():
         V.compiled_solver(bad_form, None, chunk_cells=16)(
             jnp.zeros((V.n_dofs, 1))
         )
+
+
+def test_compiled_chunked_vector_basis():
+    """Chunking on a VectorBasis (5-dim v_grad): the cell count and n_loc
+    must come from the DOF map, not v_grad's trailing axes."""
+
+    def elast(b):
+        g = b.v_grad
+        eps = 0.5 * (g + jnp.swapaxes(g, -1, -2))
+        div = jnp.trace(g, axis1=-2, axis2=-1)
+        return 2 * jnp.einsum("...icd,...jcd->...ij", eps, eps) + div[
+            ..., :, None
+        ] * div[..., None, :]
+
+    def vload(b):
+        x = b.integration_points[..., 0]
+        f = jnp.stack([jnp.sin(math.pi * x), jnp.cos(math.pi * x)], axis=-1)
+        return (b.v * f).sum(-1, keepdims=True)
+
+    mesh = fem.MeshTri(fem.unit_square(n=10))
+    V = fem.VectorBasis(mesh, fem.ElementTri(1, 2))
+    u_plain, _ = V.compiled_solver(elast, vload, tol=1e-12)()
+    u_chunk, _ = V.compiled_solver(elast, vload, tol=1e-12, chunk_cells=32)()
+    np.testing.assert_array_equal(np.asarray(u_chunk), np.asarray(u_plain))
