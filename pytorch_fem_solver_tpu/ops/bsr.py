@@ -130,6 +130,16 @@ def build_bsr_structure(
       max_b: cap on neighbor blocks per block-row in tier 1; rows over the
         cap spill the excess blocks to the second tier. None = no cap.
     """
+    import os
+    import time
+
+    profile = bool(os.environ.get("BSR_BUILD_PROFILE"))
+    marks = [("start", time.perf_counter())]
+
+    def mark(name):
+        if profile:
+            marks.append((name, time.perf_counter()))
+
     dofs = np.asarray(dofs).reshape(-1, np.asarray(dofs).shape[-1])
     inner = np.asarray(inner)
     coords = np.asarray(coords)
@@ -142,6 +152,7 @@ def build_bsr_structure(
     # pure reshapes
     perm = spatial_order(coords, group=leaf)
     inner_perm = inner[perm]
+    mark("spatial_order")
 
     pad_to = int(np.lcm(np.lcm(block, pad_to), leaf))
     # round n_pad up so every power-of-two aggregate multiple divides it:
@@ -167,6 +178,7 @@ def build_bsr_structure(
     keep = np.nonzero((rows >= 0) & (cols >= 0))[0]
     rows_k = rows[keep]
     cols_k = cols[keep]
+    mark("row_col_expand")
 
     from ..native import sort_unique as native_sort_unique
 
@@ -179,6 +191,7 @@ def build_bsr_structure(
         _, bkeys, pair_rank_all, _ = native_result
     else:
         bkeys, pair_rank_all = np.unique(entry_bkey, return_inverse=True)
+    mark("pair_dedup")
     ubr = bkeys // nb
     ubc = bkeys % nb
     counts = np.bincount(ubr, minlength=nb)
@@ -230,6 +243,7 @@ def build_bsr_structure(
     # (measured: unsorted scatter-add 20 ms vs gather+sorted scatter 30 ms)
     entry_slot = np.full(rows.size, n_values, dtype=np.int64)
     entry_slot[keep] = slots
+    mark("entry_slots")
 
     # --- symmetric-assembly tables ------------------------------------
     # For symmetric local matrices only the n_loc*(n_loc+1)/2 unordered DOF
@@ -250,6 +264,7 @@ def build_bsr_structure(
     )
     entry_slot_sym = np.full(g_i.size, n_values, dtype=np.int64)
     entry_slot_sym[keep_s] = slots_s
+    mark("sym_slots")
 
     # block-transpose partner: mirror (cb, rb) of every stored block (self
     # for diagonals); padding slots stay self-paired so they remain zero
@@ -257,9 +272,10 @@ def build_bsr_structure(
     S_blocks = nb * B + nh * B2
     tpartner = np.arange(S_blocks, dtype=np.int64)
     tpartner[blk_id] = blk_id[trank]
+    mark("tpartner")
 
     i_t = config.index_dtype()
-    return BSRStructure(
+    structure = BSRStructure(
         bcols=jnp.asarray(bcols, dtype=i_t),
         entry_slot=jnp.asarray(entry_slot, dtype=i_t),
         perm=perm,
@@ -277,6 +293,17 @@ def build_bsr_structure(
         ubc_host=ubc,
         blk_id_host=blk_id,
     )
+    if profile:
+        for a in (structure.entry_slot, structure.entry_slot_sym):
+            np.asarray(a)  # force the device push into this timing window
+        mark("device_push")
+        spans = ", ".join(
+            f"{name}={t1 - t0:.2f}s"
+            for (_, t0), (name, t1) in zip(marks, marks[1:])
+        )
+        print(f"[bsr-build] n_inner={n_inner} T={dofs.shape[0]}: {spans}",
+              flush=True)
+    return structure
 
 
 def bsr_values_from_local(structure: BSRStructure, local_matrices):
