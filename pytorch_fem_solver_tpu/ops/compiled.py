@@ -59,6 +59,7 @@ def compiled_bsr_solver(
     max_b: int = 8,
     operand_dtype=None,
     chunk_cells: Optional[int] = None,
+    values_dtype=None,
 ):
     """Build a jitted ``solve() -> (u, info)`` for a fixed basis + forms.
 
@@ -80,6 +81,12 @@ def compiled_bsr_solver(
         triangles, 10/16 for tets); only valid for symmetric forms.
       operand_dtype: reduced-precision preconditioner operands (expert knob;
         bf16 measured fragile at scale, see docs/performance.md).
+      values_dtype: storage dtype for the SpMV block values (e.g.
+        ``jnp.bfloat16``). The diagonal and preconditioner are built from
+        the full-precision values first; only the per-iteration operator
+        stream is reduced. Useful when the SpMV is HBM-bandwidth-bound
+        (3D meshes: ~18 neighbor blocks/row vs ~7 in 2D); the 2D DFN
+        benchmark is gather-descriptor-bound and measured no gain.
       chunk_cells: stream the symmetric stiffness scatter over cell chunks
         of this size with ``lax.scan``. The fused (T, n_loc, n_loc) local
         temp lives in a TPU-tile-padded layout (measured 32x expansion —
@@ -234,6 +241,10 @@ def compiled_bsr_solver(
                     operand_dtype=operand_dtype,
                 )
         b_pad = bsr_reduce(st_d, b)
+        if values_dtype is not None:
+            values = jax.tree_util.tree_map(
+                lambda v: v.astype(values_dtype), values
+            )
         x, info = pcg(
             lambda v: bsr_matvec(st_d, values, v),
             b_pad,

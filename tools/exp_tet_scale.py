@@ -25,6 +25,9 @@ from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
 PRECOND = os.environ.get("TET_PRECOND", "auto")
 TOL = float(os.environ.get("TET_TOL", "1e-6"))
 REPEATS = int(os.environ.get("TET_REPEATS", "3"))
+MAX_B = os.environ.get("TET_MAX_B", "8")  # int or "none" (uncapped tier 1)
+MAX_B = None if MAX_B.lower() == "none" else int(MAX_B)
+VALUES_DTYPE = os.environ.get("TET_VALUES_DTYPE", "")  # "" | bf16
 PI = np.pi
 
 
@@ -58,7 +61,8 @@ def run(n):
     # the axon tunnel costs ~31 ms RTT per op)
     t0 = time.perf_counter()
     solve = V.compiled_solver(
-        stiffness_form, load_form, tol=TOL, precondition=PRECOND
+        stiffness_form, load_form, tol=TOL, precondition=PRECOND, max_b=MAX_B,
+        values_dtype=jnp.bfloat16 if VALUES_DTYPE == "bf16" else None,
     )
     t_struct = time.perf_counter() - t0
 
@@ -85,6 +89,6 @@ def run(n):
 
 if __name__ == "__main__":
     ns = [int(a) for a in sys.argv[1:]] or [32, 48, 64]
-    print(f"platform={jax.devices()[0].platform} precond={PRECOND} tol={TOL}")
+    print(f"platform={jax.devices()[0].platform} precond={PRECOND} tol={TOL} max_b={MAX_B} values={VALUES_DTYPE or 'f32'}")
     for n in ns:
         run(n)
