@@ -268,7 +268,9 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                 get_bsr_structure,
             )
 
-            structure = get_bsr_structure(self, max_b=8)
+            from ..ops.bsr import default_max_b
+
+            structure = get_bsr_structure(self, max_b=default_max_b(self))
             if symmetric_form:
                 values = bsr_values_from_local_symmetric(
                     structure, local_matrices

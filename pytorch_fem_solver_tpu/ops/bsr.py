@@ -449,6 +449,20 @@ def bsr_expand(structure: BSRStructure, x, n_dofs: int):
     return full[:, None]
 
 
+def default_max_b(basis) -> int:
+    """Dimension-aware tier-1 block cap for the hybrid layout.
+
+    The cap trades tier-1 padding against tier-2 spill, and the right value
+    tracks the mean block degree, which tracks the REFERENCE element
+    dimension (not the embedding: DFN fractures live in 3D coordinates but
+    are topologically 2D, mean degree ~7.6). Measured: 2D benchmark wants 8
+    (docs/performance.md); 3D tets carry mean degree ~18 and max_b=24 cuts
+    s/iter 26% at 1M DOFs (48.1 -> 35.7 ms, identical solution).
+    """
+    ref_dim = int(np.asarray(basis._element.barycentric_grad).shape[-1])
+    return 24 if ref_dim >= 3 else 8
+
+
 def get_bsr_structure(
     basis, block: int = 8, leaf: int = 32, max_b: int | None = None
 ) -> BSRStructure:

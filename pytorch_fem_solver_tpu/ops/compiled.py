@@ -56,7 +56,7 @@ def compiled_bsr_solver(
     maxiter: Optional[int] = None,
     precondition: str = "auto",
     symmetric_form: bool = True,
-    max_b: int = 8,
+    max_b: Optional[int] = None,
     operand_dtype=None,
     chunk_cells: Optional[int] = None,
     values_dtype=None,
@@ -79,6 +79,8 @@ def compiled_bsr_solver(
         or ``"jacobi"``.
       symmetric_form: enable the canonical-pair scatter (6/9 entries for P1
         triangles, 10/16 for tets); only valid for symmetric forms.
+      max_b: tier-1 block cap; default None auto-picks by reference
+        dimension (8 in 2D, 24 for tets — measured 26% at 1M DOFs).
       operand_dtype: reduced-precision preconditioner operands (expert knob;
         bf16 measured fragile at scale, see docs/performance.md).
       values_dtype: storage dtype for the SpMV block values (e.g.
@@ -106,6 +108,7 @@ def compiled_bsr_solver(
         bsr_reduce,
         bsr_values_from_local,
         bsr_values_from_local_symmetric,
+        default_max_b,
         get_bsr_structure,
     )
     from .precondition import (
@@ -123,6 +126,8 @@ def compiled_bsr_solver(
             "'jacobi'); use solve_iterative for the full option surface"
         )
 
+    if max_b is None:
+        max_b = default_max_b(basis)  # 8 in 2D, 24 in 3D (measured)
     st = get_bsr_structure(basis, max_b=max_b)
 
     # value-independent host tables for the preconditioner
