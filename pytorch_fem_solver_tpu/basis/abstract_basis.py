@@ -610,6 +610,7 @@ _CACHE_ATTRS = (
     "_three_level_structures",
     "_agg_block_tables",
     "_affine_two_level_structures",
+    "_chunk_tables",
 )
 
 
