@@ -25,8 +25,9 @@ from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
 PRECOND = os.environ.get("TET_PRECOND", "auto")
 TOL = float(os.environ.get("TET_TOL", "1e-6"))
 REPEATS = int(os.environ.get("TET_REPEATS", "3"))
-MAX_B = os.environ.get("TET_MAX_B", "8")  # int or "none" (uncapped tier 1)
-MAX_B = None if MAX_B.lower() == "none" else int(MAX_B)
+MAX_B = os.environ.get("TET_MAX_B", "auto")  # int, "none" (uncapped), "auto"
+MAX_B = {"none": None, "auto": "auto"}.get(MAX_B.lower(), MAX_B)
+MAX_B = int(MAX_B) if isinstance(MAX_B, str) and MAX_B not in ("auto",) else MAX_B
 VALUES_DTYPE = os.environ.get("TET_VALUES_DTYPE", "")  # "" | bf16
 PI = np.pi
 
@@ -60,9 +61,10 @@ def run(n):
     # one jitted program for the whole assemble+solve (eager dispatch over
     # the axon tunnel costs ~31 ms RTT per op)
     t0 = time.perf_counter()
+    kw = {} if MAX_B == "auto" else {"max_b": MAX_B}
     solve = V.compiled_solver(
-        stiffness_form, load_form, tol=TOL, precondition=PRECOND, max_b=MAX_B,
-        values_dtype=jnp.bfloat16 if VALUES_DTYPE == "bf16" else None,
+        stiffness_form, load_form, tol=TOL, precondition=PRECOND,
+        values_dtype=jnp.bfloat16 if VALUES_DTYPE == "bf16" else None, **kw
     )
     t_struct = time.perf_counter() - t0
 
