@@ -270,7 +270,11 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
 
             from ..ops.bsr import default_max_b
 
-            structure = get_bsr_structure(self, max_b=default_max_b(self))
+            structure = get_bsr_structure(
+                self,
+                max_b=default_max_b(self),
+                want_entry_slot=not symmetric_form,
+            )
             if symmetric_form:
                 values = bsr_values_from_local_symmetric(
                     structure, local_matrices

@@ -114,6 +114,7 @@ def build_bsr_structure(
     pad_to: int = 32,
     leaf: int = 32,
     max_b: int | None = None,
+    want_entry_slot: bool = True,
 ) -> BSRStructure:
     """Host-side construction of the permuted block-sparse layout.
 
@@ -129,6 +130,10 @@ def build_bsr_structure(
       leaf: spatial-bisection cluster size for the ordering.
       max_b: cap on neighbor blocks per block-row in tier 1; rows over the
         cap spill the excess blocks to the second tier. None = no cap.
+      want_entry_slot: build the full per-entry scatter table used by the
+        NON-symmetric assembly (``bsr_values_from_local``). Symmetric-only
+        callers skip it: at 1.57M tets it is ~9 s of host build plus the
+        single largest device table (T*n_loc^2 int32) shipped for nothing.
     """
     import os
     import time
@@ -231,18 +236,20 @@ def build_bsr_structure(
         nb * B + heavy_rank[ubr] * B2 + (b_of - B),
     )
 
-    # slot of every kept element entry: block pair -> tier + b index, then
-    # the in-block position; tier-2 slots live past the tier-1 block
-    in_block = (rows_k % block) * block + (cols_k % block)
-    slots = blk_id[pair_rank_all] * (block * block) + in_block
-
     n_values = int(n_values1 + nh * B2 * block * block)
-    # slot per ORIGINAL flat entry position; boundary-touching entries point
-    # one past the end and are dropped by the scatter's OOB mode — this
-    # avoids both a 2M-element pre-sort gather on device and the host sort
-    # (measured: unsorted scatter-add 20 ms vs gather+sorted scatter 30 ms)
-    entry_slot = np.full(rows.size, n_values, dtype=np.int64)
-    entry_slot[keep] = slots
+    if want_entry_slot:
+        # slot of every kept element entry: block pair -> tier + b index,
+        # then the in-block position; tier-2 slots live past tier 1.
+        # Slot per ORIGINAL flat entry position; boundary-touching entries
+        # point one past the end and are dropped by the scatter's OOB mode
+        # — this avoids both a 2M-element pre-sort gather on device and the
+        # host sort (measured: unsorted scatter 20 ms vs gather+sorted 30)
+        in_block = (rows_k % block) * block + (cols_k % block)
+        slots = blk_id[pair_rank_all] * (block * block) + in_block
+        entry_slot = np.full(rows.size, n_values, dtype=np.int64)
+        entry_slot[keep] = slots
+    else:
+        entry_slot = np.zeros((0,), dtype=np.int64)
     mark("entry_slots")
 
     # --- symmetric-assembly tables ------------------------------------
@@ -464,15 +471,25 @@ def default_max_b(basis) -> int:
 
 
 def get_bsr_structure(
-    basis, block: int = 8, leaf: int = 32, max_b: int | None = None
+    basis,
+    block: int = 8,
+    leaf: int = 32,
+    max_b: int | None = None,
+    want_entry_slot: bool = True,
 ) -> BSRStructure:
-    """Cached-per-basis BSR layout, keyed by (block, leaf, max_b)."""
+    """Cached-per-basis BSR layout, keyed by (block, leaf, max_b).
+
+    A cached symmetric-only structure (built with ``want_entry_slot=False``)
+    is upgraded in place when a caller later needs the full entry table.
+    """
     cache = getattr(basis, "_bsr_structures", None)
     if cache is None:
         cache = {}
         basis._bsr_structures = cache
     key = (block, leaf, max_b)
     structure = cache.get(key)
+    if structure is not None and want_entry_slot and structure.entry_slot.size == 0:
+        structure = None  # symmetric-only cached; rebuild with the table
     if structure is None:
         inner = np.asarray(basis._basis_parameters["inner_dofs"])
         coords = np.asarray(basis._coords4global_dofs)[inner]
@@ -484,6 +501,7 @@ def get_bsr_structure(
             block=block,
             leaf=leaf,
             max_b=max_b,
+            want_entry_slot=want_entry_slot,
         )
         cache[key] = structure
     return structure

@@ -128,7 +128,12 @@ def compiled_bsr_solver(
 
     if max_b is None:
         max_b = default_max_b(basis)  # 8 in 2D, 24 in 3D (measured)
-    st = get_bsr_structure(basis, max_b=max_b)
+    # symmetric assembly never touches the full per-entry scatter table —
+    # skip building/shipping it (~9 s host + the largest device table at
+    # 1.57M tets)
+    st = get_bsr_structure(
+        basis, max_b=max_b, want_entry_slot=not symmetric_form
+    )
 
     # value-independent host tables for the preconditioner
     is_vector = int(getattr(basis, "n_components", 1)) >= 2
