@@ -438,3 +438,79 @@ def test_tet_quality_metrics():
     assert r3["min_dihedral"] >= r2["min_dihedral"] - 1e-9
     assert r3["min_dihedral"] > 30.0
     assert abs(r3["max_radius_edge"] - r2["max_radius_edge"]) < 1e-9
+
+
+# -- a-posteriori estimator in 3D ---------------------------------------------
+
+
+def test_tet_residual_jump_estimator_effectivity():
+    """The residual + face-jump estimator is efficient and reliable in 3D:
+    eta tracks the true H1 error within a bounded effectivity band across
+    refinement, at the same decay rate."""
+    results = []
+    for n in (3, 6):
+        mesh = MeshTet(unit_cube(n))
+        V = fem.Basis(mesh, ElementTet(1, 2))
+        Vf = fem.InteriorFacesBasis(mesh, fem.ElementTriSurface(1, 2))
+
+        A = V.integrate_bilinear_form(stiffness_form)
+        b = V.integrate_linear_form(load_form)
+        u = V.solve(A, V.solution_tensor(), b)
+
+        # true H1 error via quadrature
+        uh, ugh = V.interpolate(V, u)
+        pts = V.integration_points
+        ge = jnp.concatenate(
+            [
+                np.pi * jnp.cos(np.pi * pts[..., 0:1])
+                * jnp.sin(np.pi * pts[..., 1:2])
+                * jnp.sin(np.pi * pts[..., 2:3]),
+                np.pi * jnp.sin(np.pi * pts[..., 0:1])
+                * jnp.cos(np.pi * pts[..., 1:2])
+                * jnp.sin(np.pi * pts[..., 2:3]),
+                np.pi * jnp.sin(np.pi * pts[..., 0:1])
+                * jnp.sin(np.pi * pts[..., 1:2])
+                * jnp.cos(np.pi * pts[..., 2:3]),
+            ],
+            axis=-1,
+        )
+        e2 = (uh - exact_u(pts)) ** 2 + ((ugh - ge) ** 2).sum(
+            -1, keepdims=True
+        )
+        h1_err = float(jnp.sqrt(jnp.sum(V.integrate_functional(lambda b_: e2))))
+
+        # bulk: h_T^2 ||f||_T^2 (P1: elementwise Laplacian vanishes)
+        h_T = mesh["cells", "length"]
+        bulk = np.asarray(
+            V.integrate_functional(
+                lambda b_: h_T**2
+                * (3 * np.pi**2 * exact_u(b_.integration_points)) ** 2
+            )
+        ).reshape(-1)
+
+        # face term: h_F [du_h/n]^2 with h_F ~ sqrt(area)
+        _, ug_faces = V.interpolate(Vf, u)
+        n_F = mesh["interior_faces", "normals"][..., None, :, :]
+        h_F = jnp.sqrt(mesh["interior_faces", "area"])[..., None, :, :]
+
+        def face_term(b_):
+            jump = (ug_faces[:, 0] * n_F).sum(-1, keepdims=True) - (
+                ug_faces[:, 1] * n_F
+            ).sum(-1, keepdims=True)
+            return h_F * jump**2
+
+        per_face = np.asarray(Vf.integrate_functional(face_term)).reshape(-1)
+        eta2 = bulk.copy()
+        cells = np.asarray(mesh["interior_faces", "cells"])
+        np.add.at(eta2, cells[:, 0], 0.5 * per_face)
+        np.add.at(eta2, cells[:, 1], 0.5 * per_face)
+        eta = float(np.sqrt(eta2.sum()))
+        results.append((h1_err, eta))
+
+    for h1_err, eta in results:
+        effectivity = eta / h1_err
+        assert 0.5 < effectivity < 30.0, (h1_err, eta)
+    # eta decays at the same O(h) rate as the true H1 error
+    rate_err = math.log2(results[0][0] / results[1][0])
+    rate_eta = math.log2(results[0][1] / results[1][1])
+    assert abs(rate_err - rate_eta) < 0.4, (rate_err, rate_eta)
