@@ -192,7 +192,11 @@ def refine_uniform_tet(triangulation: dict, times: int = 1) -> dict:
     lies on a boundary face. 3D counterpart of :func:`refine_uniform`; no
     reference-library equivalent (2D-only).
     """
-    from .topology import TET_EDGE_PERMUTATIONS
+    from .topology import (
+        TET_EDGE_PERMUTATIONS,
+        _sort_unique_codes,
+        encode_edge_pairs,
+    )
 
     out = dict(triangulation)
     for key in ("cells", "tets"):
@@ -208,24 +212,34 @@ def refine_uniform_tet(triangulation: dict, times: int = 1) -> dict:
 
             markers = build_tet_topology(vertices, tets)["vertex_markers"]
 
+        n_v = vertices.shape[0]
         local = tets[:, TET_EDGE_PERMUTATIONS]  # (T, 6, 2)
-        flat = np.sort(local.reshape(-1, 2), axis=1)
-        edges, inverse = np.unique(flat, axis=0, return_inverse=True)
+        flat_codes = encode_edge_pairs(
+            np.sort(local.reshape(-1, 2), axis=1), n_v
+        )
+        # scalar-code dedup rides the native radix tier (same routing as
+        # build_tet_topology; np.unique(axis=0) lexsorts cost minutes at
+        # refinement scale)
+        _, edge_codes, inverse, _ = _sort_unique_codes(flat_codes)
 
         # a midpoint is boundary iff its edge lies on a boundary face
         faces = np.sort(
             tets[:, [[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]]].reshape(-1, 3),
             axis=1,
         )
-        uf, fcounts = np.unique(faces, axis=0, return_counts=True)
-        bf = uf[fcounts == 1]
-        n_v = vertices.shape[0]
+        face_codes = (
+            faces[:, 0].astype(np.int64) * n_v + faces[:, 1]
+        ) * n_v + faces[:, 2]
+        _, uf_codes, _, fcounts = _sort_unique_codes(face_codes)
+        bf_ab, bf_c = np.divmod(uf_codes[fcounts == 1], n_v)
+        bf_a, bf_b = np.divmod(bf_ab, n_v)
+        bf = np.stack([bf_a, bf_b, bf_c], axis=1)
         bf_edges = np.sort(bf[:, [[0, 1], [1, 2], [0, 2]]].reshape(-1, 2), axis=1)
-        bf_codes = np.unique(bf_edges[:, 0].astype(np.int64) * n_v + bf_edges[:, 1])
-        edge_codes = edges[:, 0].astype(np.int64) * n_v + edges[:, 1]
+        bf_codes = np.unique(encode_edge_pairs(bf_edges, n_v))
         mid_markers = (
             np.isin(edge_codes, bf_codes).astype(np.int64).reshape(-1, 1)
         )
+        edges = np.stack(np.divmod(edge_codes, n_v), axis=1)
 
         midpoints = vertices[edges].mean(axis=1)
         mid_ids = n_v + np.arange(edges.shape[0])

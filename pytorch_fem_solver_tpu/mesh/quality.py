@@ -93,18 +93,24 @@ def tet_quality_report(vertices, tetrahedra) -> dict:
     angles = tet_min_dihedral_angles(vertices, tetrahedra)
     p = vertices[tetrahedra]
     d = (p[:, 1:] - p[:, [0]]).transpose(0, 2, 1)
-    vols = np.linalg.det(d) / 6.0
+    vols = np.abs(np.linalg.det(d)) / 6.0
 
-    # circumradius via the standard solve: |x - c|^2 equalized over vertices
+    # circumradius via the closed form R = |alpha| / (12 V) with
+    # alpha = |a|^2 (b x c) + |b|^2 (c x a) + |c|^2 (a x b); degenerate
+    # (zero-volume) slivers report R = inf rather than raising — those are
+    # exactly the tets the radius-edge metric exists to flag
     a = p[:, 1] - p[:, 0]
     b = p[:, 2] - p[:, 0]
     c = p[:, 3] - p[:, 0]
-    A = np.stack([a, b, c], axis=1)  # (T, 3, 3)
-    rhs = 0.5 * np.stack(
-        [(a * a).sum(-1), (b * b).sum(-1), (c * c).sum(-1)], axis=1
+    alpha = (
+        (a * a).sum(-1, keepdims=True) * np.cross(b, c)
+        + (b * b).sum(-1, keepdims=True) * np.cross(c, a)
+        + (c * c).sum(-1, keepdims=True) * np.cross(a, b)
     )
-    center = np.linalg.solve(A, rhs[..., None])[..., 0]
-    circum = np.linalg.norm(center, axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        circum = np.where(
+            vols > 0, np.linalg.norm(alpha, axis=-1) / (12.0 * vols), np.inf
+        )
     e = p[:, [[0, 1], [1, 2], [0, 2], [0, 3], [1, 3], [2, 3]]]
     lmin = np.linalg.norm(e[:, :, 1] - e[:, :, 0], axis=-1).min(1)
     radius_edge = circum / np.where(lmin > 0, lmin, 1.0)

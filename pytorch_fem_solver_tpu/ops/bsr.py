@@ -410,9 +410,15 @@ def bsr_matvec(structure: BSRStructure, values, x):
     descriptors per SpMV (measured 1714 -> 1603 us/PCG-iteration on the
     107k-DOF benchmark).
 
-    Mixed precision: when ``values`` are stored reduced (bf16 — only valid
-    for *preconditioner-internal* operators, never the PCG matvec itself),
-    x is cast down to match and the einsum accumulates back in x.dtype.
+    Mixed precision: when ``values`` are stored reduced (bf16), x is cast
+    down to match and the einsum accumulates back in x.dtype. Safe for
+    preconditioner-internal operators (the preconditioner only needs to
+    approximate A). Reducing the PCG matvec itself
+    (``compiled_bsr_solver(values_dtype=...)``) solves a *perturbed*
+    system: the residual converges against the bf16 operator while the
+    solution sits ~1e-3 relative from the f32 answer (measured,
+    docs/performance.md) — an expert accuracy/bandwidth trade, off by
+    default.
     """
     v1, v2 = values
     x2 = x.reshape(structure.nb, structure.block)

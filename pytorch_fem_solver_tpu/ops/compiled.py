@@ -126,6 +126,51 @@ def compiled_bsr_solver(
             "'jacobi'); use solve_iterative for the full option surface"
         )
 
+    # n_loc from the DOF map, not v_grad — a VectorBasis v_grad carries an
+    # extra component axis (t, q, n_vloc, nc, d)
+    n_cells = int(basis.v_grad.shape[0])
+    n_loc = int(basis._global_dofs4elements.shape[-1])
+
+    # construction-time spot check: symmetric_form=True with a
+    # non-symmetric form would silently assemble a symmetrized (wrong)
+    # operator — PCG converges, info looks healthy, the answer is wrong.
+    # Evaluate the form eagerly on a small cell slice (host arrays, cheap)
+    # and verify; the same probe records the form's output dtype for the
+    # chunked scatter buffer (a form may promote, e.g. to f64).
+    form_dtype = basis.v_grad.dtype
+    sl = slice(0, min(64, n_cells))
+    try:
+        probe = np.asarray(
+            (
+                basis._evaluate_form(
+                    bilinear_form,
+                    _CellChunkView(
+                        basis.v,
+                        basis.v_grad[sl],
+                        basis.integration_points[sl],
+                        basis._dx[sl],
+                        basis._element,
+                    ),
+                )
+                * basis._dx[sl]
+            ).sum(-3)
+        )
+    except AttributeError:
+        probe = None  # form reads beyond the slice surface; cannot probe
+    if probe is not None:
+        form_dtype = probe.dtype
+        if symmetric_form:
+            asym = float(
+                np.abs(probe - np.swapaxes(probe, -1, -2)).max()
+            )
+            scale = float(np.abs(probe).max())
+            if asym > 1e-4 * max(scale, 1e-30):
+                raise ValueError(
+                    "symmetric_form=True but the bilinear form's local "
+                    f"matrices are not symmetric (max asymmetry {asym:.2e} "
+                    f"vs scale {scale:.2e}); pass symmetric_form=False"
+                )
+
     if max_b is None:
         max_b = default_max_b(basis)  # 8 in 2D, 24 in 3D (measured)
     # symmetric assembly never touches the full per-entry scatter table —
@@ -154,21 +199,28 @@ def compiled_bsr_solver(
     # constants so XLA specializes the gathers
     big_tables = {
         "bcols": st.bcols,
-        "entry_slot": st.entry_slot,
+        # the symmetric path never reads the per-entry table; don't ship a
+        # possibly-cached full one (the largest device table) for nothing
+        "entry_slot": st.entry_slot[:0] if symmetric_form else st.entry_slot,
         "entry_slot_sym": st.entry_slot_sym,
         "bcols2": st.bcols2,
         "heavy_rows": st.heavy_rows,
         "tpartner": st.tpartner,
     }
 
-    # chunked symmetric assembly tables (see the chunk_cells arg doc);
-    # n_loc from the DOF map, not v_grad — a VectorBasis v_grad carries an
-    # extra component axis (t, q, n_vloc, nc, d)
-    n_cells = int(basis.v_grad.shape[0])
-    n_loc = int(basis._global_dofs4elements.shape[-1])
+    # chunked symmetric assembly tables (see the chunk_cells arg doc)
+    if chunk_cells is not None and chunk_cells and not symmetric_form:
+        raise ValueError(
+            "chunk_cells requires symmetric_form=True (the streaming "
+            "scatter is canonical-pair only); at >2M cells the one-shot "
+            "non-symmetric local temp is known to exceed HBM "
+            "(docs/performance.md)"
+        )
     if chunk_cells is None:
-        chunk_cells = (1 << 18) if n_cells > 2_000_000 else 0
-    use_chunks = bool(chunk_cells) and symmetric_form
+        chunk_cells = (
+            (1 << 18) if (n_cells > 2_000_000 and symmetric_form) else 0
+        )
+    use_chunks = bool(chunk_cells)
     chunk_xs = None
     iu, ju = np.triu_indices(n_loc)
     if use_chunks:
@@ -217,9 +269,7 @@ def compiled_bsr_solver(
         if chunks is not None:
             from .bsr import bsr_complete_symmetric
 
-            w = jnp.asarray(
-                np.where(iu == ju, 0.5, 1.0), dtype=Vb.v_grad.dtype
-            )
+            w = jnp.asarray(np.where(iu == ju, 0.5, 1.0), dtype=form_dtype)
 
             def chunk_body(vals, xs):
                 view = _CellChunkView(
@@ -231,7 +281,7 @@ def compiled_bsr_solver(
                 packed = (local[..., iu, ju] * w).reshape(-1)
                 return vals.at[xs["slots"]].add(packed, mode="drop"), None
 
-            vals0 = jnp.zeros((st.n_values,), dtype=Vb.v_grad.dtype)
+            vals0 = jnp.zeros((st.n_values,), dtype=form_dtype)
             vals, _ = jax.lax.scan(chunk_body, vals0, chunks)
             values = bsr_complete_symmetric(st_d, vals)
         else:

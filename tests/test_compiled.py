@@ -180,3 +180,48 @@ def test_compiled_chunked_vector_basis():
     u_plain, _ = V.compiled_solver(elast, vload, tol=1e-12)()
     u_chunk, _ = V.compiled_solver(elast, vload, tol=1e-12, chunk_cells=32)()
     np.testing.assert_array_equal(np.asarray(u_chunk), np.asarray(u_plain))
+
+
+def test_compiled_rejects_nonsymmetric_form_under_symmetric_default():
+    """symmetric_form=True (the default) with a non-symmetric form would
+    silently solve a symmetrized system; the construction-time probe must
+    catch it."""
+    mesh = fem.MeshTri(fem.unit_square(n=6))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+
+    def advection(b):
+        return b.v_grad[..., 0:1] @ jnp.matrix_transpose(b.v) + b.v_grad @ (
+            jnp.matrix_transpose(b.v_grad)
+        )
+
+    with pytest.raises(ValueError, match="not symmetric"):
+        V.compiled_solver(advection, None)
+    # explicit non-symmetric chunking is not supported and must say so
+    with pytest.raises(ValueError, match="chunk_cells requires"):
+        compiled_bsr_solver(
+            V, advection, None, symmetric_form=False, chunk_cells=16
+        )
+    # with the flag, the general scatter path solves it correctly
+    solve = compiled_bsr_solver(
+        V, advection, None, symmetric_form=False, tol=1e-12,
+        precondition="jacobi",
+    )
+    b = V.integrate_linear_form(lambda bb: bb.v)
+    u, _ = solve(b)
+    u_dense = V.solve(
+        V.integrate_bilinear_form(advection), V.solution_tensor(), b
+    )
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_dense), atol=1e-7)
+
+
+def test_tet_quality_handles_degenerate_cells():
+    from pytorch_fem_solver_tpu.mesh import tet_quality_report
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0], [0, 0, 1.0]]
+    )
+    tets = np.array([[0, 1, 2, 3], [0, 1, 2, 4]])  # first is coplanar
+    r = tet_quality_report(verts, tets)
+    assert r["max_radius_edge"] == np.inf
+    assert r["min_volume"] == 0.0
+    assert abs(r["total_volume"] - 1.0 / 6.0) < 1e-12

@@ -1,11 +1,12 @@
-"""3D tet-tier TPU scale probe: Poisson on unit_cube(n) via solve_iterative.
+"""3D tet-tier TPU scale probe: Poisson on unit_cube(n) via compiled_solver.
 
 Measures host topology build, assembly+solve wall time (host-copy
 synchronized — block_until_ready does not sync on axon) and PCG iteration
-counts for the production BSR path with the two-level preconditioner.
+counts for the production one-jit BSR path with the auto preconditioner.
 
 Usage: python tools/exp_tet_scale.py [n ...]   (defaults 32 48 64)
-Knobs: TET_PRECOND (default two_level), TET_TOL (1e-6), TET_REPEATS (3).
+Knobs: TET_PRECOND (auto|jacobi, default auto), TET_TOL (1e-6),
+TET_REPEATS (3), TET_MAX_B (int|none|auto), TET_VALUES_DTYPE (bf16).
 """
 
 import os
