@@ -255,16 +255,27 @@ def compiled_bsr_solver(
             cache[(C, max_b)] = chunk_xs
 
     # one-time device residency: host-committed arrays passed as jit args
-    # would otherwise re-ship over the tunnel on every call
+    # would otherwise re-ship over the tunnel on every call. The RBM/affine
+    # coarse structure also rides as an argument — its O(n) mode tables
+    # would hit the remote-compile payload wall as closure constants at the
+    # 1M+ DOF vector scale (the HTTP 413 class, docs/performance.md)
+    # only the array fields ride as arguments; the static sizes (na, g, m)
+    # stay Python ints so reshape targets inside the preconditioner setup
+    # never become tracers
+    ast_arrays = (
+        None
+        if ast is None
+        else {"W": ast.W, "Wb": ast.Wb, "bins1": ast.bins1, "bins2": ast.bins2}
+    )
     device = jax.devices()[0]
-    basis_d, tables_d, agg_table_d, chunk_xs_d = jax.device_put(
-        (basis, big_tables, agg_table, chunk_xs), device
+    basis_d, tables_d, agg_table_d, ast_d, chunk_xs_d = jax.device_put(
+        (basis, big_tables, agg_table, ast_arrays, chunk_xs), device
     )
 
     n_dofs = basis.n_dofs
 
     @jax.jit
-    def _run(Vb, tables, agg_tbl, chunks, b):
+    def _run(Vb, tables, agg_tbl, ast_a, chunks, b):
         st_d = st._replace(**tables)
         if chunks is not None:
             from .bsr import bsr_complete_symmetric
@@ -297,7 +308,13 @@ def compiled_bsr_solver(
         if precondition == "auto":
             if is_vector:
                 precond = affine_two_level_from_values(
-                    ast, st_d, values, diag, operand_dtype=operand_dtype
+                    ast.__class__(
+                        na=ast.na, g=ast.g, m=ast.m, **ast_a
+                    ),
+                    st_d,
+                    values,
+                    diag,
+                    operand_dtype=operand_dtype,
                 )
             else:
                 precond = agg_block_two_level_from_values(
@@ -329,11 +346,15 @@ def compiled_bsr_solver(
         dummy = jnp.zeros((n_dofs, 1), dtype=basis._coords4global_dofs.dtype)
 
         def solve(b=None):
-            return _run(basis_d, tables_d, agg_table_d, chunk_xs_d, dummy)
+            return _run(
+                basis_d, tables_d, agg_table_d, ast_d, chunk_xs_d, dummy
+            )
 
     else:
 
         def solve(b):
-            return _run(basis_d, tables_d, agg_table_d, chunk_xs_d, b)
+            return _run(
+                basis_d, tables_d, agg_table_d, ast_d, chunk_xs_d, b
+            )
 
     return solve
