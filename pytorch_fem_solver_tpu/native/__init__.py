@@ -24,6 +24,7 @@ __all__ = [
     "available",
     "radix_argsort",
     "sort_unique",
+    "bsr_pair_ranks",
     "unique_edges",
 ]
 
@@ -80,6 +81,18 @@ def _build_and_load():
         ctypes.c_int64,
     ] + [i64p] * 4
     lib.fem_unique_edges.restype = ctypes.c_int64
+    lib.fem_bsr_pair_ranks.argtypes = [
+        i64p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        i64p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        i64p,
+        i64p,
+        i64p,
+    ]
+    lib.fem_bsr_pair_ranks.restype = ctypes.c_int64
     return lib
 
 
@@ -164,3 +177,35 @@ def unique_edges(cells, n_vertices: int):
     if E < 0:
         raise ValueError("non-manifold mesh: an edge is shared by >2 triangles")
     return edges[:E].copy(), inverse, counts[:E].copy(), order
+
+
+def bsr_pair_ranks(dofs, new_id, block: int, nb: int):
+    """Fused BSR entry expansion + block-pair dedup; None if unavailable.
+
+    Returns ``(rank_all, in_block, bkeys)``: per ORIGINAL flat entry the
+    ascending-unique-block rank (-1 = Dirichlet-dropped) and in-block
+    position, plus the ascending unique block keys (brow * nb + bcol).
+    Byte-identical to the NumPy fallback in ``ops.bsr.build_bsr_structure``.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    dofs = _as_i64(dofs)
+    new_id = _as_i64(new_id)
+    T, n_loc = dofs.shape
+    n_entries = T * n_loc * n_loc
+    rank_all = np.empty(n_entries, dtype=np.int64)
+    in_block = np.empty(n_entries, dtype=np.int64)
+    bkeys = np.empty(max(n_entries, 1), dtype=np.int64)
+    nu = lib.fem_bsr_pair_ranks(
+        _ptr(dofs),
+        T,
+        n_loc,
+        _ptr(new_id),
+        int(block),
+        int(nb),
+        _ptr(rank_all),
+        _ptr(in_block),
+        _ptr(bkeys),
+    )
+    return rank_all, in_block, bkeys[:nu].copy()

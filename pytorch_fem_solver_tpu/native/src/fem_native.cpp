@@ -145,4 +145,114 @@ int64_t fem_unique_edges(const int64_t* cells, int64_t T, int64_t n_vertices,
   return E;
 }
 
+
+// Fused entry expansion + block-pair dedup for the hybrid BSR structure
+// build (ops/bsr.py:build_bsr_structure). Replaces a ~12-pass NumPy chain
+// (repeat/tile expansion, masks, compressions, key arithmetic, radix
+// dedup) with one streaming expansion pass + one KV radix sort + one
+// rank-scatter walk — the structure build is bandwidth-bound on the
+// single-core build host (see docs/performance.md).
+//
+// Inputs:
+//   dofs     (T * n_loc)  global DOF ids per cell (row-major)
+//   new_id   (n_dofs)     permuted interior id per global DOF, -1 Dirichlet
+//   T, n_loc, block, nb   (nb = padded block-row count; keys < nb*nb)
+// Outputs (caller-allocated):
+//   rank_all (T*n_loc*n_loc) ascending-unique-block index per flat entry
+//                            in ORIGINAL entry order; -1 where either DOF
+//                            is Dirichlet (entry dropped)
+//   in_block (T*n_loc*n_loc) (r % block) * block + (c % block); 0 dropped
+//   bkeys    (<= T*n_loc*n_loc) ascending unique block keys brow*nb + bcol
+// Returns the number of unique block keys.
+int64_t fem_bsr_pair_ranks(const int64_t* dofs, int64_t T, int64_t n_loc,
+                           const int64_t* new_id, int64_t block, int64_t nb,
+                           int64_t* rank_all, int64_t* in_block,
+                           int64_t* bkeys) {
+  const int64_t n_entries = T * n_loc * n_loc;
+  if (n_entries <= 0) return 0;
+
+  struct KV {
+    uint64_t k;
+    int64_t i;
+  };
+  std::vector<KV> a;
+  a.reserve(n_entries);
+
+  // pass 1: expand entries, map to permuted ids, keep interior pairs
+  std::vector<int64_t> rid(n_loc);
+  for (int64_t t = 0; t < T; ++t) {
+    const int64_t* cell = dofs + t * n_loc;
+    for (int64_t i = 0; i < n_loc; ++i) rid[i] = new_id[cell[i]];
+    int64_t* rk = rank_all + t * n_loc * n_loc;
+    int64_t* ib = in_block + t * n_loc * n_loc;
+    for (int64_t i = 0; i < n_loc; ++i) {
+      const int64_t r = rid[i];
+      for (int64_t j = 0; j < n_loc; ++j) {
+        const int64_t c = rid[j];
+        const int64_t f = i * n_loc + j;
+        if (r >= 0 && c >= 0) {
+          ib[f] = (r % block) * block + (c % block);
+          rk[f] = 0;  // provisional: filled by the rank walk below
+          a.push_back(
+              {static_cast<uint64_t>((r / block) * nb + (c / block)),
+               t * n_loc * n_loc + f});
+        } else {
+          ib[f] = 0;
+          rk[f] = -1;
+        }
+      }
+    }
+  }
+
+  const int64_t n = static_cast<int64_t>(a.size());
+  if (n == 0) return 0;
+  std::vector<KV> b(n);
+
+  // LSD radix over the key bytes, skipping constant bytes (keys < nb*nb)
+  int64_t hist[8][256];
+  std::memset(hist, 0, sizeof(hist));
+  for (int64_t i = 0; i < n; ++i)
+    for (int p = 0; p < 8; ++p) ++hist[p][(a[i].k >> (p * 8)) & 0xff];
+
+  KV* src = a.data();
+  KV* dst = b.data();
+  for (int pass = 0; pass < 8; ++pass) {
+    int64_t* h = hist[pass];
+    bool constant = false;
+    for (int v = 0; v < 256; ++v)
+      if (h[v] == n) {
+        constant = true;
+        break;
+      }
+    if (constant) continue;
+    int64_t sum = 0;
+    int64_t offs[256];
+    for (int v = 0; v < 256; ++v) {
+      offs[v] = sum;
+      sum += h[v];
+    }
+    const int shift = pass * 8;
+    for (int64_t i = 0; i < n; ++i)
+      dst[offs[(src[i].k >> shift) & 0xff]++] = src[i];
+    KV* s = src;
+    src = dst;
+    dst = s;
+  }
+
+  // rank walk: unique keys ascending; scatter each entry's rank back to
+  // its original flat position
+  int64_t nu = 0;
+  uint64_t prev = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t k = src[i].k;
+    if (i == 0 || k != prev) {
+      bkeys[nu] = static_cast<int64_t>(k);
+      ++nu;
+      prev = k;
+    }
+    rank_all[src[i].i] = nu - 1;
+  }
+  return nu;
+}
+
 }  // extern "C"

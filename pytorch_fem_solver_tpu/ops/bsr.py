@@ -178,24 +178,30 @@ def build_bsr_structure(
     new_id = np.full(n_dofs, -1, dtype=np.int64)
     new_id[inner_perm] = np.arange(n_inner)
 
-    rows = new_id[np.repeat(dofs, n_loc, axis=1).reshape(-1)]
-    cols = new_id[np.tile(dofs, (1, n_loc)).reshape(-1)]
-    keep = np.nonzero((rows >= 0) & (cols >= 0))[0]
-    rows_k = rows[keep]
-    cols_k = cols[keep]
-    mark("row_col_expand")
+    # per ORIGINAL flat entry: ascending-unique-block rank (-1 = dropped)
+    # and in-block position. The native kernel fuses the expansion, the
+    # KV radix dedup and the rank scatter into three streaming passes
+    # (native/src/fem_native.cpp:fem_bsr_pair_ranks); the NumPy fallback
+    # produces byte-identical arrays.
+    from ..native import bsr_pair_ranks as native_bsr_pair_ranks
 
-    from ..native import sort_unique as native_sort_unique
-
-    # distinct neighbor blocks per block-row, own (diagonal) block first
-    brow = rows_k // block
-    bcol = cols_k // block
-    entry_bkey = brow * nb + bcol
-    native_result = native_sort_unique(entry_bkey)
-    if native_result is not None:
-        _, bkeys, pair_rank_all, _ = native_result
+    native_pr = native_bsr_pair_ranks(dofs, new_id, block, nb)
+    if native_pr is not None:
+        rank_all, in_block_all, bkeys = native_pr
     else:
-        bkeys, pair_rank_all = np.unique(entry_bkey, return_inverse=True)
+        rows = new_id[np.repeat(dofs, n_loc, axis=1).reshape(-1)]
+        cols = new_id[np.tile(dofs, (1, n_loc)).reshape(-1)]
+        valid = (rows >= 0) & (cols >= 0)
+        in_block_all = np.where(
+            valid, (rows % block) * block + (cols % block), 0
+        )
+        kept = np.nonzero(valid)[0]
+        bkeys, inv = np.unique(
+            (rows[kept] // block) * nb + cols[kept] // block,
+            return_inverse=True,
+        )
+        rank_all = np.full(rows.size, -1, dtype=np.int64)
+        rank_all[kept] = inv.reshape(-1)
     mark("pair_dedup")
     ubr = bkeys // nb
     ubc = bkeys % nb
@@ -238,16 +244,17 @@ def build_bsr_structure(
 
     n_values = int(n_values1 + nh * B2 * block * block)
     if want_entry_slot:
-        # slot of every kept element entry: block pair -> tier + b index,
-        # then the in-block position; tier-2 slots live past tier 1.
-        # Slot per ORIGINAL flat entry position; boundary-touching entries
-        # point one past the end and are dropped by the scatter's OOB mode
-        # — this avoids both a 2M-element pre-sort gather on device and the
+        # slot of every element entry in ORIGINAL order: block pair ->
+        # tier + b index, then the in-block position; boundary-touching
+        # entries point one past the end and are dropped by the scatter's
+        # OOB mode — this avoids both a pre-sort gather on device and the
         # host sort (measured: unsorted scatter 20 ms vs gather+sorted 30)
-        in_block = (rows_k % block) * block + (cols_k % block)
-        slots = blk_id[pair_rank_all] * (block * block) + in_block
-        entry_slot = np.full(rows.size, n_values, dtype=np.int64)
-        entry_slot[keep] = slots
+        entry_slot = np.where(
+            rank_all >= 0,
+            blk_id[np.maximum(rank_all, 0)] * (block * block)
+            + in_block_all,
+            n_values,
+        )
     else:
         entry_slot = np.zeros((0,), dtype=np.int64)
     mark("entry_slots")
@@ -258,19 +265,23 @@ def build_bsr_structure(
     # entries per P1 triangle is a 1/3 cut of the dominant assembly cost);
     # the mirror blocks are completed on device by one block-row gather +
     # in-block transpose (``bsr_values_from_local_symmetric``).
+    # The canonical (row <= col) representative of each unordered pair is
+    # itself one of the n_loc^2 original entries, so its block rank is a
+    # direct rank_all lookup — no searchsorted pass over the pair keys.
     iu, ju = np.triu_indices(n_loc)
-    g_i = new_id[dofs[:, iu].reshape(-1)]
-    g_j = new_id[dofs[:, ju].reshape(-1)]
-    keep_s = (g_i >= 0) & (g_j >= 0)
-    grow_s = np.minimum(g_i, g_j)[keep_s]
-    gcol_s = np.maximum(g_i, g_j)[keep_s]
-    key_s = (grow_s // block) * nb + gcol_s // block
-    rank_s = np.searchsorted(bkeys, key_s)  # canonical pair always present
-    slots_s = blk_id[rank_s] * (block * block) + (
-        (grow_s % block) * block + (gcol_s % block)
+    g_i = new_id[dofs[:, iu]]  # (T, P)
+    g_j = new_id[dofs[:, ju]]
+    sel = np.where(g_i <= g_j, iu * n_loc + ju, ju * n_loc + iu)
+    flat = np.arange(dofs.shape[0])[:, None] * (n_loc * n_loc) + sel
+    rank_s = rank_all[flat]
+    in_block_s = (np.minimum(g_i, g_j) % block) * block + (
+        np.maximum(g_i, g_j) % block
     )
-    entry_slot_sym = np.full(g_i.size, n_values, dtype=np.int64)
-    entry_slot_sym[keep_s] = slots_s
+    entry_slot_sym = np.where(
+        (g_i >= 0) & (g_j >= 0),
+        blk_id[np.maximum(rank_s, 0)] * (block * block) + in_block_s,
+        n_values,
+    ).reshape(-1)
     mark("sym_slots")
 
     # block-transpose partner: mirror (cb, rb) of every stored block (self
