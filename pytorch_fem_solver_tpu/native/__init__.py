@@ -91,6 +91,8 @@ def _build_and_load():
         i64p,
         i64p,
         i64p,
+        i64p,
+        i64p,
     ]
     lib.fem_bsr_pair_ranks.restype = ctypes.c_int64
     return lib
@@ -182,10 +184,13 @@ def unique_edges(cells, n_vertices: int):
 def bsr_pair_ranks(dofs, new_id, block: int, nb: int):
     """Fused BSR entry expansion + block-pair dedup; None if unavailable.
 
-    Returns ``(rank_all, in_block, bkeys)``: per ORIGINAL flat entry the
-    ascending-unique-block rank (-1 = Dirichlet-dropped) and in-block
-    position, plus the ascending unique block keys (brow * nb + bcol).
-    Byte-identical to the NumPy fallback in ``ops.bsr.build_bsr_structure``.
+    Returns ``(rank_all, in_block, bkeys, rank_sym, in_block_sym)``: per
+    ORIGINAL flat entry the ascending-unique-block rank (-1 =
+    Dirichlet-dropped) and in-block position, the ascending unique block
+    keys (brow * nb + bcol), and the same rank/in-block data for the
+    canonical representative of each unordered DOF pair in
+    ``np.triu_indices`` order. Byte-identical to the NumPy fallback in
+    ``ops.bsr.build_bsr_structure``.
     """
     lib = _get_lib()
     if lib is None:
@@ -194,9 +199,12 @@ def bsr_pair_ranks(dofs, new_id, block: int, nb: int):
     new_id = _as_i64(new_id)
     T, n_loc = dofs.shape
     n_entries = T * n_loc * n_loc
+    n_pairs = T * n_loc * (n_loc + 1) // 2
     rank_all = np.empty(n_entries, dtype=np.int64)
     in_block = np.empty(n_entries, dtype=np.int64)
     bkeys = np.empty(max(n_entries, 1), dtype=np.int64)
+    rank_sym = np.empty(n_pairs, dtype=np.int64)
+    in_block_sym = np.empty(n_pairs, dtype=np.int64)
     nu = lib.fem_bsr_pair_ranks(
         _ptr(dofs),
         T,
@@ -207,5 +215,7 @@ def bsr_pair_ranks(dofs, new_id, block: int, nb: int):
         _ptr(rank_all),
         _ptr(in_block),
         _ptr(bkeys),
+        _ptr(rank_sym),
+        _ptr(in_block_sym),
     )
-    return rank_all, in_block, bkeys[:nu].copy()
+    return rank_all, in_block, bkeys[:nu].copy(), rank_sym, in_block_sym

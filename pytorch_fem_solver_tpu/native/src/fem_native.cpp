@@ -167,7 +167,8 @@ int64_t fem_unique_edges(const int64_t* cells, int64_t T, int64_t n_vertices,
 int64_t fem_bsr_pair_ranks(const int64_t* dofs, int64_t T, int64_t n_loc,
                            const int64_t* new_id, int64_t block, int64_t nb,
                            int64_t* rank_all, int64_t* in_block,
-                           int64_t* bkeys) {
+                           int64_t* bkeys, int64_t* rank_sym,
+                           int64_t* in_block_sym) {
   const int64_t n_entries = T * n_loc * n_loc;
   if (n_entries <= 0) return 0;
 
@@ -251,6 +252,35 @@ int64_t fem_bsr_pair_ranks(const int64_t* dofs, int64_t T, int64_t n_loc,
       prev = k;
     }
     rank_all[src[i].i] = nu - 1;
+  }
+
+  // symmetric canonical-pair tables (np.triu_indices order): the canonical
+  // (row <= col) representative of each unordered pair is one of the
+  // original entries, so its rank is a rank_all lookup; emitted here so
+  // the Python side needs only one blk_id composition pass
+  const int64_t P = n_loc * (n_loc + 1) / 2;
+  for (int64_t t = 0; t < T; ++t) {
+    const int64_t* cell = dofs + t * n_loc;
+    for (int64_t i = 0; i < n_loc; ++i) rid[i] = new_id[cell[i]];
+    const int64_t* rk = rank_all + t * n_loc * n_loc;
+    int64_t* rs = rank_sym + t * P;
+    int64_t* ibs = in_block_sym + t * P;
+    int64_t k = 0;
+    for (int64_t i = 0; i < n_loc; ++i) {
+      for (int64_t j = i; j < n_loc; ++j, ++k) {
+        const int64_t gi = rid[i];
+        const int64_t gj = rid[j];
+        if (gi >= 0 && gj >= 0) {
+          const int64_t lo = gi <= gj ? gi : gj;
+          const int64_t hi = gi <= gj ? gj : gi;
+          rs[k] = gi <= gj ? rk[i * n_loc + j] : rk[j * n_loc + i];
+          ibs[k] = (lo % block) * block + (hi % block);
+        } else {
+          rs[k] = -1;
+          ibs[k] = 0;
+        }
+      }
+    }
   }
   return nu;
 }

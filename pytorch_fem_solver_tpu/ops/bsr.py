@@ -187,8 +187,9 @@ def build_bsr_structure(
 
     native_pr = native_bsr_pair_ranks(dofs, new_id, block, nb)
     if native_pr is not None:
-        rank_all, in_block_all, bkeys = native_pr
+        rank_all, in_block_all, bkeys, rank_sym_n, in_block_sym_n = native_pr
     else:
+        rank_sym_n = in_block_sym_n = None
         rows = new_id[np.repeat(dofs, n_loc, axis=1).reshape(-1)]
         cols = new_id[np.tile(dofs, (1, n_loc)).reshape(-1)]
         valid = (rows >= 0) & (cols >= 0)
@@ -268,20 +269,27 @@ def build_bsr_structure(
     # The canonical (row <= col) representative of each unordered pair is
     # itself one of the n_loc^2 original entries, so its block rank is a
     # direct rank_all lookup — no searchsorted pass over the pair keys.
-    iu, ju = np.triu_indices(n_loc)
-    g_i = new_id[dofs[:, iu]]  # (T, P)
-    g_j = new_id[dofs[:, ju]]
-    sel = np.where(g_i <= g_j, iu * n_loc + ju, ju * n_loc + iu)
-    flat = np.arange(dofs.shape[0])[:, None] * (n_loc * n_loc) + sel
-    rank_s = rank_all[flat]
-    in_block_s = (np.minimum(g_i, g_j) % block) * block + (
-        np.maximum(g_i, g_j) % block
-    )
+    # The native kernel already emitted the per-pair rank/in-block tables;
+    # the fallback derives them with gathers.
+    if rank_sym_n is not None:
+        rank_s, in_block_s = rank_sym_n, in_block_sym_n
+    else:
+        iu, ju = np.triu_indices(n_loc)
+        g_i = new_id[dofs[:, iu]]  # (T, P)
+        g_j = new_id[dofs[:, ju]]
+        sel = np.where(g_i <= g_j, iu * n_loc + ju, ju * n_loc + iu)
+        flat = np.arange(dofs.shape[0])[:, None] * (n_loc * n_loc) + sel
+        rank_s = rank_all[flat].reshape(-1)
+        in_block_s = (
+            (np.minimum(g_i, g_j) % block) * block
+            + (np.maximum(g_i, g_j) % block)
+        ).reshape(-1)
+        rank_s = np.where(((g_i >= 0) & (g_j >= 0)).reshape(-1), rank_s, -1)
     entry_slot_sym = np.where(
-        (g_i >= 0) & (g_j >= 0),
+        rank_s >= 0,
         blk_id[np.maximum(rank_s, 0)] * (block * block) + in_block_s,
         n_values,
-    ).reshape(-1)
+    )
     mark("sym_slots")
 
     # block-transpose partner: mirror (cb, rb) of every stored block (self
