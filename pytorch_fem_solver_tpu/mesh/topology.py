@@ -167,21 +167,31 @@ def build_tet_topology(
     vertices = np.asarray(vertices, dtype=np.float64)
     tets = np.asarray(tetrahedra, dtype=np.int64)
 
-    local_faces = tets[:, TET_FACE_PERMUTATIONS]  # (T, 4, 3)
-    flat = np.sort(local_faces.reshape(-1, 3), axis=1)  # (4T, 3)
     n_vertices = vertices.shape[0]
+    edge_codes_all = None
     if n_vertices**3 < 2**62:
         # dedup over scalar int64 face codes: 1D unique beats the
-        # lexsort-backed axis=0 path, and the native radix tier
-        # (native/sort_unique) accelerates it further on big meshes
-        codes = (flat[:, 0] * n_vertices + flat[:, 1]) * n_vertices + flat[
-            :, 2
-        ]
+        # lexsort-backed axis=0 path; the native tier emits the sorted
+        # codes in one streaming pass (inline sorting networks) and
+        # radix-dedups them (native/fem_tet_face_edge_keys + sort_unique)
+        from ..native import tet_face_edge_keys
+
+        keys = tet_face_edge_keys(tets, n_vertices)
+        if keys is not None:
+            codes, edge_codes_all = keys
+        else:
+            flat = np.sort(
+                tets[:, TET_FACE_PERMUTATIONS].reshape(-1, 3), axis=1
+            )
+            codes = (
+                flat[:, 0] * n_vertices + flat[:, 1]
+            ) * n_vertices + flat[:, 2]
         order, uniq_codes, inverse, counts = _sort_unique_codes(codes)
         ab, c = np.divmod(uniq_codes, n_vertices)
         a, b = np.divmod(ab, n_vertices)
         faces = np.stack([a, b, c], axis=1)
     else:  # pragma: no cover - >2M-vertex meshes overflow the code space
+        flat = np.sort(tets[:, TET_FACE_PERMUTATIONS].reshape(-1, 3), axis=1)
         faces, inverse, counts = np.unique(
             flat, axis=0, return_inverse=True, return_counts=True
         )
@@ -231,11 +241,12 @@ def build_tet_topology(
 
     # unique edges (P2 DOF sites); an edge is boundary iff it lies on a
     # boundary face
-    local_edges = tets[:, TET_EDGE_PERMUTATIONS].reshape(-1, 2)
-    all_edge_codes = encode_edge_pairs(
-        np.sort(local_edges, axis=1), n_vertices
-    )
-    _, edge_codes, _, _ = _sort_unique_codes(all_edge_codes)
+    if edge_codes_all is None:
+        local_edges = tets[:, TET_EDGE_PERMUTATIONS].reshape(-1, 2)
+        edge_codes_all = encode_edge_pairs(
+            np.sort(local_edges, axis=1), n_vertices
+        )
+    _, edge_codes, _, _ = _sort_unique_codes(edge_codes_all)
     ea, eb = np.divmod(edge_codes, n_vertices)
     edges = np.stack([ea, eb], axis=1)
     bf = boundary_faces_vertices

@@ -25,6 +25,7 @@ __all__ = [
     "radix_argsort",
     "sort_unique",
     "bsr_pair_ranks",
+    "tet_face_edge_keys",
     "unique_edges",
 ]
 
@@ -95,6 +96,14 @@ def _build_and_load():
         i64p,
     ]
     lib.fem_bsr_pair_ranks.restype = ctypes.c_int64
+    lib.fem_tet_face_edge_keys.argtypes = [
+        i64p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        i64p,
+        i64p,
+    ]
+    lib.fem_tet_face_edge_keys.restype = None
     return lib
 
 
@@ -219,3 +228,23 @@ def bsr_pair_ranks(dofs, new_id, block: int, nb: int):
         _ptr(in_block_sym),
     )
     return rank_all, in_block, bkeys[:nu].copy(), rank_sym, in_block_sym
+
+
+def tet_face_edge_keys(tets, n_vertices: int):
+    """Sorted scalar face/edge codes of a tet mesh; None if unavailable.
+
+    One streaming pass with inline sorting networks, replacing row-wise
+    NumPy sorts over the (4T, 3) / (6T, 2) expansions. Face order matches
+    ``TET_FACE_PERMUTATIONS``, edge order ``TET_EDGE_PERMUTATIONS``.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    tets = _as_i64(tets)
+    T = tets.shape[0]
+    face_codes = np.empty(4 * T, dtype=np.int64)
+    edge_codes = np.empty(6 * T, dtype=np.int64)
+    lib.fem_tet_face_edge_keys(
+        _ptr(tets), T, int(n_vertices), _ptr(face_codes), _ptr(edge_codes)
+    )
+    return face_codes, edge_codes

@@ -285,4 +285,34 @@ int64_t fem_bsr_pair_ranks(const int64_t* dofs, int64_t T, int64_t n_loc,
   return nu;
 }
 
+
+// Streaming face/edge key emission for tetrahedral topology
+// (mesh/topology.py:build_tet_topology). Replaces per-row NumPy sorts of
+// (4T, 3) / (6T, 2) index arrays (lexsort-class cost on the build host)
+// with inline 3-element sorting networks in one pass over the cells.
+//   face_codes (4T): (a*n_v + b)*n_v + c with a <= b <= c, face order
+//                    (0,1,2), (0,1,3), (0,2,3), (1,2,3)
+//   edge_codes (6T): a*n_v + b with a <= b, edge order
+//                    (0,1), (1,2), (0,2), (0,3), (1,3), (2,3)
+void fem_tet_face_edge_keys(const int64_t* tets, int64_t T, int64_t n_v,
+                            int64_t* face_codes, int64_t* edge_codes) {
+  static const int F[4][3] = {{0, 1, 2}, {0, 1, 3}, {0, 2, 3}, {1, 2, 3}};
+  static const int E[6][2] = {{0, 1}, {1, 2}, {0, 2}, {0, 3}, {1, 3}, {2, 3}};
+  for (int64_t t = 0; t < T; ++t) {
+    const int64_t* v = tets + 4 * t;
+    for (int f = 0; f < 4; ++f) {
+      int64_t a = v[F[f][0]], b = v[F[f][1]], c = v[F[f][2]];
+      if (a > b) { int64_t s = a; a = b; b = s; }
+      if (b > c) { int64_t s = b; b = c; c = s; }
+      if (a > b) { int64_t s = a; a = b; b = s; }
+      face_codes[4 * t + f] = (a * n_v + b) * n_v + c;
+    }
+    for (int e = 0; e < 6; ++e) {
+      int64_t a = v[E[e][0]], b = v[E[e][1]];
+      if (a > b) { int64_t s = a; a = b; b = s; }
+      edge_codes[6 * t + e] = a * n_v + b;
+    }
+  }
+}
+
 }  // extern "C"
