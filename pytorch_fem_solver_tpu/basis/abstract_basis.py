@@ -144,6 +144,49 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         idx = self._basis_parameters["bilinear_form_idx"]
         return jnp.zeros(shape, dtype=values.dtype).at[idx].add(values)
 
+    def integrate_mixed_bilinear_form(
+        self,
+        trial_basis: "AbstractBasis",
+        function: Callable[..., jnp.ndarray],
+        *args: Any,
+        **kwargs: Any,
+    ) -> jnp.ndarray:
+        """Assemble a two-space bilinear form into (n_test, n_trial).
+
+        ``self`` carries the TEST functions (rows) and the quadrature
+        weights; ``trial_basis`` carries the TRIAL functions (columns).
+        Both bases must be built on the same mesh cells with the same
+        integration order (so their quadrature points coincide). The form
+        closure receives ``(test_basis, trial_basis, *args)`` and returns
+        integrands shaped ``(..., T, q, n_test_loc, n_trial_loc)``.
+
+        This is the saddle-point building block the reference lacks
+        entirely (e.g. the Taylor-Hood Stokes pressure-divergence coupling
+        B[q, u] = -∫ q div u; see ``examples/example_stokes.py``).
+        """
+        if trial_basis.mesh is not self.mesh:
+            raise ValueError(
+                "mixed forms need test and trial bases on the same mesh"
+            )
+        if trial_basis._element.integration_order != (
+            self._element.integration_order
+        ):
+            raise ValueError(
+                "mixed forms need matching integration orders (got "
+                f"{self._element.integration_order} test vs "
+                f"{trial_basis._element.integration_order} trial)"
+            )
+        local = (
+            self._evaluate_form(function, self, trial_basis, *args, **kwargs)
+            * self._dx
+        ).sum(-3)  # (T, n_test_loc, n_trial_loc)
+        rows = self._global_dofs4elements
+        cols = trial_basis._global_dofs4elements
+        out = jnp.zeros(
+            (self.n_dofs, trial_basis.n_dofs), dtype=local.dtype
+        )
+        return out.at[rows[..., :, None], cols[..., None, :]].add(local)
+
     def integrate_linear_form(
         self, function: Callable[..., jnp.ndarray], *args: Any, **kwargs: Any
     ) -> jnp.ndarray:

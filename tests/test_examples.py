@@ -48,6 +48,7 @@ def run_example(name, env_extra, timeout=600):
         "example_vpinn_3d.py",
         "example_heat.py",
         "example_elasticity_3d.py",
+        "example_stokes.py",
         "example_adaptive.py",
         "example_adaptive_dfn.py",
         "example_mixed_bc.py",
