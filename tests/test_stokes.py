@@ -87,3 +87,86 @@ def test_stokes_taylor_hood_convergence():
     p_rate = float(last.split(" p ")[-1])
     assert u_rate > 2.7, last
     assert p_rate > 1.7, last
+
+
+def test_stokes_taylor_hood_3d():
+    """The mixed machinery is dimension-agnostic: P2-P1 Stokes on tets
+    converges at the Taylor-Hood velocity rate."""
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+
+    def psi_vec(x):
+        w = (
+            (x[0] * (1 - x[0])) ** 2
+            * (x[1] * (1 - x[1])) ** 2
+            * (x[2] * (1 - x[2])) ** 2
+        )
+        return jnp.stack([w, -w, 2 * w])
+
+    def u_fn(x):
+        J = jax.jacfwd(psi_vec)(x)
+        return jnp.stack(
+            [J[2, 1] - J[1, 2], J[0, 2] - J[2, 0], J[1, 0] - J[0, 1]]
+        )
+
+    def p_fn(x):
+        return x[0] ** 3 + x[1] ** 3 + x[2] ** 3 - 0.75
+
+    def f_fn(x):
+        lap = jnp.trace(
+            jax.jacfwd(jax.jacfwd(u_fn))(x), axis1=-2, axis2=-1
+        )
+        return -lap + jax.grad(p_fn)(x)
+
+    def vmapped(fn, pts):
+        flat = pts.reshape(-1, 3)
+        out = jax.vmap(fn)(flat)
+        return out.reshape(pts.shape[:-1] + out.shape[1:])
+
+    def a_form(b):
+        g = b.v_grad
+        return jnp.einsum("...icd,...jcd->...ij", g, g)
+
+    def load(b):
+        pts = b.integration_points[..., 0, :]
+        return (b.v * vmapped(f_fn, pts)[..., None, :]).sum(
+            -1, keepdims=True
+        )
+
+    errs = []
+    for n in (2, 4):
+        mesh = MeshTet(unit_cube(n))
+        Vu = fem.VectorBasis(mesh, ElementTet(2, 4))
+        Vp = fem.Basis(mesh, ElementTet(1, 4))
+        A = Vu.reduce(Vu.integrate_bilinear_form(a_form))
+        f = Vu.reduce(Vu.integrate_linear_form(load))
+        inner_u = Vu._basis_parameters["inner_dofs"]
+        B = Vp.integrate_mixed_bilinear_form(Vu, div_form)[:, inner_u]
+        n_u, n_p = A.shape[0], B.shape[0]
+        K = jnp.zeros((n_u + n_p, n_u + n_p))
+        K = (
+            K.at[:n_u, :n_u].set(A)
+            .at[n_u:, :n_u].set(B)
+            .at[:n_u, n_u:].set(B.T)
+        )
+        pin = n_u + n_p - 1
+        K = K.at[pin, :].set(0.0).at[:, pin].set(0.0).at[pin, pin].set(1.0)
+        sol = jnp.linalg.solve(K, jnp.concatenate([f, jnp.zeros((n_p, 1))]))
+        u = Vu.solution_tensor().at[inner_u, :].set(sol[:n_u])
+        uh, _ = Vu.interpolate(Vu, u)
+        pts = Vu.integration_points[..., 0, :]
+        ue = vmapped(u_fn, pts)
+        errs.append(
+            float(
+                jnp.sqrt(
+                    jnp.sum(
+                        Vu.integrate_functional(
+                            lambda b_: ((uh[..., 0, :] - ue) ** 2).sum(-1)[
+                                ..., None, None
+                            ]
+                        )
+                    )
+                )
+            )
+        )
+    assert math.log2(errs[0] / errs[1]) > 2.7, errs
