@@ -158,7 +158,9 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         Both bases must be built on the same mesh cells with the same
         integration order (so their quadrature points coincide). The form
         closure receives ``(test_basis, trial_basis, *args)`` and returns
-        integrands shaped ``(..., T, q, n_test_loc, n_trial_loc)``.
+        integrands shaped ``(T, q, n_test_loc, n_trial_loc)`` — unbatched
+        (leading batch axes are not supported by this scatter; vmap the
+        call for batched meshes).
 
         This is the saddle-point building block the reference lacks
         entirely (e.g. the Taylor-Hood Stokes pressure-divergence coupling

@@ -206,7 +206,11 @@ int64_t fem_bsr_pair_ranks(const int64_t* dofs, int64_t T, int64_t n_loc,
   }
 
   const int64_t n = static_cast<int64_t>(a.size());
-  if (n == 0) return 0;
+  int64_t nu = 0;
+  // n == 0 (every entry Dirichlet-dropped): pass 1 set rank_all = -1
+  // everywhere and the sym emission below handles gi/gj < 0, so only the
+  // sort + rank walk are skipped
+  if (n > 0) {
   std::vector<KV> b(n);
 
   // LSD radix over the key bytes, skipping constant bytes (keys < nb*nb)
@@ -242,7 +246,6 @@ int64_t fem_bsr_pair_ranks(const int64_t* dofs, int64_t T, int64_t n_loc,
 
   // rank walk: unique keys ascending; scatter each entry's rank back to
   // its original flat position
-  int64_t nu = 0;
   uint64_t prev = 0;
   for (int64_t i = 0; i < n; ++i) {
     const uint64_t k = src[i].k;
@@ -252,6 +255,7 @@ int64_t fem_bsr_pair_ranks(const int64_t* dofs, int64_t T, int64_t n_loc,
       prev = k;
     }
     rank_all[src[i].i] = nu - 1;
+  }
   }
 
   // symmetric canonical-pair tables (np.triu_indices order): the canonical

@@ -242,6 +242,9 @@ def build_bsr_structure(
         ubr * B + b_of,
         nb * B + heavy_rank[ubr] * B2 + (b_of - B),
     )
+    # all-Dirichlet meshes have zero stored blocks; keep the gathers below
+    # legal (every rank is -1, so the padded id is masked to n_values)
+    blk_id_safe = blk_id if blk_id.size else np.zeros(1, dtype=np.int64)
 
     n_values = int(n_values1 + nh * B2 * block * block)
     if want_entry_slot:
@@ -252,7 +255,7 @@ def build_bsr_structure(
         # host sort (measured: unsorted scatter 20 ms vs gather+sorted 30)
         entry_slot = np.where(
             rank_all >= 0,
-            blk_id[np.maximum(rank_all, 0)] * (block * block)
+            blk_id_safe[np.maximum(rank_all, 0)] * (block * block)
             + in_block_all,
             n_values,
         )
@@ -287,7 +290,7 @@ def build_bsr_structure(
         rank_s = np.where(((g_i >= 0) & (g_j >= 0)).reshape(-1), rank_s, -1)
     entry_slot_sym = np.where(
         rank_s >= 0,
-        blk_id[np.maximum(rank_s, 0)] * (block * block) + in_block_s,
+        blk_id_safe[np.maximum(rank_s, 0)] * (block * block) + in_block_s,
         n_values,
     )
     mark("sym_slots")

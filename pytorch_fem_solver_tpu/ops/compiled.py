@@ -262,10 +262,12 @@ def compiled_bsr_solver(
     # only the array fields ride as arguments; the static sizes (na, g, m)
     # stay Python ints so reshape targets inside the preconditioner setup
     # never become tracers
+    # Wb is exactly W reshaped per 8-block — derive it inside the program
+    # instead of doubling the shipped mode-table payload
     ast_arrays = (
         None
         if ast is None
-        else {"W": ast.W, "Wb": ast.Wb, "bins1": ast.bins1, "bins2": ast.bins2}
+        else {"W": ast.W, "bins1": ast.bins1, "bins2": ast.bins2}
     )
     device = jax.devices()[0]
     basis_d, tables_d, agg_table_d, ast_d, chunk_xs_d = jax.device_put(
@@ -308,8 +310,9 @@ def compiled_bsr_solver(
         if precondition == "auto":
             if is_vector:
                 precond = affine_two_level_from_values(
-                    ast.__class__(
-                        na=ast.na, g=ast.g, m=ast.m, **ast_a
+                    ast._replace(
+                        Wb=ast_a["W"].reshape(st.nb, st.block, ast.m),
+                        **ast_a,
                     ),
                     st_d,
                     values,

@@ -94,3 +94,79 @@ def test_topology_same_with_and_without_native(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(with_native[key]), np.asarray(without[key]), err_msg=key
         )
+
+
+def test_bsr_pair_ranks_matches_numpy_fallback():
+    """Native fused pair-rank kernel == the NumPy fallback, byte for byte,
+    across tri/tet/P2/vector bases and an all-Dirichlet edge case."""
+    import pytorch_fem_solver_tpu as fem
+    import pytorch_fem_solver_tpu.native as nat
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+    from pytorch_fem_solver_tpu.ops.bsr import build_bsr_structure
+
+    if not nat.available():
+        pytest.skip("native library unavailable")
+
+    cases = [
+        (fem.MeshTri(fem.unit_square(n=7)), fem.ElementTri(1, 2), fem.Basis),
+        (fem.MeshTri(fem.unit_square(n=5)), fem.ElementTri(2, 2), fem.Basis),
+        (MeshTet(unit_cube(3)), ElementTet(1, 2), fem.Basis),
+        (
+            fem.MeshTri(fem.unit_square(n=5)),
+            fem.ElementTri(1, 2),
+            fem.VectorBasis,
+        ),
+        # all-Dirichlet: a single-quad mesh has no interior vertices
+        (fem.MeshTri(fem.unit_square(n=1)), fem.ElementTri(1, 2), fem.Basis),
+    ]
+    for mesh, el, cls in cases:
+        V = cls(mesh, el)
+        inner = np.asarray(V._basis_parameters["inner_dofs"])
+        coords = np.asarray(V._coords4global_dofs)[inner]
+        args = (V._global_dofs4elements, V.n_dofs, inner, coords)
+        st_nat = build_bsr_structure(*args, max_b=8)
+        real = nat.bsr_pair_ranks
+        nat.bsr_pair_ranks = lambda *a, **k: None
+        try:
+            st_np = build_bsr_structure(*args, max_b=8)
+        finally:
+            nat.bsr_pair_ranks = real
+        for name in (
+            "bcols",
+            "entry_slot",
+            "entry_slot_sym",
+            "bcols2",
+            "heavy_rows",
+            "tpartner",
+        ):
+            a = np.asarray(getattr(st_nat, name))
+            b = np.asarray(getattr(st_np, name))
+            assert a.shape == b.shape and np.array_equal(a, b), (
+                cls.__name__,
+                el.polynomial_order,
+                name,
+            )
+
+
+def test_tet_face_edge_keys_matches_numpy_fallback():
+    import pytorch_fem_solver_tpu.native as nat
+    from pytorch_fem_solver_tpu.mesh.topology import build_tet_topology
+    from pytorch_fem_solver_tpu.mesh import unit_cube
+
+    if not nat.available():
+        pytest.skip("native library unavailable")
+    t = unit_cube(3)
+    verts, tets = np.asarray(t["vertices"]), np.asarray(t["tetrahedra"])
+    topo_nat = build_tet_topology(verts, tets)
+    real = nat.tet_face_edge_keys
+    nat.tet_face_edge_keys = lambda *a, **k: None
+    try:
+        topo_np = build_tet_topology(verts, tets)
+    finally:
+        nat.tet_face_edge_keys = real
+    assert topo_nat.keys() == topo_np.keys()
+    for k in topo_nat:
+        assert np.array_equal(
+            np.asarray(topo_nat[k]), np.asarray(topo_np[k])
+        ), k
