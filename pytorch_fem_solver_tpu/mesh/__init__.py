@@ -1,6 +1,15 @@
 """Mesh layer: host-built, statically-shaped triangle meshes as pytrees."""
 
-from .generation import box, rectangle, refine_uniform, refine_uniform_tet, unit_cube, unit_square
+from .generation import (
+    box,
+    fichera_corner,
+    rectangle,
+    refine_uniform,
+    refine_uniform_tet,
+    unit_cube,
+    unit_square,
+)
+from .refinement import dorfler_mark, refine_adaptive, refine_adaptive_tet
 from .mesh_tet import MeshTet
 from .mesh_tri import MeshTri
 from .meshes_tri import MeshesTri
@@ -28,8 +37,12 @@ __all__ = [
     "tet_quality_report",
     "Patches",
     "box",
+    "fichera_corner",
     "rectangle",
     "unit_cube",
+    "dorfler_mark",
+    "refine_adaptive",
+    "refine_adaptive_tet",
     "refine_uniform",
     "refine_uniform_tet",
     "unit_square",

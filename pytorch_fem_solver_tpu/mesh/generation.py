@@ -388,3 +388,43 @@ def box(
 def unit_cube(n: int) -> dict:
     """Unit-cube tet mesh with n^3 cubes (6 n^3 tetrahedra), h = sqrt(3)/n."""
     return box(n, n, n)
+
+
+def fichera_corner(n: int) -> dict:
+    """Fichera-corner tet mesh: (-1, 1)^3 minus the closed octant [0, 1]^3.
+
+    Built from a structured ``box`` of (2n)^3 cubes by dropping every tet
+    whose centroid lies in the removed octant; the Kuhn subdivision keeps
+    all tets inside their cube, and the octant boundary aligns with cube
+    faces, so the remaining mesh is conforming. Vertex markers are
+    recomputed from the actual boundary faces (faces with a single incident
+    tet), which marks the re-entrant faces too. The re-entrant edge at the
+    origin caps the solution regularity (u in H^{s}, s < 5/3 generically),
+    making this the canonical 3D adaptivity benchmark; the reference has no
+    3D meshing at all (2D ``triangle`` only).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    full = box(2 * n, 2 * n, 2 * n, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0)
+    vertices = full["vertices"]
+    tets = full["tetrahedra"]
+    centroids = vertices[tets].mean(axis=1)
+    keep = ~(centroids > 0.0).all(axis=1)
+    tets = tets[keep]
+
+    used = np.zeros(vertices.shape[0], dtype=bool)
+    used[tets.ravel()] = True
+    remap = np.cumsum(used) - 1
+    vertices = vertices[used]
+    tets = remap[tets]
+
+    from .topology import build_tet_topology
+
+    markers = np.asarray(
+        build_tet_topology(vertices, tets)["vertex_markers"]
+    ).reshape(-1, 1)
+    return {
+        "vertices": vertices,
+        "tetrahedra": tets,
+        "vertex_markers": markers,
+    }

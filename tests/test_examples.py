@@ -50,6 +50,7 @@ def run_example(name, env_extra, timeout=600):
         "example_elasticity_3d.py",
         "example_stokes.py",
         "example_adaptive.py",
+        "example_adaptive_3d.py",
         "example_adaptive_dfn.py",
         "example_mixed_bc.py",
         "example_weak_convergence.py",

@@ -16,7 +16,15 @@ import pytest
 import pytorch_fem_solver_tpu as fem
 from pytorch_fem_solver_tpu.element import ElementTet, tetrahedron_rule
 from pytorch_fem_solver_tpu.element.quadrature import TET_RULE_ORDERS
-from pytorch_fem_solver_tpu.mesh import MeshTet, box, unit_cube
+from pytorch_fem_solver_tpu.mesh import (
+    MeshTet,
+    box,
+    dorfler_mark,
+    fichera_corner,
+    refine_adaptive_tet,
+    tet_quality_report,
+    unit_cube,
+)
 
 
 def stiffness_form(basis):
@@ -330,7 +338,7 @@ def test_face_normal_gradient_jump_closed_form(cube_mesh):
 
 
 def test_neumann_surface_load_assembles():
-    """b_N = \int_Gamma g v dS with g = 1: entries sum to the surface area
+    r"""b_N = \int_Gamma g v dS with g = 1: entries sum to the surface area
     and land only on boundary vertices."""
     mesh = MeshTet(unit_cube(3))
     Vb = fem.BoundaryFacesBasis(mesh, fem.ElementTriSurface(1, 2))
@@ -514,3 +522,143 @@ def test_tet_residual_jump_estimator_effectivity():
     rate_err = math.log2(results[0][0] / results[1][0])
     rate_eta = math.log2(results[0][1] / results[1][1])
     assert abs(rate_err - rate_eta) < 0.4, (rate_err, rate_eta)
+
+
+# -- adaptive bisection in 3D --------------------------------------------------
+
+
+def _tet_volumes(v, t):
+    p = v[t]
+    return np.linalg.det((p[:, 1:] - p[:, [0]]).transpose(0, 2, 1)) / 6.0
+
+
+def _assert_conforming_tets(tri):
+    """Orientation, no hanging nodes (every face in <= 2 tets, and split
+    faces don't coexist with their parent), all vertices used."""
+    v = np.asarray(tri["vertices"])
+    t = np.asarray(tri["tetrahedra"])
+    vols = _tet_volumes(v, t)
+    assert (vols > 1e-15).all()
+    faces = np.sort(
+        t[:, [[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]]].reshape(-1, 3),
+        axis=1,
+    )
+    _, counts = np.unique(faces, axis=0, return_counts=True)
+    assert counts.max() <= 2
+    used = np.zeros(v.shape[0], dtype=bool)
+    used[t.ravel()] = True
+    assert used.all()
+    return vols.sum()
+
+
+def test_refine_adaptive_tet_conforming_and_quality_stable():
+    """Random marking over repeated rounds stays conforming, conserves
+    volume exactly, and keeps element quality bounded (no degeneration)."""
+    tri = unit_cube(2)
+    v0 = _assert_conforming_tets(tri)
+    q0 = tet_quality_report(tri["vertices"], tri["tetrahedra"])
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        n_t = tri["tetrahedra"].shape[0]
+        tri = refine_adaptive_tet(tri, rng.random(n_t) < 0.3)
+        vtot = _assert_conforming_tets(tri)
+        assert abs(vtot - v0) < 1e-12
+    q = tet_quality_report(tri["vertices"], tri["tetrahedra"])
+    # longest-edge bisection of the Kuhn mesh cycles through finitely many
+    # similarity classes; the dihedral floor must not erode
+    assert q["min_dihedral"] > 0.6 * q0["min_dihedral"]
+    assert q["max_radius_edge"] < 3.0 * q0["max_radius_edge"]
+
+
+def test_refine_adaptive_tet_marks_and_markers():
+    """A single marked tet is actually split; closure splits only what
+    conformity requires; boundary midpoints inherit the stronger label."""
+    tri = unit_cube(1)
+    n_t = tri["tetrahedra"].shape[0]
+    marked = np.zeros(n_t, dtype=bool)
+    marked[0] = True
+    out = refine_adaptive_tet(tri, marked)
+    assert out["tetrahedra"].shape[0] > n_t
+    _assert_conforming_tets(out)
+    # every new vertex is an edge midpoint; boundary-edge midpoints carry
+    # the boundary label
+    n_old = tri["vertices"].shape[0]
+    new_v = out["vertices"][n_old:]
+    new_m = out["vertex_markers"][n_old:].reshape(-1)
+    on_surf = (
+        (np.abs(new_v) < 1e-12) | (np.abs(new_v - 1.0) < 1e-12)
+    ).any(axis=1)
+    np.testing.assert_array_equal(new_m != 0, on_surf)
+    # no marks -> identity
+    same = refine_adaptive_tet(tri, np.zeros(n_t, dtype=bool))
+    assert same["tetrahedra"].shape[0] == n_t
+    with pytest.raises(ValueError):
+        refine_adaptive_tet(tri, np.zeros(n_t + 1, dtype=bool))
+
+
+def test_fichera_corner_mesh():
+    """Fichera domain: volume 7, conforming, re-entrant faces marked."""
+    tri = fichera_corner(2)
+    vtot = _assert_conforming_tets(tri)
+    assert abs(vtot - 7.0) < 1e-12
+    # the origin (re-entrant corner) is a boundary vertex
+    v = tri["vertices"]
+    orig = np.flatnonzero((np.abs(v) < 1e-12).all(axis=1))
+    assert orig.size == 1 and tri["vertex_markers"][orig[0]] != 0
+    # a point on the re-entrant face interior is boundary too
+    p = np.flatnonzero(
+        (np.abs(v[:, 0]) < 1e-12) & (v[:, 1] > 0.2) & (v[:, 2] > 0.2)
+        & (v[:, 1] < 0.8) & (v[:, 2] < 0.8)
+    )
+    assert p.size > 0 and (tri["vertex_markers"][p] != 0).all()
+
+
+def test_fichera_adaptive_loop_concentrates_at_corner():
+    """An estimator-driven adaptive loop on the Fichera corner refines
+    where the singularity is: the refined mesh's smallest cells cluster at
+    the re-entrant corner and the estimator decreases monotonically."""
+    tri = fichera_corner(1)
+    etas = []
+    for _ in range(3):
+        mesh = MeshTet(tri)
+        V = fem.Basis(mesh, ElementTet(1, 2))
+        Vf = fem.InteriorFacesBasis(mesh, fem.ElementTriSurface(1, 2))
+        A = V.integrate_bilinear_form(stiffness_form)
+        b = V.integrate_linear_form(lambda b_: b_.v)
+        u = V.solve(A, V.solution_tensor(), b)
+
+        h_T = mesh["cells", "length"]
+        bulk = np.asarray(
+            V.integrate_functional(lambda b_: h_T**2 * jnp.ones(1))
+        ).reshape(-1)
+        _, ug_faces = V.interpolate(Vf, u)
+        n_F = mesh["interior_faces", "normals"][..., None, :, :]
+        h_F = jnp.sqrt(mesh["interior_faces", "area"])[..., None, :, :]
+
+        def face_term(b_):
+            jump = (ug_faces[:, 0] * n_F).sum(-1, keepdims=True) - (
+                ug_faces[:, 1] * n_F
+            ).sum(-1, keepdims=True)
+            return h_F * jump**2
+
+        per_face = np.asarray(Vf.integrate_functional(face_term)).reshape(-1)
+        eta2 = bulk.copy()
+        cells = np.asarray(mesh["interior_faces", "cells"])
+        np.add.at(eta2, cells[:, 0], 0.5 * per_face)
+        np.add.at(eta2, cells[:, 1], 0.5 * per_face)
+        etas.append(float(np.sqrt(eta2.sum())))
+        tri = refine_adaptive_tet(tri, dorfler_mark(np.sqrt(eta2), 0.4))
+        _assert_conforming_tets(tri)
+
+    assert etas[-1] < etas[0], etas
+    # smallest cells end up nearest the re-entrant corner
+    v = np.asarray(tri["vertices"])
+    t = np.asarray(tri["tetrahedra"])
+    vols = _tet_volumes(v, t)
+    centroids = v[t].mean(axis=1)
+    dist = np.linalg.norm(centroids, axis=1)
+    smallest = np.argsort(vols)[: max(4, t.shape[0] // 20)]
+    assert np.median(dist[smallest]) < np.median(dist), (
+        np.median(dist[smallest]),
+        np.median(dist),
+    )
