@@ -261,6 +261,7 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         precondition: str = "jacobi",
         symmetric_form: bool = False,
         return_info: bool = False,
+        solver: str = "cg",
     ) -> jnp.ndarray:
         """Matrix-free preconditioned CG on the reduced system.
 
@@ -278,8 +279,21 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         enabling the canonical-pair assembly (1/3 fewer scattered entries;
         bsr-only — other methods raise so the saving never silently fails
         to apply; wrong results for non-symmetric forms).
+        ``solver="bicgstab"`` swaps the Krylov loop for BiCGStab — required
+        when the local matrices are NOT symmetric (e.g. Newton
+        linearizations from ``solve_newton``, advection terms); CG on a
+        non-symmetric operator fails silently.
         """
-        from ..ops.solvers import pcg
+        from ..ops.solvers import bicgstab, pcg
+
+        if solver == "cg":
+            krylov = pcg
+        elif solver == "bicgstab":
+            krylov = bicgstab
+        else:
+            raise ValueError(
+                f"unknown solver: {solver!r} (expected 'cg' or 'bicgstab')"
+            )
 
         if symmetric_form and method != "bsr":
             raise ValueError(
@@ -370,7 +384,7 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                     ast, structure, values, diag
                 )
             b_pad = bsr_reduce(structure, vector)
-            x, info = pcg(
+            x, info = krylov(
                 lambda v: bsr_matvec(structure, values, v),
                 b_pad,
                 precond_diag=diag,
@@ -421,7 +435,7 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                     self._two_level_structure = tl
                 precond = two_level_from_values(tl, structure, values, diag)
 
-        x, info = pcg(
+        x, info = krylov(
             matvec,
             rhs[..., 0],
             precond_diag=diag,
@@ -432,6 +446,131 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         inner = self._basis_parameters["inner_dofs"]
         u = solution.at[..., inner, 0].add(x)
         return (u, info) if return_info else u
+
+    def _assemble_linear_from_local(self, local: jnp.ndarray) -> jnp.ndarray:
+        """Scatter precomputed element vectors (..., T, n_loc, 1) into the
+        global load-vector layout (the tail of ``integrate_linear_form``)."""
+        values = self.reshape_for_assembly(local, "linear")
+        shape = self._basis_parameters["linear_form_shape"]
+        idx = self._basis_parameters["linear_form_idx"]
+        return jnp.zeros(shape, dtype=values.dtype).at[idx].add(values)
+
+    def solve_newton(
+        self,
+        residual_form: Callable[..., jnp.ndarray],
+        *args: Any,
+        solution: Optional[jnp.ndarray] = None,
+        tol: float = 1e-10,
+        max_iter: int = 25,
+        damping: bool = True,
+        return_info: bool = False,
+        **solve_kwargs: Any,
+    ):
+        """Newton's method for nonlinear problems F(u)[v] = 0.
+
+        ``residual_form(basis, u, u_grad, *args)`` returns the weak-residual
+        integrand against every test function, shaped
+        ``(..., T, q, n_loc, 1)`` — exactly a linear-form integrand, except
+        it may depend on the current iterate through ``u`` (values at
+        quadrature points, ``(..., T, q, 1, 1)``) and ``u_grad``
+        (``(..., T, q, 1, d)``). Example (nonlinear Poisson
+        -div((1+u^2) grad u) = f)::
+
+            def residual(b, u, ug):
+                kappa = 1.0 + u**2
+                return (kappa * (b.v_grad * ug).sum(-1, keepdims=True)
+                        - f(b.integration_points) * b.v)
+
+        The consistent Jacobian is exact and free: the per-cell residual is
+        differentiated with ``jax.jvp`` against one-hot local-coefficient
+        tangents (``n_loc`` forward passes, each batched over all cells),
+        yielding element matrices that feed :meth:`solve_iterative`
+        unchanged. Newton linearizations are generally non-symmetric, so
+        the update solves default to ``solver="bicgstab"``.
+
+        Dirichlet data rides on ``solution`` (the initial iterate — zeros
+        by default; seed non-homogeneous values on the boundary DOFs);
+        updates are computed on interior DOFs only, so the boundary values
+        are preserved exactly. ``damping=True`` backtracks (halves) the
+        step while the reduced residual norm does not decrease.
+
+        Stops when the reduced residual norm falls below
+        ``tol * max(1, initial norm)`` or after ``max_iter`` iterations.
+        Extra ``solve_kwargs`` go to :meth:`solve_iterative` (e.g.
+        ``precondition="two_level"``). With ``return_info=True`` also
+        returns ``{"iterations", "residual_norms", "converged"}``.
+
+        No reference counterpart: the reference solves only linear systems
+        (dense LU, ``/root/reference/torch_fem/basis/abstract_basis.py:177-195``);
+        its nonlinear capability is the VPINN training loop, not Newton.
+        """
+        solve_kwargs.setdefault("solver", "bicgstab")
+        solve_kwargs.setdefault("tol", min(tol, 1e-8))
+        if solution is None:
+            solution = self.solution_tensor()
+        u = solution
+        dofs = self._global_dofs4elements
+
+        def residual_local(u_cells):
+            vals = u_cells[..., None, :, None]
+            uh = (vals * self.v).sum(-2, keepdims=True)
+            ugh = (vals * self.v_grad).sum(-2, keepdims=True)
+            integrand = self._evaluate_form(
+                residual_form, self, uh, ugh, *args
+            )
+            return (integrand * self._dx).sum(-3)
+
+        n_loc = int(dofs.shape[-1])
+
+        @jax.jit
+        def newton_terms(u_vec):
+            u_cells = u_vec[..., 0][..., dofs]
+            r_local = residual_local(u_cells)
+            cols = []
+            for j in range(n_loc):
+                tangent = jnp.zeros_like(u_cells).at[..., j].set(1.0)
+                _, col = jax.jvp(residual_local, (u_cells,), (tangent,))
+                cols.append(col)  # (..., T, n_loc, 1)
+            j_local = jnp.concatenate(cols, axis=-1)  # (..., T, n_loc, n_loc)
+            return self._assemble_linear_from_local(r_local), j_local
+
+        @jax.jit
+        def residual_norm(u_vec):
+            u_cells = u_vec[..., 0][..., dofs]
+            r = self._assemble_linear_from_local(residual_local(u_cells))
+            return jnp.linalg.norm(self.reduce(r)), r
+
+        res0, _ = residual_norm(u)
+        res0 = float(res0)
+        norms = [res0]
+        target = tol * max(1.0, res0)
+        converged = res0 <= target
+        iterations = 0
+        for iterations in range(1, max_iter + 1):
+            if converged:
+                iterations -= 1
+                break
+            residual, j_local = newton_terms(u)
+            delta = self.solve_iterative(j_local, -residual, **solve_kwargs)
+            step = 1.0
+            for _ in range(12):
+                res_new, _ = residual_norm(u + step * delta)
+                res_new = float(res_new)
+                if not damping or res_new < norms[-1] or not np.isfinite(
+                    norms[-1]
+                ):
+                    break
+                step *= 0.5
+            u = u + step * delta
+            norms.append(res_new)
+            converged = res_new <= target
+        if return_info:
+            return u, {
+                "iterations": iterations,
+                "residual_norms": norms,
+                "converged": bool(converged),
+            }
+        return u
 
     def compiled_solver(self, bilinear_form, linear_form=None, **kwargs):
         """One-jit assemble+solve pipeline for this basis (BSR path).

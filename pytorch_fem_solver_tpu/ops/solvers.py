@@ -101,3 +101,89 @@ def cg(matvec, b, **kwargs):
     """Unpreconditioned CG (Jacobi disabled)."""
     kwargs.setdefault("precond_diag", None)
     return pcg(matvec, b, **kwargs)
+
+
+def bicgstab(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    precond_diag: Optional[jnp.ndarray] = None,
+    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    tol: float = 1e-10,
+    maxiter: Optional[int] = None,
+    dot: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = None,
+):
+    """Preconditioned BiCGStab for NON-symmetric operators (van der Vorst).
+
+    Same interface and while_loop structure as :func:`pcg`; needed for
+    Newton linearizations (``AbstractBasis.solve_newton``), whose local
+    Jacobians are generally not symmetric, so CG would silently diverge.
+    Two matvecs and two preconditioner applications per iteration; the
+    preconditioner may be any of the SPD preconditioners in
+    ``ops.precondition`` (applied as a left/right-split would be — here in
+    the standard preconditioned-BiCGStab form with M^-1 applied to the
+    search directions). Breakdown (rho or omega ~ 0) is handled by
+    freezing the state and reporting non-convergence rather than emitting
+    NaNs. No reference counterpart (the reference only has dense LU).
+    """
+    n = b.shape[-1]
+    if maxiter is None:
+        maxiter = max(10 * n, 100)
+    if dot is None:
+        dot = lambda u, v: jnp.sum(u * v)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if precond is None:
+        if precond_diag is None:
+            precond = lambda r: r
+        else:
+            safe = jnp.where(precond_diag != 0, precond_diag, 1.0)
+            inv_diag_arr = 1.0 / safe
+            precond = lambda r: inv_diag_arr * r
+
+    b_norm = jnp.sqrt(dot(b, b))
+    atol2 = (tol * jnp.maximum(b_norm, 1e-300)) ** 2
+    eps = jnp.finfo(b.dtype).tiny
+
+    r0 = b - matvec(x0)
+    rhat = r0  # shadow residual, fixed
+
+    def cond(state):
+        _, r, *_, k, ok = state
+        return jnp.logical_and(
+            jnp.logical_and(k < maxiter, dot(r, r) > atol2), ok
+        )
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, k, ok = state
+        rho_new = dot(rhat, r)
+        ok = jnp.abs(rho_new) > eps
+        beta = jnp.where(ok, (rho_new / rho) * (alpha / omega), 0.0)
+        p = r + beta * (p - omega * v)
+        p_hat = precond(p)
+        v = matvec(p_hat)
+        rhat_v = dot(rhat, v)
+        ok = jnp.logical_and(ok, jnp.abs(rhat_v) > eps)
+        alpha = jnp.where(ok, rho_new / jnp.where(ok, rhat_v, 1.0), 0.0)
+        s = r - alpha * v
+        s_hat = precond(s)
+        t = matvec(s_hat)
+        tt = dot(t, t)
+        omega = jnp.where(tt > eps, dot(t, s) / jnp.where(tt > eps, tt, 1.0), 0.0)
+        x_new = x + alpha * p_hat + omega * s_hat
+        r_new = s - omega * t
+        # if omega broke down but alpha made progress, keep the half step
+        ok = jnp.logical_and(ok, jnp.logical_or(jnp.abs(omega) > eps, dot(s, s) <= atol2))
+        x = jnp.where(ok | (dot(s, s) <= atol2), x_new, x)
+        r = jnp.where(ok | (dot(s, s) <= atol2), r_new, r)
+        omega = jnp.where(jnp.abs(omega) > eps, omega, 1.0)
+        return (x, r, p, v, rho_new, alpha, omega, k + 1, ok)
+
+    one = jnp.ones((), dtype=b.dtype)
+    state = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one, 0, jnp.array(True))
+    x, r, *_, k, _ = jax.lax.while_loop(cond, body, state)
+    res = jnp.sqrt(dot(r, r))
+    info = PCGInfo(
+        iterations=k, residual_norm=res, converged=res <= jnp.sqrt(atol2)
+    )
+    return x, info
