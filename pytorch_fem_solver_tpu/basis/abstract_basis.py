@@ -572,6 +572,113 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
             }
         return u
 
+    def solve_eigsh(
+        self,
+        a_form: Callable[..., jnp.ndarray],
+        m_form: Callable[..., jnp.ndarray],
+        k: int = 6,
+        *,
+        tol: float = 1e-9,
+        max_rounds: int = 60,
+        solve_tol: float = 1e-10,
+        precondition: str = "two_level",
+        seed: int = 0,
+        return_info: bool = False,
+    ):
+        """Smallest ``k`` eigenpairs of the generalized problem
+        a(u, v) = lambda m(u, v) on the interior (non-Dirichlet) DOFs.
+
+        Modal analysis on the matrix-free BSR operators: shift-invert
+        subspace iteration (``ops.eigen.subspace_eigsh``) whose inner
+        A-solves run the same preconditioned CG as :meth:`solve_iterative`.
+        Both forms must be symmetric positive definite on the reduced
+        space (stiffness/mass pairs). Returns eigenvalues ascending and
+        M-orthonormal eigenvectors as full DOF vectors (zeros on Dirichlet
+        DOFs), shaped ``(k,)`` and ``(n_dofs, k)``.
+
+        Example: Dirichlet Laplace spectrum on the unit square —
+        ``V.solve_eigsh(stiffness, mass, k=4)`` converges to
+        pi^2 * (2, 5, 5, 8) at O(h^2). No reference counterpart (the
+        reference has no eigen capability; dense LU solves only,
+        /root/reference/torch_fem/basis/abstract_basis.py:177-195).
+        """
+        from ..ops.bsr import (
+            bsr_diagonal,
+            bsr_expand,
+            bsr_matvec,
+            bsr_reduce,
+            bsr_values_from_local,
+            default_max_b,
+            get_bsr_structure,
+        )
+        from ..ops.eigen import subspace_eigsh
+
+        structure = get_bsr_structure(
+            self, max_b=default_max_b(self), want_entry_slot=True
+        )
+        va = bsr_values_from_local(
+            structure, self.integrate_bilinear_form_local(a_form)
+        )
+        vm = bsr_values_from_local(
+            structure, self.integrate_bilinear_form_local(m_form)
+        )
+        diag = bsr_diagonal(structure, va)
+        precond = None
+        if precondition == "two_level":
+            from ..ops.precondition import auto_preconditioner
+
+            precond = auto_preconditioner(self, structure, va, diag)
+        elif precondition != "jacobi":
+            raise ValueError(
+                f"unknown precondition: {precondition!r} "
+                "(expected 'two_level' or 'jacobi')"
+            )
+
+        # starting block in the padded reduced layout: random on interior
+        # DOFs, exactly zero on padding rows (bsr_reduce guarantees that)
+        m_block = k + max(2, k // 2)
+        rng = np.random.default_rng(seed)
+        cols = [
+            bsr_reduce(
+                structure,
+                jnp.asarray(
+                    rng.standard_normal((self.n_dofs, 1)),
+                    dtype=config.default_dtype(),
+                ),
+            )
+            for _ in range(m_block)
+        ]
+        x0 = jnp.stack(cols, axis=1)
+        n_inner = int(np.asarray(self._basis_parameters["inner_dofs"]).size)
+        if k > n_inner:
+            raise ValueError(
+                f"requested k={k} eigenpairs from an n={n_inner} system"
+            )
+
+        vals, vecs_pad, info = subspace_eigsh(
+            lambda v: bsr_matvec(structure, va, v),
+            lambda v: bsr_matvec(structure, vm, v),
+            n=x0.shape[0],
+            k=k,
+            tol=tol,
+            max_rounds=max_rounds,
+            solve_tol=solve_tol,
+            precond=precond,
+            precond_diag=None if precond is not None else diag,
+            x0=x0,
+            dtype=config.default_dtype(),
+        )
+        vectors = jnp.stack(
+            [
+                bsr_expand(structure, vecs_pad[:, j], self.n_dofs)[..., 0]
+                for j in range(k)
+            ],
+            axis=1,
+        )
+        if return_info:
+            return vals, vectors, info
+        return vals, vectors
+
     def compiled_solver(self, bilinear_form, linear_form=None, **kwargs):
         """One-jit assemble+solve pipeline for this basis (BSR path).
 

@@ -1,0 +1,147 @@
+"""Generalized symmetric eigensolver: smallest modes of A x = lambda M x.
+
+Matrix-free shift-invert subspace iteration on the reduced (interior-DOF)
+operators: each round applies A^{-1} M to the subspace with the existing
+PCG machinery (``ops.solvers.pcg``, optionally preconditioned by the
+two-level preconditioners in ``ops.precondition``), then Rayleigh-Ritz
+projects onto the subspace (dense k x k generalized eigenproblem via a
+Cholesky whitening + ``eigh``). The whole iteration is jittable — vmapped
+PCG columns inside a ``lax.while_loop``-driven solver, host loop only over
+the few outer rounds.
+
+No reference counterpart: the reference has no eigen capability at all
+(dense LU solves only, torch_fem/basis/abstract_basis.py:177-195). Modal
+analysis (Laplace spectra, elastic vibration modes) is a standard FEM
+workload the TPU build adds.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .solvers import pcg
+
+__all__ = ["EighInfo", "subspace_eigsh"]
+
+
+class EighInfo(NamedTuple):
+    iterations: int
+    eig_change: float
+    converged: bool
+
+
+def _rayleigh_ritz(y, a_mv, m_mv):
+    """Project onto span(y): return (eigenvalues, coefficient matrix)."""
+    ay = a_mv(y)
+    my = m_mv(y)
+    g_a = y.T @ ay
+    g_m = y.T @ my
+    # symmetrize against roundoff before factorization
+    g_a = 0.5 * (g_a + g_a.T)
+    g_m = 0.5 * (g_m + g_m.T)
+    chol = jnp.linalg.cholesky(g_m)
+    li = jax.scipy.linalg.solve_triangular(chol, jnp.eye(chol.shape[0], dtype=chol.dtype), lower=True)
+    white = li @ g_a @ li.T
+    vals, w = jnp.linalg.eigh(0.5 * (white + white.T))
+    return vals, li.T @ w
+
+
+def subspace_eigsh(
+    a_matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    m_matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    n: int,
+    k: int = 6,
+    *,
+    n_extra: Optional[int] = None,
+    tol: float = 1e-9,
+    max_rounds: int = 60,
+    solve_tol: float = 1e-10,
+    solve_maxiter: Optional[int] = None,
+    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    precond_diag: Optional[jnp.ndarray] = None,
+    seed: int = 0,
+    dtype=None,
+    x0: Optional[jnp.ndarray] = None,
+):
+    """Smallest ``k`` eigenpairs of the pencil (A, M), both SPD.
+
+    Args:
+      a_matvec / m_matvec: operator actions on single vectors (n,).
+      n: reduced system size.
+      k: number of eigenpairs to return.
+      n_extra: guard vectors beyond ``k`` (default ``max(2, k // 2)``) —
+        the trailing subspace vectors converge slowest, so the guard keeps
+        the returned pairs accurate.
+      tol: relative eigenvalue-change stopping threshold between rounds.
+      solve_tol / solve_maxiter / precond / precond_diag: inner PCG knobs
+        for the A-solves.
+      seed / dtype: starting-block generation.
+      x0: explicit starting block (n, >=k) — REQUIRED when the operators
+        act on a padded layout (e.g. the BSR-reduced system, where padding
+        rows must start and stay exactly zero); the random default fills
+        every row.
+
+    Returns ``(eigenvalues (k,), eigenvectors (n, k), EighInfo)`` with
+    M-orthonormal eigenvectors, eigenvalues ascending.
+    """
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    m = min(n, k + (n_extra if n_extra is not None else max(2, k // 2)))
+    if k > n:
+        raise ValueError(f"requested k={k} eigenpairs from an n={n} system")
+
+    if x0 is not None:
+        if x0.shape[0] != n or x0.shape[1] < m:
+            raise ValueError(
+                f"x0 must be ({n}, >={m}); got {tuple(x0.shape)}"
+            )
+        x = x0[:, :m].astype(dtype)
+    else:
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((n, m)), dtype=dtype)
+
+    a_mv_block = jax.vmap(a_matvec, in_axes=1, out_axes=1)
+    m_mv_block = jax.vmap(m_matvec, in_axes=1, out_axes=1)
+
+    @jax.jit
+    def round_step(x):
+        # y = A^{-1} (M x), column-wise PCG (vmapped while_loops)
+        mx = m_mv_block(x)
+
+        def solve_col(b):
+            y, _ = pcg(
+                a_matvec,
+                b,
+                precond=precond,
+                precond_diag=precond_diag,
+                tol=solve_tol,
+                maxiter=solve_maxiter,
+            )
+            return y
+
+        y = jax.vmap(solve_col, in_axes=1, out_axes=1)(mx)
+        # M-orthonormalize the block before projecting (QR in the M inner
+        # product via Cholesky of y^T M y, folded into Rayleigh-Ritz)
+        vals, coeffs = _rayleigh_ritz(y, a_mv_block, m_mv_block)
+        return vals, y @ coeffs
+
+    last = None
+    info = EighInfo(iterations=0, eig_change=np.inf, converged=False)
+    for rounds in range(1, max_rounds + 1):
+        vals, x = round_step(x)
+        head = np.asarray(vals[:k])
+        if last is not None:
+            change = float(
+                np.max(np.abs(head - last) / np.maximum(np.abs(head), 1e-300))
+            )
+            info = EighInfo(
+                iterations=rounds, eig_change=change, converged=change <= tol
+            )
+            if info.converged:
+                break
+        last = head
+    return jnp.asarray(vals[:k]), x[:, :k], info

@@ -1,0 +1,100 @@
+"""Generalized eigensolver: Laplace spectra vs analytic eigenvalues.
+
+No reference counterpart (the reference has no eigen capability; dense LU
+solves only, torch_fem/basis/abstract_basis.py:177-195). Validates
+``ops.eigen.subspace_eigsh`` and ``AbstractBasis.solve_eigsh`` against the
+closed-form Dirichlet Laplace spectrum pi^2 (m^2 + n^2 [+ p^2]) on the
+unit square/cube, eigenvector residuals, and M-orthonormality.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_fem_solver_tpu as fem
+from pytorch_fem_solver_tpu.element import ElementTet
+from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+from pytorch_fem_solver_tpu.ops.eigen import subspace_eigsh
+
+PI2 = math.pi**2
+
+
+def a_form(b):
+    return b.v_grad @ jnp.matrix_transpose(b.v_grad)
+
+
+def m_form(b):
+    return b.v @ jnp.matrix_transpose(b.v)
+
+
+def test_subspace_eigsh_dense_oracle():
+    """Small dense SPD pencil vs scipy-free NumPy oracle (eigh of
+    whitened matrix)."""
+    rng = np.random.default_rng(0)
+    n = 50
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    # graded spectrum: subspace iteration converges at (lam_i/lam_m)^rounds,
+    # so a clustered spectrum would stall — like any power-type method
+    a = q @ np.diag(np.arange(1.0, n + 1) ** 2) @ q.T
+    qm = rng.normal(size=(n, n)) * 0.1
+    m = qm @ qm.T + np.eye(n)
+    li = np.linalg.inv(np.linalg.cholesky(m))
+    ref = np.sort(np.linalg.eigvalsh(li @ a @ li.T))[:4]
+    aj, mj = jnp.asarray(a), jnp.asarray(m)
+    vals, vecs, info = subspace_eigsh(
+        lambda v: aj @ v, lambda v: mj @ v, n=n, k=4, tol=1e-11
+    )
+    assert info.converged
+    np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-8)
+    # eigen residuals
+    for j in range(4):
+        x = np.asarray(vecs[:, j])
+        r = a @ x - float(vals[j]) * (m @ x)
+        assert np.linalg.norm(r) < 1e-6 * float(vals[j])
+
+
+def test_laplace_spectrum_unit_square():
+    """First 4 Dirichlet modes converge to pi^2 (2, 5, 5, 8) from above
+    at O(h^2); eigenvectors are M-orthonormal."""
+    exact = np.array([2.0, 5.0, 5.0, 8.0]) * PI2
+    rel = []
+    for ma in (0.5**7, 0.5**9):
+        mesh = fem.MeshTri(fem.unit_square(max_area=ma))
+        V = fem.Basis(mesh, fem.ElementTri(1, 3))
+        vals, vecs, info = V.solve_eigsh(
+            a_form, m_form, k=4, tol=1e-8, return_info=True
+        )
+        assert info.converged
+        vals = np.asarray(vals)
+        assert (vals > exact).all()  # P1 Rayleigh quotients from above
+        rel.append(np.abs(vals - exact) / exact)
+        gram = np.asarray(
+            V.reduce(V.integrate_bilinear_form(m_form))
+        )
+        inner = np.asarray(V._basis_parameters["inner_dofs"])
+        vr = np.asarray(vecs)[inner]
+        dev = np.abs(vr.T @ gram @ vr - np.eye(4)).max()
+        assert dev < 1e-10, dev
+    # O(h^2): one h-halving shrinks the error ~4x (allow 3x)
+    assert (rel[1] < rel[0] / 3).all(), (rel[0], rel[1])
+
+
+def test_laplace_first_mode_unit_cube():
+    mesh = MeshTet(unit_cube(6))
+    V = fem.Basis(mesh, ElementTet(1, 2))
+    vals, _ = V.solve_eigsh(a_form, m_form, k=2, tol=1e-7)
+    first = float(vals[0])
+    exact = 3 * PI2
+    # P1 from above; ~12% discretization error at h = 1/6
+    assert exact < first < 1.2 * exact, first
+
+
+def test_solve_eigsh_validation():
+    mesh = fem.MeshTri(fem.unit_square(n=3))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    with pytest.raises(ValueError):
+        V.solve_eigsh(a_form, m_form, k=1000)
+    with pytest.raises(ValueError):
+        V.solve_eigsh(a_form, m_form, k=2, precondition="nope")
