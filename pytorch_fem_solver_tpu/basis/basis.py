@@ -46,7 +46,15 @@ class Basis(AbstractBasis):
             # map each cell's local edges to the mesh's unique-edge ids
             # (shared helpers: topology.p2_cell_edge_pairs fixes the local
             # order, encode_edge_pairs widens to int64)
-            from ..mesh.topology import encode_edge_pairs, p2_cell_edge_pairs
+            from ..mesh.topology import (
+                encode_edge_pairs,
+                p2_cell_edge_pairs,
+                p2_edge_dirichlet_markers,
+            )
+
+            edge_markers = p2_edge_dirichlet_markers(
+                edges, edge_markers, vert_markers
+            )
 
             local = p2_cell_edge_pairs(cells)
             edge_codes = encode_edge_pairs(np.sort(edges, axis=-1), n_vertices)

@@ -6,9 +6,11 @@ weights ``2 * w_q * |edge|/2``. Parity target: reference
 
 The reference's edge DOF map is a placeholder copied from the cell basis and
 flagged "NOT CORRECT" (interior_edges_basis.py:20-23); only functional
-integration is trustworthy there. Here the DOF map is defined *correctly* as
-one P1 DOF per interior-edge endpoint (global vertex ids), so linear/bilinear
-edge forms assemble into vertex-indexed global tensors. Functional
+integration is trustworthy there. Here the DOF map is defined *correctly*: P1 puts
+one DOF per facet endpoint (global vertex ids), P2 adds the facet's own
+edge-midpoint DOFs with the SAME numbering as the cell ``Basis`` (n_vertices
++ unique-edge id), so facet-assembled forms land in the matching global
+space. Functional
 integration is unchanged and remains the primary use.
 """
 
@@ -23,22 +25,76 @@ from .abstract_basis import AbstractBasis, register_basis_pytree
 
 @register_basis_pytree
 class InteriorEdgesBasis(AbstractBasis):
-    """P1 basis on interior edges (line elements embedded in the 2D mesh)."""
+    """P1/P2 basis on interior edges (line elements embedded in the 2D mesh)."""
 
     #: mesh group the facet quadrature lives on; subclasses re-target it
     #: (boundary edges, 3D interior/boundary faces) and inherit everything
     facet_group = "interior_edges"
 
     def _compute_dofs(self, mesh, element):
-        if element.polynomial_order != 1:
-            raise NotImplementedError("Polynomial order not implemented")
+        if element.polynomial_order == 1:
+            # DOFs live on mesh vertices; each facet's local DOFs are its
+            # vertex ids (correct facet-restricted P1 map, unlike the
+            # reference placeholder).
+            coords_4_global_dofs = mesh["vertices", "coordinates"]
+            global_dofs_4_elements = mesh[self.facet_group, "vertices"]
+            nodes_4_boundary_dofs = mesh["vertices", "markers"]
+        elif element.polynomial_order == 2:
+            # P2 facet DOFs: facet vertices + the facet's own edge-midpoint
+            # DOFs, numbered IDENTICALLY to the cell Basis P2 layout
+            # (n_vertices + unique-edge id), so facet-assembled linear and
+            # bilinear forms land in the same global P2 space. Generic over
+            # 2D edges (one midpoint: local order v0, v1, mid matches the
+            # P2 ElementLine) and 3D faces (three midpoints: local edge
+            # order 01, 12, 20 matches ElementTri's P2 shape functions).
+            from ..mesh.topology import (
+                encode_edge_pairs,
+                p2_edge_dirichlet_markers,
+            )
 
-        # DOFs live on mesh vertices; each facet's local DOFs are its
-        # vertex ids (correct facet-restricted P1 map, unlike the
-        # reference placeholder).
-        coords_4_global_dofs = mesh["vertices", "coordinates"]
-        global_dofs_4_elements = mesh[self.facet_group, "vertices"]
-        nodes_4_boundary_dofs = mesh["vertices", "markers"]
+            verts = np.asarray(mesh["vertices", "coordinates"])
+            edges_all = np.asarray(mesh["edges", "vertices"])
+            vert_markers = np.asarray(mesh["vertices", "markers"]).reshape(-1)
+            # same Dirichlet rule as the cell Basis (mixed-BC safe)
+            edge_markers = p2_edge_dirichlet_markers(
+                edges_all, mesh["edges", "markers"], vert_markers
+            )
+            fv = np.asarray(mesh[self.facet_group, "vertices"])
+            n_v = verts.shape[0]
+            if fv.shape[1] == 2:
+                local_pairs = fv[:, None, :]  # (E, 1, 2)
+            else:
+                local_pairs = fv[:, [[0, 1], [1, 2], [2, 0]]]  # (F, 3, 2)
+
+            codes_all = encode_edge_pairs(np.sort(edges_all, axis=-1), n_v)
+            order = np.argsort(codes_all)
+            pc = encode_edge_pairs(
+                np.sort(local_pairs.reshape(-1, 2), axis=-1), n_v
+            )
+            pos = np.searchsorted(codes_all[order], pc)
+            if (codes_all[order][pos] != pc).any():  # pragma: no cover
+                raise ValueError(
+                    "facet edge missing from the mesh's unique-edge table"
+                )
+            facet_edges = order[pos].reshape(fv.shape[0], -1)
+
+            midpoints = verts[edges_all].mean(axis=1)
+            coords_4_global_dofs = jnp.asarray(
+                np.concatenate([verts, midpoints], axis=0),
+                dtype=config.default_dtype(),
+            )
+            global_dofs_4_elements = jnp.asarray(
+                np.concatenate([fv, facet_edges + n_v], axis=1),
+                dtype=config.index_dtype(),
+            )
+            nodes_4_boundary_dofs = jnp.asarray(
+                np.concatenate([vert_markers, edge_markers], axis=0).reshape(
+                    -1, 1
+                ),
+                dtype=config.index_dtype(),
+            )
+        else:
+            raise NotImplementedError("Polynomial order not implemented")
 
         coords_4_elements = mesh.compute_coordinates_4_cells(
             coords_4_global_dofs, global_dofs_4_elements

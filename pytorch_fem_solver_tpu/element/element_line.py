@@ -38,11 +38,36 @@ class ElementLine(AbstractElement):
         return jnp.stack([0.5 * (1.0 - x), 0.5 * (1.0 + x)], axis=-2)
 
     def compute_shape_functions(self, bar_coords, inv_map_jacobian):
-        if self.polynomial_order != 1:
-            raise NotImplementedError("Polynomial order not implemented")
-        v = bar_coords
-        v_grad = self.barycentric_grad @ inv_map_jacobian
-        return v, v_grad
+        if self.polynomial_order == 1:
+            v = bar_coords
+            v_grad = self.barycentric_grad @ inv_map_jacobian
+            return v, v_grad
+
+        if self.polynomial_order == 2:
+            # quadratic Lagrange in barycentric form, local DOF order
+            # (endpoint 0, endpoint 1, midpoint) — mirrors ElementTri's P2
+            # (element_tri.py) so facet bases can append the midpoint DOF
+            # after the vertex DOFs
+            l1 = bar_coords[..., 0, :][..., None, :]
+            l2 = bar_coords[..., 1, :][..., None, :]
+            v = jnp.concatenate(
+                [l1 * (2 * l1 - 1), l2 * (2 * l2 - 1), 4 * l1 * l2],
+                axis=-2,
+            )
+            g = self.barycentric_grad  # (2, 1)
+            g1, g2 = g[0:1, :], g[1:2, :]
+            grad_ref = jnp.concatenate(
+                [
+                    (4 * l1 - 1) * g1,
+                    (4 * l2 - 1) * g2,
+                    4 * (l2 * g1 + l1 * g2),
+                ],
+                axis=-2,
+            )
+            v_grad = grad_ref @ inv_map_jacobian
+            return v, v_grad
+
+        raise NotImplementedError("Polynomial order not implemented")
 
     def _compute_gauss_values(self):
         return line_rule(self.integration_order)

@@ -315,6 +315,25 @@ def _sort_unique_codes(codes: np.ndarray):
     return order, uniq, inverse.reshape(-1), counts
 
 
+def p2_edge_dirichlet_markers(edges, edge_markers, vertex_markers):
+    """Dirichlet flags for P2 edge-midpoint DOFs.
+
+    A midpoint is constrained iff its edge lies on the boundary (2D: a
+    single incident cell; 3D: on a boundary face) AND both endpoints carry
+    nonzero vertex markers — so partial markers (mixed BCs: only the
+    Dirichlet portion marked) leave Neumann-edge midpoints free instead of
+    silently pinning them to the lift value. The label is the stronger
+    endpoint label. With full boundary markers this reduces to the plain
+    boundary mask.
+    """
+    edges = np.asarray(edges)
+    em = np.asarray(edge_markers).reshape(-1)
+    vm = np.asarray(vertex_markers).reshape(-1)
+    m0, m1 = vm[edges[:, 0]], vm[edges[:, 1]]
+    both = (m0 != 0) & (m1 != 0) & (em != 0)
+    return np.where(both, np.maximum(m0, m1), 0).astype(np.int64)
+
+
 def encode_edge_pairs(pairs: np.ndarray, n_vertices: int) -> np.ndarray:
     """Scalar int64 code per (sorted) vertex pair: ``v0 * n_vertices + v1``.
 
