@@ -692,6 +692,18 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
 
         return compiled_bsr_solver(self, bilinear_form, linear_form, **kwargs)
 
+    def compiled_newton(self, residual_form, **kwargs):
+        """One-jit Newton solve: the compiled counterpart of
+        :meth:`solve_newton` (same residual-form contract). The whole
+        iteration — assembly, jvp Jacobians, BiCGStab updates, damping —
+        is a single XLA program; see
+        :func:`ops.compiled.compiled_newton_solver` for options. Returns
+        ``solve(u0=None) -> (u, (iterations, residual_norm, converged))``.
+        """
+        from ..ops.compiled import compiled_newton_solver
+
+        return compiled_newton_solver(self, residual_form, **kwargs)
+
     def gram_solver(
         self,
         form: Callable[..., jnp.ndarray],

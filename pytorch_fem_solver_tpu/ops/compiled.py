@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["compiled_bsr_solver"]
+__all__ = ["compiled_bsr_solver", "compiled_newton_solver"]
 
 
 class _CellChunkView:
@@ -359,5 +359,184 @@ def compiled_bsr_solver(
             return _run(
                 basis_d, tables_d, agg_table_d, ast_d, chunk_xs_d, b
             )
+
+    return solve
+
+
+def compiled_newton_solver(
+    basis,
+    residual_form: Callable,
+    *,
+    tol: float = 1e-10,
+    max_newton: int = 25,
+    solve_tol: float = 1e-8,
+    solve_maxiter: Optional[int] = None,
+    precondition: str = "jacobi",
+    damping: bool = True,
+    max_b: Optional[int] = None,
+):
+    """One-jit Newton solve for nonlinear problems F(u)[v] = 0.
+
+    The compiled counterpart of :meth:`AbstractBasis.solve_newton`
+    (same ``residual_form(basis, u, u_grad)`` contract): the ENTIRE Newton
+    iteration — per-step residual assembly, ``jax.jvp`` consistent-Jacobian
+    columns, BSR value scatter, preconditioner setup, the BiCGStab update
+    solve and the backtracking damping — runs as a single
+    ``lax.while_loop`` XLA program, so a solve costs one dispatch instead
+    of ~(ops per Newton step) x ~31 ms tunnel RTT per step.
+
+    Args:
+      precondition: ``"jacobi"`` (robust default for the non-symmetric
+        linearization) or ``"auto"`` (aggregate-block two-level built from
+        each step's Jacobian values — worthwhile for diffusion-dominated
+        problems whose linearizations stay near-symmetric).
+      damping: backtrack (halve, up to 12x) while the reduced residual
+        norm does not decrease.
+
+    Returns ``solve(u0=None) -> (u, (iterations, residual_norm,
+    converged))``; ``u0`` seeds non-homogeneous Dirichlet values (it rides
+    as a jit argument, so re-solving with different seeds or coefficient
+    closures reuses the compiled program). No reference counterpart (the
+    reference has no nonlinear solver; dense LU only,
+    torch_fem/basis/abstract_basis.py:177-195).
+    """
+    from .bsr import (
+        bsr_diagonal,
+        bsr_expand,
+        bsr_matvec,
+        bsr_reduce,
+        bsr_values_from_local,
+        default_max_b,
+        get_bsr_structure,
+    )
+    from .precondition import (
+        agg_block_two_level_from_values,
+        build_agg_block_table,
+        default_aggregate_size,
+    )
+    from .solvers import bicgstab
+
+    if precondition not in ("auto", "jacobi"):
+        raise ValueError(
+            f"unknown precondition: {precondition!r} "
+            "(expected 'auto' or 'jacobi')"
+        )
+    if int(getattr(basis, "n_components", 1)) >= 2 and precondition == "auto":
+        raise NotImplementedError(
+            "precondition='auto' on vector bases needs the RBM coarse "
+            "space rebuilt per Newton step; use 'jacobi'"
+        )
+
+    if max_b is None:
+        max_b = default_max_b(basis)
+    st = get_bsr_structure(basis, max_b=max_b, want_entry_slot=True)
+
+    g = gs = None
+    agg_table = None
+    if precondition == "auto":
+        g = default_aggregate_size(st)
+        gs = min(g, 128)
+        agg_table = jnp.asarray(build_agg_block_table(st, gs))
+
+    big_tables = {
+        "bcols": st.bcols,
+        "entry_slot": st.entry_slot,
+        "entry_slot_sym": st.entry_slot_sym,
+        "bcols2": st.bcols2,
+        "heavy_rows": st.heavy_rows,
+        "tpartner": st.tpartner,
+    }
+    device = jax.devices()[0]
+    basis_d, tables_d, agg_table_d = jax.device_put(
+        (basis, big_tables, agg_table), device
+    )
+
+    n_loc = int(basis._global_dofs4elements.shape[-1])
+    n_dofs = basis.n_dofs
+
+    def _residual_local(Vb, u_cells):
+        vals = u_cells[..., None, :, None]
+        uh = (vals * Vb.v).sum(-2, keepdims=True)
+        ugh = (vals * Vb.v_grad).sum(-2, keepdims=True)
+        integrand = Vb._evaluate_form(residual_form, Vb, uh, ugh)
+        return (integrand * Vb._dx).sum(-3)
+
+    @jax.jit
+    def _run(Vb, tables, agg_tbl, u0):
+        st_d = st._replace(**tables)
+        dofs = Vb._global_dofs4elements
+
+        def res_norm(u):
+            r = Vb._assemble_linear_from_local(
+                _residual_local(Vb, u[..., 0][..., dofs])
+            )
+            return jnp.linalg.norm(Vb.reduce(r)), r
+
+        res0, _ = res_norm(u0)
+        target = tol * jnp.maximum(1.0, res0)
+
+        def cond(state):
+            _, res, k = state
+            return jnp.logical_and(res > target, k < max_newton)
+
+        def body(state):
+            u, res, k = state
+            u_cells = u[..., 0][..., dofs]
+            r = Vb._assemble_linear_from_local(_residual_local(Vb, u_cells))
+            cols = []
+            for j in range(n_loc):
+                tangent = jnp.zeros_like(u_cells).at[..., j].set(1.0)
+                _, col = jax.jvp(
+                    lambda c: _residual_local(Vb, c), (u_cells,), (tangent,)
+                )
+                cols.append(col)
+            j_local = jnp.concatenate(cols, axis=-1)
+            values = bsr_values_from_local(st_d, j_local)
+            diag = bsr_diagonal(st_d, values)
+            precond = None
+            if precondition == "auto":
+                precond = agg_block_two_level_from_values(
+                    st_d, values, diag, g=g, gs=gs, table=agg_tbl
+                )
+            x, _ = bicgstab(
+                lambda v: bsr_matvec(st_d, values, v),
+                bsr_reduce(st_d, -r),
+                precond_diag=diag,
+                precond=precond,
+                tol=solve_tol,
+                maxiter=solve_maxiter,
+            )
+            delta = bsr_expand(st_d, x, n_dofs)
+
+            def try_norm(s):
+                rn, _ = res_norm(u + s * delta)
+                return rn
+
+            rn1 = try_norm(1.0)
+            if damping:
+
+                def damp_cond(c):
+                    _, rn, t = c
+                    return jnp.logical_and(rn >= res, t < 12)
+
+                def damp_body(c):
+                    s, _, t = c
+                    s2 = 0.5 * s
+                    return (s2, try_norm(s2), t + 1)
+
+                s, rn, _ = jax.lax.while_loop(
+                    damp_cond, damp_body, (1.0, rn1, 0)
+                )
+            else:
+                s, rn = 1.0, rn1
+            return (u + s * delta, rn, k + 1)
+
+        u, res, k = jax.lax.while_loop(cond, body, (u0, res0, 0))
+        return u, (k, res, res <= target)
+
+    def solve(u0=None):
+        if u0 is None:
+            u0 = basis.solution_tensor()
+        return _run(basis_d, tables_d, agg_table_d, u0)
 
     return solve

@@ -171,6 +171,48 @@ def test_newton_nonhomogeneous_dirichlet_recovers_linear_exact():
     np.testing.assert_allclose(np.asarray(u), exact, atol=1e-8)
 
 
+def test_compiled_newton_matches_eager():
+    """compiled_newton (one-jit lax.while Newton) lands on the eager
+    solve_newton solution; warm calls reuse the compiled program."""
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**7))
+    V = fem.Basis(mesh, fem.ElementTri(1, 3))
+    u_eager = V.solve_newton(_residual_2d, tol=1e-12)
+    solve = V.compiled_newton(_residual_2d, tol=1e-12, solve_tol=1e-10)
+    u_c, (k, res, conv) = solve()
+    assert bool(conv) and int(k) <= 8
+    np.testing.assert_allclose(
+        np.asarray(u_c), np.asarray(u_eager), atol=1e-10
+    )
+    # warm re-solve with an explicit seed reuses the program
+    u_c2, _ = solve(V.solution_tensor())
+    np.testing.assert_allclose(np.asarray(u_c2), np.asarray(u_c), atol=0)
+    # aggregate-block preconditioned variant agrees
+    u_a, (_, _, conv_a) = V.compiled_newton(
+        _residual_2d, tol=1e-12, solve_tol=1e-10, precondition="auto"
+    )()
+    assert bool(conv_a)
+    np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_c), atol=1e-9)
+    with pytest.raises(ValueError):
+        V.compiled_newton(_residual_2d, precondition="ilu")
+
+
+def test_compiled_newton_3d_seeded_dirichlet():
+    mesh = MeshTet(unit_cube(3))
+    V = fem.Basis(mesh, ElementTet(1, 3))
+
+    def residual(b_, u, ug):
+        f = -2.0 * (1.0 + b_.integration_points[..., 2:3])
+        return (1 + u**2) * (b_.v_grad * ug).sum(-1, keepdims=True) - f * b_.v
+
+    coords = np.asarray(V._coords4global_dofs)
+    exact = 1.0 + coords[:, 2:3]
+    boundary = np.asarray(V._nodes4boundary_dofs).reshape(-1) != 0
+    seed = jnp.asarray(np.where(boundary[:, None], exact, 0.0))
+    u, (_, _, conv) = V.compiled_newton(residual, tol=1e-11)(seed)
+    assert bool(conv)
+    np.testing.assert_allclose(np.asarray(u), exact, atol=1e-7)
+
+
 def test_newton_3d():
     """The Newton path is dimension-agnostic: 3D nonlinear Poisson with a
     linear-in-space exact solution through seeded Dirichlet data."""
