@@ -193,11 +193,9 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         self, function: Callable[..., jnp.ndarray], *args: Any, **kwargs: Any
     ) -> jnp.ndarray:
         """Assembled global load vector via differentiable scatter-add."""
-        local = self.integrate_linear_form_local(function, *args, **kwargs)
-        values = self.reshape_for_assembly(local, "linear")
-        shape = self._basis_parameters["linear_form_shape"]
-        idx = self._basis_parameters["linear_form_idx"]
-        return jnp.zeros(shape, dtype=values.dtype).at[idx].add(values)
+        return self._assemble_linear_from_local(
+            self.integrate_linear_form_local(function, *args, **kwargs)
+        )
 
     # -- reduction / solve ------------------------------------------------
 
@@ -552,15 +550,19 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
                 break
             residual, j_local = newton_terms(u)
             delta = self.solve_iterative(j_local, -residual, **solve_kwargs)
+            # backtracking: res_new always describes the step actually taken
             step = 1.0
-            for _ in range(12):
-                res_new, _ = residual_norm(u + step * delta)
-                res_new = float(res_new)
-                if not damping or res_new < norms[-1] or not np.isfinite(
-                    norms[-1]
-                ):
-                    break
+            res_new = float(residual_norm(u + step * delta)[0])
+            halvings = 0
+            while (
+                damping
+                and np.isfinite(norms[-1])
+                and res_new >= norms[-1]
+                and halvings < 12
+            ):
                 step *= 0.5
+                res_new = float(residual_norm(u + step * delta)[0])
+                halvings += 1
             u = u + step * delta
             norms.append(res_new)
             converged = res_new <= target
@@ -613,6 +615,16 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         )
         from ..ops.eigen import subspace_eigsh
 
+        # validate before any assembly/preconditioner work; the guard block
+        # must also fit in the reduced space or the projected Gram matrix
+        # goes singular (NaN Cholesky)
+        n_inner = int(np.asarray(self._basis_parameters["inner_dofs"]).size)
+        if k > n_inner:
+            raise ValueError(
+                f"requested k={k} eigenpairs from an n={n_inner} system"
+            )
+        m_block = min(k + max(2, k // 2), n_inner)
+
         structure = get_bsr_structure(
             self, max_b=default_max_b(self), want_entry_slot=True
         )
@@ -635,31 +647,26 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
             )
 
         # starting block in the padded reduced layout: random on interior
-        # DOFs, exactly zero on padding rows (bsr_reduce guarantees that)
-        m_block = k + max(2, k // 2)
+        # DOFs, exactly zero on padding rows (bsr_reduce guarantees that);
+        # built in ONE dispatch instead of m_block eager round-trips
         rng = np.random.default_rng(seed)
-        cols = [
-            bsr_reduce(
-                structure,
-                jnp.asarray(
-                    rng.standard_normal((self.n_dofs, 1)),
-                    dtype=config.default_dtype(),
-                ),
+        rand = jnp.asarray(
+            rng.standard_normal((self.n_dofs, m_block)),
+            dtype=config.default_dtype(),
+        )
+        x0 = jax.jit(
+            lambda r: jnp.stack(
+                [bsr_reduce(structure, r[:, j]) for j in range(m_block)],
+                axis=1,
             )
-            for _ in range(m_block)
-        ]
-        x0 = jnp.stack(cols, axis=1)
-        n_inner = int(np.asarray(self._basis_parameters["inner_dofs"]).size)
-        if k > n_inner:
-            raise ValueError(
-                f"requested k={k} eigenpairs from an n={n_inner} system"
-            )
+        )(rand)
 
         vals, vecs_pad, info = subspace_eigsh(
             lambda v: bsr_matvec(structure, va, v),
             lambda v: bsr_matvec(structure, vm, v),
             n=x0.shape[0],
             k=k,
+            n_extra=m_block - k,
             tol=tol,
             max_rounds=max_rounds,
             solve_tol=solve_tol,

@@ -223,17 +223,11 @@ def refine_uniform_tet(triangulation: dict, times: int = 1) -> dict:
         _, edge_codes, inverse, _ = _sort_unique_codes(flat_codes)
 
         # a midpoint is boundary iff its edge lies on a boundary face
-        faces = np.sort(
-            tets[:, [[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]]].reshape(-1, 3),
-            axis=1,
-        )
-        face_codes = (
-            faces[:, 0].astype(np.int64) * n_v + faces[:, 1]
-        ) * n_v + faces[:, 2]
-        _, uf_codes, _, fcounts = _sort_unique_codes(face_codes)
-        bf_ab, bf_c = np.divmod(uf_codes[fcounts == 1], n_v)
-        bf_a, bf_b = np.divmod(bf_ab, n_v)
-        bf = np.stack([bf_a, bf_b, bf_c], axis=1)
+        # (overflow-guarded dedup; the scalar face code wraps above
+        # n_v^3 ~ 2^62)
+        from .topology import tet_boundary_faces
+
+        bf = tet_boundary_faces(tets, n_v)
         bf_edges = np.sort(bf[:, [[0, 1], [1, 2], [0, 2]]].reshape(-1, 2), axis=1)
         bf_codes = np.unique(encode_edge_pairs(bf_edges, n_v))
         mid_markers = (

@@ -223,19 +223,9 @@ def _tet_boundary_edge_labels(tets, edges, markers, n_v):
     """Per unique-edge midpoint label: edges lying on a boundary face (face
     with a single incident tet) inherit the stronger endpoint label;
     interior edges stay 0. 3D counterpart of _boundary_edge_labels."""
-    from .topology import _sort_unique_codes, encode_edge_pairs
+    from .topology import encode_edge_pairs, tet_boundary_faces
 
-    faces = np.sort(
-        tets[:, [[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]]].reshape(-1, 3),
-        axis=1,
-    )
-    face_codes = (
-        faces[:, 0].astype(np.int64) * n_v + faces[:, 1]
-    ) * n_v + faces[:, 2]
-    _, uf_codes, _, fcounts = _sort_unique_codes(face_codes)
-    bf_ab, bf_c = np.divmod(uf_codes[fcounts == 1], n_v)
-    bf_a, bf_b = np.divmod(bf_ab, n_v)
-    bf = np.stack([bf_a, bf_b, bf_c], axis=1)
+    bf = tet_boundary_faces(tets, n_v)  # overflow-guarded dedup
     bf_edges = np.sort(bf[:, [[0, 1], [1, 2], [0, 2]]].reshape(-1, 2), axis=1)
     bf_codes = np.unique(encode_edge_pairs(bf_edges, n_v))
     on_boundary = np.isin(encode_edge_pairs(edges, n_v), bf_codes)
@@ -297,9 +287,13 @@ def refine_adaptive_tet(
             f"marked has {marked.shape[0]} entries for {tets.shape[0]} cells"
         )
 
-    for _ in range(max_rounds):
-        if not marked.any():
-            break
+    rounds = 0
+    while marked.any():
+        if rounds >= max_rounds:  # pragma: no cover - safety net
+            raise RuntimeError(
+                f"refine_adaptive_tet did not converge in {max_rounds} rounds"
+            )
+        rounds += 1
         n_v = vertices.shape[0]
         e_ids, edges, longest, longest_local = _tet_edge_tables(
             vertices, tets
@@ -345,10 +339,6 @@ def refine_adaptive_tet(
         # a split tet is refined (children unmarked); unsplit keep marks
         marked = np.concatenate(
             [marked[~split], np.zeros(2 * st.size, dtype=bool)]
-        )
-    else:  # pragma: no cover - safety net
-        raise RuntimeError(
-            f"refine_adaptive_tet did not converge in {max_rounds} rounds"
         )
 
     return {

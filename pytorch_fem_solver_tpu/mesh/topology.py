@@ -315,6 +315,28 @@ def _sort_unique_codes(codes: np.ndarray):
     return order, uniq, inverse.reshape(-1), counts
 
 
+def tet_boundary_faces(tets, n_vertices: int) -> np.ndarray:
+    """Vertex triples (sorted) of faces with a single incident tet.
+
+    Overflow-safe: the scalar int64 face encoding (a*n + b)*n + c needs
+    n_vertices^3 < 2^62 (the same guard ``build_tet_topology`` uses); above
+    that it falls back to ``np.unique(axis=0)`` row dedup instead of
+    silently wrapping and misclassifying boundary faces.
+    """
+    tets = np.asarray(tets, dtype=np.int64)
+    flat = np.sort(tets[:, TET_FACE_PERMUTATIONS].reshape(-1, 3), axis=1)
+    if n_vertices**3 < 2**62:
+        codes = (
+            flat[:, 0] * n_vertices + flat[:, 1]
+        ) * n_vertices + flat[:, 2]
+        _, uniq_codes, _, counts = _sort_unique_codes(codes)
+        ab, c = np.divmod(uniq_codes[counts == 1], n_vertices)
+        a, b = np.divmod(ab, n_vertices)
+        return np.stack([a, b, c], axis=1)
+    uniq, counts = np.unique(flat, axis=0, return_counts=True)
+    return uniq[counts == 1]
+
+
 def p2_edge_dirichlet_markers(edges, edge_markers, vertex_markers):
     """Dirichlet flags for P2 edge-midpoint DOFs.
 

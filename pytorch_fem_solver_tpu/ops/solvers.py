@@ -169,14 +169,17 @@ def bicgstab(
         s_hat = precond(s)
         t = matvec(s_hat)
         tt = dot(t, t)
-        omega = jnp.where(tt > eps, dot(t, s) / jnp.where(tt > eps, tt, 1.0), 0.0)
-        x_new = x + alpha * p_hat + omega * s_hat
-        r_new = s - omega * t
-        # if omega broke down but alpha made progress, keep the half step
-        ok = jnp.logical_and(ok, jnp.logical_or(jnp.abs(omega) > eps, dot(s, s) <= atol2))
-        x = jnp.where(ok | (dot(s, s) <= atol2), x_new, x)
-        r = jnp.where(ok | (dot(s, s) <= atol2), r_new, r)
-        omega = jnp.where(jnp.abs(omega) > eps, omega, 1.0)
+        omega_ok = tt > eps
+        omega = jnp.where(omega_ok, dot(t, s) / jnp.where(omega_ok, tt, 1.0), 0.0)
+        omega_ok = jnp.logical_and(omega_ok, jnp.abs(omega) > eps)
+        # omega breakdown (t ~ 0): keep the alpha half step x + alpha p_hat
+        # with residual s, then stop; rho/rhat_v breakdown: freeze entirely
+        x_half = x + alpha * p_hat
+        r_half = s
+        x = jnp.where(ok, jnp.where(omega_ok, x_half + omega * s_hat, x_half), x)
+        r = jnp.where(ok, jnp.where(omega_ok, s - omega * t, r_half), r)
+        ok = jnp.logical_and(ok, omega_ok)
+        omega = jnp.where(omega_ok, omega, 1.0)
         return (x, r, p, v, rho_new, alpha, omega, k + 1, ok)
 
     one = jnp.ones((), dtype=b.dtype)

@@ -129,3 +129,22 @@ def test_solve_eigsh_validation():
         V.solve_eigsh(a_form, m_form, k=1000)
     with pytest.raises(ValueError):
         V.solve_eigsh(a_form, m_form, k=2, precondition="nope")
+
+
+def test_solve_eigsh_tiny_system_guard_block_clamped():
+    """k <= n_inner < k + guard: the guard block must clamp to the reduced
+    dimension instead of overspanning it (regression: singular projected
+    Gram -> silent NaNs). n=3 unit square has n_inner=4; k=3 exercises it,
+    k=4 is the full spectrum."""
+    mesh = fem.MeshTri(fem.unit_square(n=3))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    A = np.asarray(V.reduce(V.integrate_bilinear_form(a_form)))
+    M = np.asarray(V.reduce(V.integrate_bilinear_form(m_form)))
+    li = np.linalg.inv(np.linalg.cholesky(M))
+    ref = np.sort(np.linalg.eigvalsh(li @ A @ li.T))
+    for k in (3, 4):
+        vals, _, info = V.solve_eigsh(
+            a_form, m_form, k=k, tol=1e-10, return_info=True
+        )
+        assert np.isfinite(np.asarray(vals)).all()
+        np.testing.assert_allclose(np.asarray(vals), ref[:k], rtol=1e-7)
