@@ -445,6 +445,23 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         u = solution.at[..., inner, 0].add(x)
         return (u, info) if return_info else u
 
+    def _iterate_at_quadrature(self, u_cells: jnp.ndarray):
+        """Evaluate a local-coefficient block (..., T, n_loc) at quadrature
+        points: values ``(..., T, q, 1, 1)`` and gradients
+        ``(..., T, q, 1, d)`` for scalar bases; ``(..., T, q, 1, nc)`` and
+        ``(..., T, q, 1, nc, d)`` for vector bases (whose ``v_grad``
+        carries the extra component axis). The Newton machinery
+        differentiates through this with ``jax.jvp``."""
+        vals = u_cells[..., None, :, None]
+        uh = (vals * self.v).sum(-2, keepdims=True)
+        if int(getattr(self, "n_components", 1)) >= 2:
+            ugh = (u_cells[..., None, :, None, None] * self.v_grad).sum(
+                -3, keepdims=True
+            )
+        else:
+            ugh = (vals * self.v_grad).sum(-2, keepdims=True)
+        return uh, ugh
+
     def _assemble_linear_from_local(self, local: jnp.ndarray) -> jnp.ndarray:
         """Scatter precomputed element vectors (..., T, n_loc, 1) into the
         global load-vector layout (the tail of ``integrate_linear_form``)."""
@@ -471,8 +488,11 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         ``(..., T, q, n_loc, 1)`` — exactly a linear-form integrand, except
         it may depend on the current iterate through ``u`` (values at
         quadrature points, ``(..., T, q, 1, 1)``) and ``u_grad``
-        (``(..., T, q, 1, d)``). Example (nonlinear Poisson
-        -div((1+u^2) grad u) = f)::
+        (``(..., T, q, 1, d)``). On vector bases the iterate carries the
+        component axis like the shape tables do: ``u`` is
+        ``(..., T, q, 1, nc)`` and ``u_grad`` ``(..., T, q, 1, nc, d)``
+        (nonlinear elasticity, ``tests/test_newton.py``). Example
+        (nonlinear Poisson -div((1+u^2) grad u) = f)::
 
             def residual(b, u, ug):
                 kappa = 1.0 + u**2
@@ -510,9 +530,7 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         dofs = self._global_dofs4elements
 
         def residual_local(u_cells):
-            vals = u_cells[..., None, :, None]
-            uh = (vals * self.v).sum(-2, keepdims=True)
-            ugh = (vals * self.v_grad).sum(-2, keepdims=True)
+            uh, ugh = self._iterate_at_quadrature(u_cells)
             integrand = self._evaluate_form(
                 residual_form, self, uh, ugh, *args
             )

@@ -455,9 +455,7 @@ def compiled_newton_solver(
     n_dofs = basis.n_dofs
 
     def _residual_local(Vb, u_cells):
-        vals = u_cells[..., None, :, None]
-        uh = (vals * Vb.v).sum(-2, keepdims=True)
-        ugh = (vals * Vb.v_grad).sum(-2, keepdims=True)
+        uh, ugh = Vb._iterate_at_quadrature(u_cells)
         integrand = Vb._evaluate_form(residual_form, Vb, uh, ugh)
         return (integrand * Vb._dx).sum(-3)
 

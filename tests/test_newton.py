@@ -120,7 +120,7 @@ def test_newton_nonlinear_poisson_quadratic_and_h1_rate():
         errs.append(float(jnp.sqrt(V.integrate_functional(h1).sum())))
         # quadratic tail: once the residual is < 1e-2, each step at least
         # squares it (up to a constant)
-        tail = [n for n in info["residual_norms"] if n < 1e-2]
+        tail = [n for n in info["residual_norms"] if 1e-14 < n < 1e-2]
         for r_prev, r_next in zip(tail, tail[1:]):
             assert r_next < 20 * r_prev**2, info["residual_norms"]
     rate = math.log2(errs[0] / errs[1]) / 2  # area/4 per step = h/2
@@ -213,6 +213,68 @@ def test_compiled_newton_3d_seeded_dirichlet():
     np.testing.assert_allclose(np.asarray(u), exact, atol=1e-7)
 
 
+def test_newton_vector_basis_nonlinear_elasticity():
+    """Vector-basis Newton: the iterate rides with the component axis
+    (u: (T,q,1,nc), ug: (T,q,1,nc,d)). A linear elasticity residual lands
+    on solve_iterative in one step; a strain-stiffening mu(u) converges
+    with a quadratic tail, identically in eager and compiled paths."""
+    mu0, lam = 1.0, 1.5
+
+    def bodyf(b_):
+        f = jnp.asarray([0.0, -1.0])
+        return jnp.einsum("c,...lc->...l", f, b_.v)[..., None]
+
+    def elasticity(b_):
+        g = b_.v_grad
+        eps = 0.5 * (g + jnp.swapaxes(g, -1, -2))
+        div = jnp.trace(g, axis1=-2, axis2=-1)
+        return (
+            2 * mu0 * jnp.einsum("...icd,...jcd->...ij", eps, eps)
+            + lam * div[..., :, None] * div[..., None, :]
+        )
+
+    def residual(b_, u, ug, stiffening):
+        mu_u = mu0 * (1.0 + stiffening * (u**2).sum(-1, keepdims=True))
+        eps_u = 0.5 * (ug + jnp.swapaxes(ug, -1, -2))
+        eps_v = 0.5 * (b_.v_grad + jnp.swapaxes(b_.v_grad, -1, -2))
+        div_u = jnp.trace(ug, axis1=-2, axis2=-1)
+        div_v = jnp.trace(b_.v_grad, axis1=-2, axis2=-1)
+        return (
+            2 * mu_u * jnp.einsum("...ocd,...lcd->...lo", eps_u, eps_v)
+            + lam * (div_u[..., None, :] * div_v[..., :, None])
+            - bodyf(b_)
+        )
+
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**6))
+    V = fem.VectorBasis(mesh, fem.ElementTri(1, 3))
+    u_lin = V.solve_iterative(
+        V.integrate_bilinear_form_local(elasticity),
+        V.integrate_linear_form(bodyf),
+        tol=1e-12,
+        precondition="rbm",
+    )
+    u1, info1 = V.solve_newton(residual, 0.0, tol=1e-11, return_info=True)
+    assert info1["converged"] and info1["iterations"] == 1
+    np.testing.assert_allclose(
+        np.asarray(u1), np.asarray(u_lin), atol=1e-9
+    )
+
+    u_nl, info = V.solve_newton(residual, 1.0, tol=1e-12, return_info=True)
+    assert info["converged"] and info["iterations"] <= 5
+    # quadratic tail, above the f64 rounding floor
+    tail = [n for n in info["residual_norms"] if 1e-14 < n < 1e-2]
+    for r_prev, r_next in zip(tail, tail[1:]):
+        assert r_next < 20 * r_prev**2, info["residual_norms"]
+
+    u_c, (_, _, conv) = V.compiled_newton(
+        lambda b_, u, ug: residual(b_, u, ug, 1.0), tol=1e-12
+    )()
+    assert bool(conv)
+    np.testing.assert_allclose(
+        np.asarray(u_c), np.asarray(u_nl), atol=1e-12
+    )
+
+
 def test_newton_on_fracture_network():
     """Newton is generic over bases: on a glued two-fracture network, a
     linear-coefficient residual lands on the solve_iterative solution in
@@ -245,7 +307,7 @@ def test_newton_on_fracture_network():
 
     u_nl, info_nl = V.solve_newton(nl_residual, tol=1e-12, return_info=True)
     assert info_nl["converged"]
-    tail = [n for n in info_nl["residual_norms"] if n < 1e-2]
+    tail = [n for n in info_nl["residual_norms"] if 1e-14 < n < 1e-2]
     for r_prev, r_next in zip(tail, tail[1:]):
         assert r_next < 20 * r_prev**2, info_nl["residual_norms"]
     # the nonlinear conductivity differs measurably from the linear one
