@@ -717,6 +717,17 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
 
         return compiled_bsr_solver(self, bilinear_form, linear_form, **kwargs)
 
+    def compiled_eigsh(self, a_form, m_form, k: int = 6, **kwargs):
+        """One-jit generalized eigensolve: compiled counterpart of
+        :meth:`solve_eigsh` (assembly + preconditioner + the whole
+        subspace iteration in a single XLA program). Returns
+        ``solve() -> (vals, vecs, (rounds, eig_change, converged))``;
+        see :func:`ops.compiled.compiled_eigsh_solver` for options.
+        """
+        from ..ops.compiled import compiled_eigsh_solver
+
+        return compiled_eigsh_solver(self, a_form, m_form, k, **kwargs)
+
     def compiled_newton(self, residual_form, **kwargs):
         """One-jit Newton solve: the compiled counterpart of
         :meth:`solve_newton` (same residual-form contract). The whole

@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["compiled_bsr_solver", "compiled_newton_solver"]
+__all__ = [
+    "compiled_bsr_solver",
+    "compiled_eigsh_solver",
+    "compiled_newton_solver",
+]
 
 
 class _CellChunkView:
@@ -536,5 +540,145 @@ def compiled_newton_solver(
         if u0 is None:
             u0 = basis.solution_tensor()
         return _run(basis_d, tables_d, agg_table_d, u0)
+
+    return solve
+
+
+def compiled_eigsh_solver(
+    basis,
+    a_form: Callable,
+    m_form: Callable,
+    k: int = 6,
+    *,
+    tol: float = 1e-9,
+    max_rounds: int = 60,
+    solve_tol: float = 1e-10,
+    solve_maxiter: Optional[int] = None,
+    precondition: str = "two_level",
+    max_b: Optional[int] = None,
+    seed: int = 0,
+):
+    """One-jit generalized eigensolve: compiled counterpart of
+    :meth:`AbstractBasis.solve_eigsh`.
+
+    Assembly of both forms, preconditioner setup and the whole subspace
+    iteration (``ops.eigen.subspace_eigsh_while`` — vmapped inner PCG
+    solves inside a ``lax.while_loop`` of Rayleigh-Ritz rounds) run as a
+    single XLA program; a solve costs one dispatch instead of ~2 x rounds.
+    Returns ``solve() -> (vals (k,), vecs (n_dofs, k), (rounds,
+    eig_change, converged))``. No reference counterpart (the reference has
+    no eigen capability).
+    """
+    from .bsr import (
+        bsr_diagonal,
+        bsr_expand,
+        bsr_matvec,
+        bsr_reduce,
+        bsr_values_from_local,
+        default_max_b,
+        get_bsr_structure,
+    )
+    from .eigen import subspace_eigsh_while
+
+    if precondition not in ("two_level", "jacobi"):
+        raise ValueError(
+            f"unknown precondition: {precondition!r} "
+            "(expected 'two_level' or 'jacobi')"
+        )
+    if (
+        int(getattr(basis, "n_components", 1)) >= 2
+        and precondition == "two_level"
+    ):
+        raise NotImplementedError(
+            "precondition='two_level' on vector bases needs the RBM coarse "
+            "structure threaded through the compiled program; use 'jacobi' "
+            "or the eager solve_eigsh"
+        )
+    n_inner = int(np.asarray(basis._basis_parameters["inner_dofs"]).size)
+    if k > n_inner:
+        raise ValueError(
+            f"requested k={k} eigenpairs from an n={n_inner} system"
+        )
+    m_block = min(k + max(2, k // 2), n_inner)
+
+    if max_b is None:
+        max_b = default_max_b(basis)
+    st = get_bsr_structure(basis, max_b=max_b, want_entry_slot=True)
+    big_tables = {
+        "bcols": st.bcols,
+        "entry_slot": st.entry_slot,
+        "entry_slot_sym": st.entry_slot_sym,
+        "bcols2": st.bcols2,
+        "heavy_rows": st.heavy_rows,
+        "tpartner": st.tpartner,
+    }
+    # value-independent preconditioner tables stay on host (the numeric
+    # setup from the assembled values runs inside the program)
+    g = gs = None
+    agg_table = None
+    if precondition == "two_level":
+        from .precondition import (
+            build_agg_block_table,
+            default_aggregate_size,
+        )
+
+        g = default_aggregate_size(st)
+        gs = min(g, 128)
+        agg_table = jnp.asarray(build_agg_block_table(st, gs))
+
+    rng = np.random.default_rng(seed)
+    rand = jnp.asarray(
+        rng.standard_normal((basis.n_dofs, m_block)),
+        dtype=basis._coords4global_dofs.dtype,
+    )
+    device = jax.devices()[0]
+    basis_d, tables_d, agg_table_d, rand_d = jax.device_put(
+        (basis, big_tables, agg_table, rand), device
+    )
+    n_dofs = basis.n_dofs
+
+    @jax.jit
+    def _run(Vb, tables, agg_tbl, rblock):
+        st_d = st._replace(**tables)
+        va = bsr_values_from_local(
+            st_d, Vb.integrate_bilinear_form_local(a_form)
+        )
+        vm = bsr_values_from_local(
+            st_d, Vb.integrate_bilinear_form_local(m_form)
+        )
+        diag = bsr_diagonal(st_d, va)
+        precond = None
+        if precondition == "two_level":
+            from .precondition import agg_block_two_level_from_values
+
+            precond = agg_block_two_level_from_values(
+                st_d, va, diag, g=g, gs=gs, table=agg_tbl
+            )
+        x0 = jnp.stack(
+            [bsr_reduce(st_d, rblock[:, j]) for j in range(m_block)], axis=1
+        )
+        vals, vecs_pad, info = subspace_eigsh_while(
+            lambda v: bsr_matvec(st_d, va, v),
+            lambda v: bsr_matvec(st_d, vm, v),
+            x0,
+            k,
+            tol=tol,
+            max_rounds=max_rounds,
+            solve_tol=solve_tol,
+            solve_maxiter=solve_maxiter,
+            precond=precond,
+            precond_diag=None if precond is not None else diag,
+        )
+        vecs = jnp.stack(
+            [
+                bsr_expand(st_d, vecs_pad[:, j], n_dofs)[..., 0]
+                for j in range(k)
+            ],
+            axis=1,
+        )
+        return vals, vecs, info
+
+    def solve():
+        return _run(basis_d, tables_d, agg_table_d, rand_d)
 
     return solve

@@ -25,7 +25,7 @@ import numpy as np
 
 from .solvers import pcg
 
-__all__ = ["EighInfo", "subspace_eigsh"]
+__all__ = ["EighInfo", "subspace_eigsh", "subspace_eigsh_while"]
 
 
 class EighInfo(NamedTuple):
@@ -145,3 +145,67 @@ def subspace_eigsh(
                 break
         last = head
     return jnp.asarray(vals[:k]), x[:, :k], info
+
+
+def subspace_eigsh_while(
+    a_matvec,
+    m_matvec,
+    x0: jnp.ndarray,
+    k: int,
+    *,
+    tol: float = 1e-9,
+    max_rounds: int = 60,
+    solve_tol: float = 1e-10,
+    solve_maxiter: Optional[int] = None,
+    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    precond_diag: Optional[jnp.ndarray] = None,
+):
+    """Fully jittable :func:`subspace_eigsh` core: the outer rounds run as
+    a ``lax.while_loop`` instead of a host loop, so the whole eigensolve
+    can live inside one XLA program (see
+    ``ops.compiled.compiled_eigsh_solver``). ``x0`` (n, m >= k) is the
+    starting block (zero on any padding rows). Returns
+    ``(vals (k,), vecs (n, k), (rounds, eig_change, converged))`` with
+    traced info fields.
+    """
+    a_mv_block = jax.vmap(a_matvec, in_axes=1, out_axes=1)
+    m_mv_block = jax.vmap(m_matvec, in_axes=1, out_axes=1)
+
+    def solve_col(b):
+        y, _ = pcg(
+            a_matvec,
+            b,
+            precond=precond,
+            precond_diag=precond_diag,
+            tol=solve_tol,
+            maxiter=solve_maxiter,
+        )
+        return y
+
+    solve_block = jax.vmap(solve_col, in_axes=1, out_axes=1)
+    m = x0.shape[1]
+
+    def round_step(x):
+        y = solve_block(m_mv_block(x))
+        vals, coeffs = _rayleigh_ritz(y, a_mv_block, m_mv_block)
+        return vals, y @ coeffs
+
+    big = jnp.asarray(np.inf, dtype=x0.dtype)
+
+    def cond(state):
+        _, _, change, rounds = state
+        return jnp.logical_and(change > tol, rounds < max_rounds)
+
+    def body(state):
+        x, head_prev, _, rounds = state
+        vals, x = round_step(x)
+        head = vals[:k]
+        change = jnp.max(
+            jnp.abs(head - head_prev) / jnp.maximum(jnp.abs(head), 1e-300)
+        )
+        return (x, head, change, rounds + 1)
+
+    state = (x0, jnp.full((k,), big), big, 0)
+    x, head, change, rounds = jax.lax.while_loop(cond, body, state)
+    # one more Rayleigh-Ritz would be redundant: head/x already consistent
+    return head, x[:, :k], (rounds, change, change <= tol)

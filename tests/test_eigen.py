@@ -122,6 +122,30 @@ def test_elasticity_eigenmodes_vs_dense_oracle():
     np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-7)
 
 
+def test_compiled_eigsh_matches_eager():
+    """compiled_eigsh (one-jit lax.while subspace iteration) agrees with
+    the eager solve_eigsh; warm calls reuse the program."""
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**8))
+    V = fem.Basis(mesh, fem.ElementTri(1, 3))
+    vals_e, _ = V.solve_eigsh(a_form, m_form, k=4, tol=1e-9)
+    solve = V.compiled_eigsh(a_form, m_form, k=4, tol=1e-9)
+    vals_c, vecs_c, (rounds, change, conv) = solve()
+    assert bool(conv)
+    np.testing.assert_allclose(
+        np.asarray(vals_c), np.asarray(vals_e), rtol=1e-8
+    )
+    assert vecs_c.shape == (V.n_dofs, 4)
+    # warm call: same program, same result
+    vals_c2, _, _ = solve()
+    np.testing.assert_allclose(
+        np.asarray(vals_c2), np.asarray(vals_c), atol=0
+    )
+    with pytest.raises(ValueError):
+        V.compiled_eigsh(a_form, m_form, k=2, precondition="ilu")
+    with pytest.raises(ValueError):
+        V.compiled_eigsh(a_form, m_form, k=10**6)
+
+
 def test_solve_eigsh_validation():
     mesh = fem.MeshTri(fem.unit_square(n=3))
     V = fem.Basis(mesh, fem.ElementTri(1, 2))
