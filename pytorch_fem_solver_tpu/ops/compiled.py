@@ -397,12 +397,14 @@ def compiled_newton_solver(
       damping: backtrack (halve, up to 12x) while the reduced residual
         norm does not decrease.
 
-    Returns ``solve(u0=None) -> (u, (iterations, residual_norm,
-    converged))``; ``u0`` seeds non-homogeneous Dirichlet values (it rides
-    as a jit argument, so re-solving with different seeds or coefficient
-    closures reuses the compiled program). No reference counterpart (the
-    reference has no nonlinear solver; dense LU only,
-    torch_fem/basis/abstract_basis.py:177-195).
+    Returns ``solve(u0=None, *args) -> (u, (iterations, residual_norm,
+    converged))``; ``u0`` seeds non-homogeneous Dirichlet values and
+    ``args`` are forwarded to ``residual_form(basis, u, u_grad, *args)``
+    — both ride as jit arguments, so re-solving with different seeds,
+    right-hand-side data or time-stepping state (e.g. the previous step
+    interpolated at quadrature points) reuses the compiled program. No
+    reference counterpart (the reference has no nonlinear solver; dense
+    LU only, torch_fem/basis/abstract_basis.py:177-195).
     """
     from .bsr import (
         bsr_diagonal,
@@ -458,19 +460,19 @@ def compiled_newton_solver(
     n_loc = int(basis._global_dofs4elements.shape[-1])
     n_dofs = basis.n_dofs
 
-    def _residual_local(Vb, u_cells):
+    def _residual_local(Vb, u_cells, form_args):
         uh, ugh = Vb._iterate_at_quadrature(u_cells)
-        integrand = Vb._evaluate_form(residual_form, Vb, uh, ugh)
+        integrand = Vb._evaluate_form(residual_form, Vb, uh, ugh, *form_args)
         return (integrand * Vb._dx).sum(-3)
 
     @jax.jit
-    def _run(Vb, tables, agg_tbl, u0):
+    def _run(Vb, tables, agg_tbl, u0, form_args):
         st_d = st._replace(**tables)
         dofs = Vb._global_dofs4elements
 
         def res_norm(u):
             r = Vb._assemble_linear_from_local(
-                _residual_local(Vb, u[..., 0][..., dofs])
+                _residual_local(Vb, u[..., 0][..., dofs], form_args)
             )
             return jnp.linalg.norm(Vb.reduce(r)), r
 
@@ -484,12 +486,16 @@ def compiled_newton_solver(
         def body(state):
             u, res, k = state
             u_cells = u[..., 0][..., dofs]
-            r = Vb._assemble_linear_from_local(_residual_local(Vb, u_cells))
+            r = Vb._assemble_linear_from_local(
+                _residual_local(Vb, u_cells, form_args)
+            )
             cols = []
             for j in range(n_loc):
                 tangent = jnp.zeros_like(u_cells).at[..., j].set(1.0)
                 _, col = jax.jvp(
-                    lambda c: _residual_local(Vb, c), (u_cells,), (tangent,)
+                    lambda c: _residual_local(Vb, c, form_args),
+                    (u_cells,),
+                    (tangent,),
                 )
                 cols.append(col)
             j_local = jnp.concatenate(cols, axis=-1)
@@ -536,10 +542,10 @@ def compiled_newton_solver(
         u, res, k = jax.lax.while_loop(cond, body, (u0, res0, 0))
         return u, (k, res, res <= target)
 
-    def solve(u0=None):
+    def solve(u0=None, *args):
         if u0 is None:
             u0 = basis.solution_tensor()
-        return _run(basis_d, tables_d, agg_table_d, u0)
+        return _run(basis_d, tables_d, agg_table_d, u0, tuple(args))
 
     return solve
 

@@ -213,6 +213,66 @@ def test_compiled_newton_3d_seeded_dirichlet():
     np.testing.assert_allclose(np.asarray(u), exact, atol=1e-7)
 
 
+def test_compiled_newton_transient_args():
+    """Per-solve args thread time-stepping state through the compiled
+    program: one backward-Euler step of the LINEAR heat equation written
+    as a Newton residual (with u_n passed via args) matches the algebraic
+    (M + dt K) u = M u_n solve; the nonlinear (stiffening) variant decays
+    the energy strictly and at least as fast."""
+    dt = 1e-3
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**6))
+    V = fem.Basis(mesh, fem.ElementTri(1, 3))
+    coords = np.asarray(V._coords4global_dofs)
+    u0 = jnp.asarray(
+        (np.sin(PI * coords[:, 0]) * np.sin(PI * coords[:, 1])).reshape(-1, 1)
+    )
+    uh0, _ = V.interpolate(V, u0)
+
+    def lin_res(b_, u, ug, uh_prev):
+        return (u - uh_prev) / dt * b_.v + (b_.v_grad * ug).sum(
+            -1, keepdims=True
+        )
+
+    u1, (_, _, conv) = V.compiled_newton(lin_res, tol=1e-12)(u0, uh0)
+    assert bool(conv)
+    # algebraic backward Euler on the same step
+    K = V.integrate_bilinear_form(
+        lambda b_: b_.v_grad @ jnp.matrix_transpose(b_.v_grad)
+    )
+    M = V.integrate_bilinear_form(
+        lambda b_: b_.v @ jnp.matrix_transpose(b_.v)
+    )
+    u_ref = V.solve(M + dt * K, V.solution_tensor(), M @ u0)
+    np.testing.assert_allclose(
+        np.asarray(u1), np.asarray(u_ref), atol=1e-9
+    )
+
+    def nl_res(b_, u, ug, uh_prev):
+        return (u - uh_prev) / dt * b_.v + (1 + u**2) * (
+            b_.v_grad * ug
+        ).sum(-1, keepdims=True)
+
+    solve_nl = V.compiled_newton(nl_res, tol=1e-11)
+    energy = lambda uu: float(
+        V.integrate_functional(
+            lambda b_, s: s**2, V.interpolate(V, uu)[0]
+        ).sum()
+    )
+    solve_lin = V.compiled_newton(lin_res, tol=1e-11)
+    u_lin, u_nl = u0, u0
+    e_prev = energy(u0)
+    for _ in range(3):
+        uh_lin, _ = V.interpolate(V, u_lin)
+        uh_nl, _ = V.interpolate(V, u_nl)
+        u_lin, _ = solve_lin(u_lin, uh_lin)
+        u_nl, (_, _, c2) = solve_nl(u_nl, uh_nl)
+        assert bool(c2)
+        e_nl = energy(u_nl)
+        assert e_nl < e_prev  # strict decay
+        e_prev = e_nl
+    assert energy(u_nl) < energy(u_lin)  # stiffening diffuses faster
+
+
 def test_newton_vector_basis_nonlinear_elasticity():
     """Vector-basis Newton: the iterate rides with the component axis
     (u: (T,q,1,nc), ug: (T,q,1,nc,d)). A linear elasticity residual lands
