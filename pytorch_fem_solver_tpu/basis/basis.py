@@ -77,6 +77,81 @@ class Basis(AbstractBasis):
                 np.concatenate([vert_markers, edge_markers], axis=0).reshape(-1, 1),
                 dtype=config.index_dtype(),
             )
+        elif element.polynomial_order == 3:
+            # P3: vertex DOFs + TWO DOFs per unique edge (at 1/3 and 2/3,
+            # globally oriented toward the smaller-endpoint vertex so
+            # adjacent cells share them) + one interior (barycenter bubble)
+            # DOF per cell. Local slot order matches element_tri.py's P3
+            # layout: per local edge (i, j) the near-i node first.
+            if mesh["cells", "vertices"].shape[-1] != 3:
+                raise NotImplementedError(
+                    "P3 elements are implemented for triangles only"
+                )
+            from ..mesh.topology import (
+                encode_edge_pairs,
+                p2_cell_edge_pairs,
+                p2_edge_dirichlet_markers,
+            )
+
+            verts = np.asarray(mesh["vertices", "coordinates"])
+            cells = np.asarray(mesh["cells", "vertices"])
+            edges = np.asarray(mesh["edges", "vertices"])
+            vert_markers = np.asarray(mesh["vertices", "markers"]).reshape(-1)
+            edge_markers = p2_edge_dirichlet_markers(
+                edges, mesh["edges", "markers"], vert_markers
+            )
+            n_vertices = verts.shape[0]
+            n_edges = edges.shape[0]
+            n_cells = cells.shape[0]
+
+            local_sorted = p2_cell_edge_pairs(cells)  # (T, 3, 2)
+            edge_codes = encode_edge_pairs(np.sort(edges, axis=-1), n_vertices)
+            code_order = np.argsort(edge_codes)
+            local_codes = encode_edge_pairs(local_sorted, n_vertices)
+            cell_edges = code_order[
+                np.searchsorted(edge_codes[code_order], local_codes)
+            ]  # (T, 3) unique-edge ids, local order (01, 12, 20)
+
+            # direction: does the local edge run small->large global id?
+            directed = cells[:, [[0, 1], [1, 2], [2, 0]]]  # (T, 3, 2)
+            forward = directed[..., 0] < directed[..., 1]  # (T, 3)
+            # unique edge e owns DOFs n_v + 2e (nearer min endpoint) and
+            # n_v + 2e + 1 (nearer max endpoint); local slot near-i gets
+            # the one nearer vertex i
+            near_i = n_vertices + 2 * cell_edges + np.where(forward, 0, 1)
+            near_j = n_vertices + 2 * cell_edges + np.where(forward, 1, 0)
+            edge_dofs = np.stack([near_i, near_j], axis=-1).reshape(
+                n_cells, 6
+            )
+
+            interior = n_vertices + 2 * n_edges + np.arange(n_cells)
+            global_dofs_4_elements = jnp.asarray(
+                np.concatenate(
+                    [cells, edge_dofs, interior[:, None]], axis=1
+                ),
+                dtype=config.index_dtype(),
+            )
+
+            emin = verts[edges.min(axis=1)]
+            emax = verts[edges.max(axis=1)]
+            edge_nodes = np.stack(
+                [(2 * emin + emax) / 3.0, (emin + 2 * emax) / 3.0], axis=1
+            ).reshape(2 * n_edges, -1)
+            centroids = verts[cells].mean(axis=1)
+            coords_4_global_dofs = jnp.asarray(
+                np.concatenate([verts, edge_nodes, centroids], axis=0),
+                dtype=config.default_dtype(),
+            )
+            nodes_4_boundary_dofs = jnp.asarray(
+                np.concatenate(
+                    [
+                        vert_markers,
+                        np.repeat(edge_markers, 2),
+                        np.zeros(n_cells, dtype=np.int64),
+                    ]
+                ).reshape(-1, 1),
+                dtype=config.index_dtype(),
+            )
         else:
             raise NotImplementedError("Polynomial order not implemented")
 

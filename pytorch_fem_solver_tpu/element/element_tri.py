@@ -87,6 +87,68 @@ class ElementTri(AbstractElement):
             v_grad = grad_ref @ inv_map_jacobian
             return v, v_grad
 
+        if self.polynomial_order == 3:
+            # cubic Lagrange, local DOF order: 3 vertices, then per local
+            # edge (01, 12, 20) the two interior nodes ordered FROM the
+            # first local vertex (at 2/3 then 1/3 of lambda_i), then the
+            # barycenter bubble. Basis._compute_dofs orients the two edge
+            # DOFs globally (nearer the smaller global vertex id first), so
+            # adjacent cells agree on the shared nodes.
+            l1 = bar_coords[..., 0, :][..., None, :]
+            l2 = bar_coords[..., 1, :][..., None, :]
+            l3 = bar_coords[..., 2, :][..., None, :]
+
+            def vert(li):
+                return 0.5 * li * (3 * li - 1) * (3 * li - 2)
+
+            def edge(li, lj):
+                # node at lambda_i = 2/3, lambda_j = 1/3
+                return 4.5 * li * lj * (3 * li - 1)
+
+            v = jnp.concatenate(
+                [
+                    vert(l1),
+                    vert(l2),
+                    vert(l3),
+                    edge(l1, l2),
+                    edge(l2, l1),
+                    edge(l2, l3),
+                    edge(l3, l2),
+                    edge(l3, l1),
+                    edge(l1, l3),
+                    27.0 * l1 * l2 * l3,
+                ],
+                axis=-2,
+            )
+            g = self.barycentric_grad  # (3, 2)
+            g1, g2, g3 = g[0:1, :], g[1:2, :], g[2:3, :]
+
+            def dvert(li, gi):
+                return (13.5 * li * li - 9.0 * li + 1.0) * gi
+
+            def dedge(li, lj, gi, gj):
+                return 4.5 * (
+                    lj * (6 * li - 1) * gi + li * (3 * li - 1) * gj
+                )
+
+            grad_ref = jnp.concatenate(
+                [
+                    dvert(l1, g1),
+                    dvert(l2, g2),
+                    dvert(l3, g3),
+                    dedge(l1, l2, g1, g2),
+                    dedge(l2, l1, g2, g1),
+                    dedge(l2, l3, g2, g3),
+                    dedge(l3, l2, g3, g2),
+                    dedge(l3, l1, g3, g1),
+                    dedge(l1, l3, g1, g3),
+                    27.0 * (l2 * l3 * g1 + l1 * l3 * g2 + l1 * l2 * g3),
+                ],
+                axis=-2,
+            )
+            v_grad = grad_ref @ inv_map_jacobian
+            return v, v_grad
+
         raise NotImplementedError("Polynomial order not implemented")
 
     def _compute_gauss_values(self):

@@ -1,0 +1,124 @@
+"""P3 (cubic) triangle elements: beyond the reference's P1 (+ dead-code P2).
+
+Validates the cubic Lagrange layout (3 vertices + 2 globally-oriented DOFs
+per unique edge + 1 barycenter bubble per cell): partition of unity, exact
+reproduction of cubics through the dense AND matrix-free solve paths,
+O(h^3) H1 convergence, and cross-edge continuity of the oriented edge DOFs
+via two-sided traces.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_fem_solver_tpu as fem
+
+PI = math.pi
+
+
+def a_form(b):
+    return b.v_grad @ jnp.matrix_transpose(b.v_grad)
+
+
+def test_p3_dof_layout_and_partition_of_unity():
+    mesh = fem.MeshTri(fem.unit_square(n=4))
+    V = fem.Basis(mesh, fem.ElementTri(3, 5))
+    nv = mesh["vertices", "coordinates"].shape[0]
+    ne = mesh["edges", "vertices"].shape[0]
+    nt = mesh["cells", "vertices"].shape[0]
+    assert V.n_dofs == nv + 2 * ne + nt
+    v = np.asarray(V.v)
+    assert np.abs(v.sum(-2) - 1.0).max() < 1e-13
+    grads = np.asarray(V.v_grad)
+    assert np.abs(grads.sum(-2)).max() < 1e-12  # gradients sum to zero
+    # interior (bubble) DOFs are never Dirichlet
+    marks = np.asarray(V._nodes4boundary_dofs).reshape(-1)
+    assert (marks[nv + 2 * ne:] == 0).all()
+
+
+def test_p3_reproduces_cubic_exactly_both_solvers():
+    """u* = x^3 + y^3 is in the P3 space: the Galerkin solution with
+    lifted Dirichlet data reproduces it to machine precision, on the dense
+    and the matrix-free BSR paths (which also proves the global edge-DOF
+    orientation agrees between adjacent cells)."""
+    mesh = fem.MeshTri(fem.unit_square(n=4))
+    V = fem.Basis(mesh, fem.ElementTri(3, 5))
+    coords = np.asarray(V._coords4global_dofs)
+
+    def rhs(p):
+        return -(6 * p[..., 0:1] + 6 * p[..., 1:2])
+
+    A = V.integrate_bilinear_form(a_form)
+    b = V.integrate_linear_form(
+        lambda b_: rhs(b_.integration_points) * b_.v
+    )
+    exact = jnp.asarray((coords[:, 0] ** 3 + coords[:, 1] ** 3).reshape(-1, 1))
+    u_bc, rhs_l = V.dirichlet_lift(A, b, exact)
+    u = V.solve(A, u_bc, rhs_l)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(exact), atol=1e-12)
+    u_it = V.solve_iterative(
+        V.integrate_bilinear_form_local(a_form),
+        rhs_l,
+        solution=u_bc,
+        tol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(u_it), np.asarray(u), atol=1e-11
+    )
+
+
+def test_p3_h1_convergence_third_order():
+    errs = []
+    for n in (4, 8):
+        mesh = fem.MeshTri(fem.unit_square(n=n))
+        V = fem.Basis(mesh, fem.ElementTri(3, 5))
+
+        def l(b_):
+            x = b_.integration_points[..., 0:1]
+            y = b_.integration_points[..., 1:2]
+            return 2 * PI**2 * jnp.sin(PI * x) * jnp.sin(PI * y) * b_.v
+
+        u = V.solve(
+            V.integrate_bilinear_form(a_form),
+            V.solution_tensor(),
+            V.integrate_linear_form(l),
+        )
+        uh, ug = V.interpolate(V, u)
+
+        def h1(b_):
+            x = b_.integration_points[..., 0:1]
+            y = b_.integration_points[..., 1:2]
+            return (
+                (uh - jnp.sin(PI * x) * jnp.sin(PI * y)) ** 2
+                + (ug[..., 0:1] - PI * jnp.cos(PI * x) * jnp.sin(PI * y)) ** 2
+                + (ug[..., 1:2] - PI * jnp.sin(PI * x) * jnp.cos(PI * y)) ** 2
+            )
+
+        errs.append(float(jnp.sqrt(V.integrate_functional(h1).sum())))
+    rate = math.log2(errs[0] / errs[1])
+    assert 2.7 < rate < 3.3, (errs, rate)
+
+
+def test_p3_two_sided_traces_continuous():
+    """A P3 DOF vector evaluated from both sides of every interior edge
+    agrees (cross-cell continuity of the oriented edge DOFs)."""
+    mesh = fem.MeshTri(fem.unit_square(n=3))
+    V = fem.Basis(mesh, fem.ElementTri(3, 4))
+    Ve = fem.InteriorEdgesBasis(mesh, fem.ElementLine(1, 4))
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((V.n_dofs, 1)))
+    vals, _ = V.interpolate(Ve, u)
+    vals = np.asarray(vals)  # (Ei, 2, q, 1, 1)
+    np.testing.assert_allclose(vals[:, 0], vals[:, 1], atol=1e-11)
+
+
+def test_p3_rejects_tets_and_p4():
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+
+    with pytest.raises(NotImplementedError):
+        fem.Basis(MeshTet(unit_cube(1)), ElementTet(3, 3))
+    with pytest.raises(NotImplementedError):
+        fem.Basis(fem.MeshTri(fem.unit_square(n=2)), fem.ElementTri(4, 5))
