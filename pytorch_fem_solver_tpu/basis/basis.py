@@ -80,14 +80,14 @@ class Basis(AbstractBasis):
         elif element.polynomial_order == 3:
             # P3: vertex DOFs + TWO DOFs per unique edge (at 1/3 and 2/3,
             # globally oriented toward the smaller-endpoint vertex so
-            # adjacent cells share them) + one interior (barycenter bubble)
-            # DOF per cell. Local slot order matches element_tri.py's P3
-            # layout: per local edge (i, j) the near-i node first.
-            if mesh["cells", "vertices"].shape[-1] != 3:
-                raise NotImplementedError(
-                    "P3 elements are implemented for triangles only"
-                )
+            # adjacent cells share them) + one orientation-free interior
+            # node per "bubble entity" (triangles: the cell barycenter;
+            # tets: each face barycenter). Local slot order matches
+            # element_tri.py / element_tet.py: per local edge (i, j) the
+            # near-i node first, then the bubble slots.
             from ..mesh.topology import (
+                TET_EDGE_PERMUTATIONS,
+                TET_FACE_PERMUTATIONS,
                 encode_edge_pairs,
                 p2_cell_edge_pairs,
                 p2_edge_dirichlet_markers,
@@ -103,32 +103,74 @@ class Basis(AbstractBasis):
             n_vertices = verts.shape[0]
             n_edges = edges.shape[0]
             n_cells = cells.shape[0]
+            is_tet = cells.shape[-1] == 4
 
-            local_sorted = p2_cell_edge_pairs(cells)  # (T, 3, 2)
+            local_sorted = p2_cell_edge_pairs(cells)  # (T, n_e_loc, 2)
             edge_codes = encode_edge_pairs(np.sort(edges, axis=-1), n_vertices)
             code_order = np.argsort(edge_codes)
             local_codes = encode_edge_pairs(local_sorted, n_vertices)
             cell_edges = code_order[
                 np.searchsorted(edge_codes[code_order], local_codes)
-            ]  # (T, 3) unique-edge ids, local order (01, 12, 20)
+            ]  # (T, n_e_loc) unique-edge ids in the element's local order
 
             # direction: does the local edge run small->large global id?
-            directed = cells[:, [[0, 1], [1, 2], [2, 0]]]  # (T, 3, 2)
-            forward = directed[..., 0] < directed[..., 1]  # (T, 3)
+            if is_tet:
+                directed = cells[:, TET_EDGE_PERMUTATIONS]
+            else:
+                directed = cells[:, [[0, 1], [1, 2], [2, 0]]]
+            forward = directed[..., 0] < directed[..., 1]  # (T, n_e_loc)
             # unique edge e owns DOFs n_v + 2e (nearer min endpoint) and
             # n_v + 2e + 1 (nearer max endpoint); local slot near-i gets
             # the one nearer vertex i
             near_i = n_vertices + 2 * cell_edges + np.where(forward, 0, 1)
             near_j = n_vertices + 2 * cell_edges + np.where(forward, 1, 0)
             edge_dofs = np.stack([near_i, near_j], axis=-1).reshape(
-                n_cells, 6
+                n_cells, -1
             )
 
-            interior = n_vertices + 2 * n_edges + np.arange(n_cells)
+            if is_tet:
+                # bubble entities = unique faces, matched by scalar codes
+                # (same encoding/guard regime as build_tet_topology)
+                if n_vertices**3 >= 2**62:  # pragma: no cover
+                    raise NotImplementedError(
+                        "P3 tet face matching overflows the scalar face "
+                        "code above ~1.6M vertices"
+                    )
+                faces = np.asarray(mesh["faces", "vertices"])  # sorted rows
+                face_markers_tbl = np.asarray(
+                    mesh["faces", "markers"]
+                ).reshape(-1)
+                fcodes = (
+                    faces[:, 0].astype(np.int64) * n_vertices + faces[:, 1]
+                ) * n_vertices + faces[:, 2]
+                forder = np.argsort(fcodes)
+                local_faces = np.sort(
+                    cells[:, TET_FACE_PERMUTATIONS], axis=-1
+                ).reshape(-1, 3)
+                lcodes = (
+                    local_faces[:, 0].astype(np.int64) * n_vertices
+                    + local_faces[:, 1]
+                ) * n_vertices + local_faces[:, 2]
+                cell_faces = forder[
+                    np.searchsorted(fcodes[forder], lcodes)
+                ].reshape(n_cells, 4)
+                bubble_dofs = n_vertices + 2 * n_edges + cell_faces
+                bubble_coords = verts[faces].mean(axis=1)
+                fm = vert_markers[faces]
+                bubble_markers = np.where(
+                    (face_markers_tbl != 0) & (fm != 0).all(axis=1),
+                    fm.max(axis=1),
+                    0,
+                ).astype(np.int64)
+            else:
+                bubble_dofs = (
+                    n_vertices + 2 * n_edges + np.arange(n_cells)
+                )[:, None]
+                bubble_coords = verts[cells].mean(axis=1)
+                bubble_markers = np.zeros(n_cells, dtype=np.int64)
+
             global_dofs_4_elements = jnp.asarray(
-                np.concatenate(
-                    [cells, edge_dofs, interior[:, None]], axis=1
-                ),
+                np.concatenate([cells, edge_dofs, bubble_dofs], axis=1),
                 dtype=config.index_dtype(),
             )
 
@@ -137,9 +179,8 @@ class Basis(AbstractBasis):
             edge_nodes = np.stack(
                 [(2 * emin + emax) / 3.0, (emin + 2 * emax) / 3.0], axis=1
             ).reshape(2 * n_edges, -1)
-            centroids = verts[cells].mean(axis=1)
             coords_4_global_dofs = jnp.asarray(
-                np.concatenate([verts, edge_nodes, centroids], axis=0),
+                np.concatenate([verts, edge_nodes, bubble_coords], axis=0),
                 dtype=config.default_dtype(),
             )
             nodes_4_boundary_dofs = jnp.asarray(
@@ -147,7 +188,7 @@ class Basis(AbstractBasis):
                     [
                         vert_markers,
                         np.repeat(edge_markers, 2),
-                        np.zeros(n_cells, dtype=np.int64),
+                        bubble_markers,
                     ]
                 ).reshape(-1, 1),
                 dtype=config.index_dtype(),

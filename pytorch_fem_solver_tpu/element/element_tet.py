@@ -77,6 +77,69 @@ class ElementTet(AbstractElement):
             v_grad = grad_ref @ inv_map_jacobian
             return v, v_grad
 
+        if self.polynomial_order == 3:
+            # cubic Lagrange on the tet: 4 vertices, two nodes per edge
+            # (TET_EDGE_PERMUTATIONS order, near-a then near-b — oriented
+            # globally by Basis._compute_dofs), one barycenter node per
+            # face (TET_FACE_PERMUTATIONS order; orientation-free). 20 DOFs.
+            lams = [bar_coords[..., i, :][..., None, :] for i in range(4)]
+            g = self.barycentric_grad  # (4, 3)
+            gs = [g[i : i + 1, :] for i in range(4)]
+            edges = [(0, 1), (1, 2), (0, 2), (0, 3), (1, 3), (2, 3)]
+            faces = [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+            def vert(l):
+                return 0.5 * l * (3 * l - 1) * (3 * l - 2)
+
+            def dvert(l, gi):
+                return (13.5 * l * l - 9.0 * l + 1.0) * gi
+
+            def edge(la, lb):
+                return 4.5 * la * lb * (3 * la - 1)
+
+            def dedge(la, lb, ga, gb):
+                return 4.5 * (lb * (6 * la - 1) * ga + la * (3 * la - 1) * gb)
+
+            v = jnp.concatenate(
+                [vert(l) for l in lams]
+                + [
+                    f(a, b)
+                    for a, b in edges
+                    for f in (
+                        lambda a, b: edge(lams[a], lams[b]),
+                        lambda a, b: edge(lams[b], lams[a]),
+                    )
+                ]
+                + [
+                    27.0 * lams[i] * lams[j] * lams[k]
+                    for i, j, k in faces
+                ],
+                axis=-2,
+            )
+            grad_ref = jnp.concatenate(
+                [dvert(lams[i], gs[i]) for i in range(4)]
+                + [
+                    f(a, b)
+                    for a, b in edges
+                    for f in (
+                        lambda a, b: dedge(lams[a], lams[b], gs[a], gs[b]),
+                        lambda a, b: dedge(lams[b], lams[a], gs[b], gs[a]),
+                    )
+                ]
+                + [
+                    27.0
+                    * (
+                        lams[j] * lams[k] * gs[i]
+                        + lams[i] * lams[k] * gs[j]
+                        + lams[i] * lams[j] * gs[k]
+                    )
+                    for i, j, k in faces
+                ],
+                axis=-2,
+            )
+            v_grad = grad_ref @ inv_map_jacobian
+            return v, v_grad
+
         raise NotImplementedError("Polynomial order not implemented")
 
     def _compute_gauss_values(self):

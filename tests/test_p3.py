@@ -114,11 +114,93 @@ def test_p3_two_sided_traces_continuous():
     np.testing.assert_allclose(vals[:, 0], vals[:, 1], atol=1e-11)
 
 
-def test_p3_rejects_tets_and_p4():
+def test_p3_tet_layout_and_cubic_exactness():
+    """3D P3: 4 vertices + 2 oriented DOFs per edge + 1 face-barycenter
+    node = 20 local DOFs; u* = x^3 + y^3 + z^3 reproduces exactly through
+    both solve paths."""
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+
+    mesh = MeshTet(unit_cube(2))
+    V = fem.Basis(mesh, ElementTet(3, 4))
+    nv = mesh["vertices", "coordinates"].shape[0]
+    ne = mesh["edges", "vertices"].shape[0]
+    nf = mesh["faces", "vertices"].shape[0]
+    assert V.n_dofs == nv + 2 * ne + nf
+    assert V._global_dofs4elements.shape[-1] == 20
+    assert np.abs(np.asarray(V.v).sum(-2) - 1.0).max() < 1e-13
+
+    coords = np.asarray(V._coords4global_dofs)
+    A = V.integrate_bilinear_form(a_form)
+    b = V.integrate_linear_form(
+        lambda b_: -6.0
+        * b_.integration_points.sum(-1, keepdims=True)
+        * b_.v
+    )
+    exact = jnp.asarray(
+        (coords**3).sum(axis=1, keepdims=True)
+    )
+    u_bc, rhs = V.dirichlet_lift(A, b, exact)
+    u = V.solve(A, u_bc, rhs)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(exact), atol=1e-12)
+    u_it = V.solve_iterative(
+        V.integrate_bilinear_form_local(a_form),
+        rhs,
+        solution=u_bc,
+        tol=1e-13,
+    )
+    np.testing.assert_allclose(np.asarray(u_it), np.asarray(u), atol=1e-10)
+
+
+def test_p3_tet_h1_convergence_third_order():
+    import math as _m
+
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+
+    errs = []
+    for n in (2, 4):
+        mesh = MeshTet(unit_cube(n))
+        V = fem.Basis(mesh, ElementTet(3, 5))
+
+        def l(b_):
+            p = b_.integration_points
+            s = (
+                jnp.sin(PI * p[..., 0:1])
+                * jnp.sin(PI * p[..., 1:2])
+                * jnp.sin(PI * p[..., 2:3])
+            )
+            return 3 * PI**2 * s * b_.v
+
+        u = V.solve(
+            V.integrate_bilinear_form(a_form),
+            V.solution_tensor(),
+            V.integrate_linear_form(l),
+        )
+        uh, ug = V.interpolate(V, u)
+
+        def h1(b_):
+            p = b_.integration_points
+            x, y, z = p[..., 0:1], p[..., 1:2], p[..., 2:3]
+            s, c = jnp.sin, jnp.cos
+            ex = s(PI * x) * s(PI * y) * s(PI * z)
+            return (
+                (uh - ex) ** 2
+                + (ug[..., 0:1] - PI * c(PI * x) * s(PI * y) * s(PI * z)) ** 2
+                + (ug[..., 1:2] - PI * s(PI * x) * c(PI * y) * s(PI * z)) ** 2
+                + (ug[..., 2:3] - PI * s(PI * x) * s(PI * y) * c(PI * z)) ** 2
+            )
+
+        errs.append(float(jnp.sqrt(V.integrate_functional(h1).sum())))
+    rate = _m.log2(errs[0] / errs[1])
+    assert 2.6 < rate < 3.3, (errs, rate)
+
+
+def test_p4_rejected():
     from pytorch_fem_solver_tpu.element import ElementTet
     from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
 
     with pytest.raises(NotImplementedError):
-        fem.Basis(MeshTet(unit_cube(1)), ElementTet(3, 3))
+        fem.Basis(MeshTet(unit_cube(1)), ElementTet(4, 3))
     with pytest.raises(NotImplementedError):
         fem.Basis(fem.MeshTri(fem.unit_square(n=2)), fem.ElementTri(4, 5))
