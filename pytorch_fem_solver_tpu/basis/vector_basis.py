@@ -23,7 +23,7 @@ Shape convention (extends the scalar ``(..., T, q, n_loc, ...)`` convention):
   ``(T, q, n_vloc, 1)`` — so every assembly/solve/preconditioner path
   (scatter assembly, BSR/ELL, symmetric canonical pairs) is reused unchanged.
 
-``n_vloc = n_loc * nc``. Works for P1 and P2 elements.
+``n_vloc = n_loc * nc``. Works for P1, P2 and P3 elements.
 """
 
 from __future__ import annotations

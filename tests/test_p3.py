@@ -196,6 +196,45 @@ def test_p3_tet_h1_convergence_third_order():
     assert 2.6 < rate < 3.3, (errs, rate)
 
 
+def test_p3_vector_basis_cubic_exact():
+    """The vector lift is order-generic: P3 linear elasticity reproduces
+    the cubic displacement u* = (x^3, y^3) exactly."""
+    mesh = fem.MeshTri(fem.unit_square(n=3))
+    V = fem.VectorBasis(mesh, fem.ElementTri(3, 5))
+    mu, lam = 1.0, 1.5
+
+    def elasticity(b_):
+        g = b_.v_grad
+        eps = 0.5 * (g + jnp.swapaxes(g, -1, -2))
+        div = jnp.trace(g, axis1=-2, axis2=-1)
+        return (
+            2 * mu * jnp.einsum("...icd,...jcd->...ij", eps, eps)
+            + lam * div[..., :, None] * div[..., None, :]
+        )
+
+    def bodyf(b_):
+        p = b_.integration_points
+        f = -jnp.concatenate(
+            [
+                (2 * mu + lam) * 6 * p[..., 0:1],
+                (2 * mu + lam) * 6 * p[..., 1:2],
+            ],
+            axis=-1,
+        )
+        return (f * b_.v).sum(-1, keepdims=True)
+
+    A = V.integrate_bilinear_form(elasticity)
+    b = V.integrate_linear_form(bodyf)
+    coords = np.asarray(V._coords4global_dofs)
+    comp = np.arange(coords.shape[0]) % 2  # interleaved node-major layout
+    exact = jnp.asarray(
+        (coords[np.arange(coords.shape[0]), comp] ** 3).reshape(-1, 1)
+    )
+    u_bc, rhs = V.dirichlet_lift(A, b, exact)
+    u = V.solve(A, u_bc, rhs)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(exact), atol=1e-12)
+
+
 def test_p4_rejected():
     from pytorch_fem_solver_tpu.element import ElementTet
     from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
