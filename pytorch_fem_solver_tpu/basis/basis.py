@@ -221,6 +221,107 @@ class Basis(AbstractBasis):
             element.barycentric_grad
         )
 
+    def _locate_cells(self, points: np.ndarray, tol: float) -> np.ndarray:
+        """Host-side point location: containing-cell id per query point.
+
+        kd-tree over cell centroids, barycentric inside-test over the
+        nearest candidates (widening 8 -> 64 -> all cells). Raises for
+        points outside the mesh (beyond ``tol`` in barycentric terms).
+        """
+        coords = np.asarray(self.mesh["cells", "coordinates"])  # (T, k, d)
+        n_cells, k, d = coords.shape
+        if k != d + 1:
+            raise NotImplementedError(
+                "probe needs a flat simplex mesh (dim == ambient dim); "
+                "embedded fracture bases are not supported"
+            )
+        pts = np.asarray(points, dtype=np.float64).reshape(-1, d)
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(coords.mean(axis=1))
+        found = np.full(pts.shape[0], -1, dtype=np.int64)
+        # barycentric via the affine system [1; x] = [[1..1]; V^T] lam
+        a_mat = np.concatenate(
+            [np.ones((n_cells, 1, k)), coords.transpose(0, 2, 1)], axis=1
+        )  # (T, k, k)
+        for k_try in (8, 64, n_cells):
+            miss = np.flatnonzero(found < 0)
+            if miss.size == 0:
+                break
+            kk = min(k_try, n_cells)
+            _, cand = tree.query(pts[miss], k=kk)
+            cand = cand.reshape(miss.size, kk)
+            rhs = np.concatenate(
+                [np.ones((miss.size, 1)), pts[miss]], axis=1
+            )  # (M, k)
+            lam = np.linalg.solve(
+                a_mat[cand], rhs[:, None, :, None]
+            )  # (M, kk, k, 1)
+            inside = (lam[..., 0] >= -tol).all(axis=-1)  # (M, kk)
+            hit = inside.any(axis=1)
+            first = inside.argmax(axis=1)
+            found[miss[hit]] = cand[np.arange(miss.size), first][hit]
+        if (found < 0).any():
+            bad = pts[np.flatnonzero(found < 0)[0]]
+            raise ValueError(
+                f"probe point outside the mesh (first offender: {bad})"
+            )
+        return found
+
+    def probe(self, points, tensor, tol: float = 1e-10):
+        """Evaluate a DOF vector at arbitrary physical points.
+
+        The reference can only evaluate at quadrature points
+        (``interpolate``); this adds scattered point evaluation: host-side
+        point location (kd-tree + barycentric inside-test), then the same
+        inverse-affine-map + shape-function machinery the edge traces use.
+
+        Args:
+          points: (P, d) physical coordinates inside the mesh.
+          tensor: (n_dofs, 1) DOF vector (e.g. a solve result).
+          tol: barycentric tolerance for the inside test.
+
+        Returns ``(values, grads)`` with shapes ``(P,)`` and ``(P, d)``
+        for scalar bases, ``(P, nc)`` and ``(P, nc, d)`` for vector bases.
+        """
+        pts = np.asarray(points, dtype=np.float64)
+        cells = self._locate_cells(pts, tol)
+        pts_j = jnp.asarray(pts, dtype=config.default_dtype())
+
+        first_vertex = self.mesh["cells", "coordinates"][cells][
+            :, None, [0], :
+        ]  # (P, 1, 1, d)
+        inv_jac = self._inv_map_jacobian[cells]  # (P, 1, d, d)
+        ref = self._element.compute_inverse_map(
+            first_vertex, pts_j[:, None, None, :], inv_jac
+        )  # (P, 1, 1, d)
+        bar = self._element.compute_barycentric_coordinates(
+            ref.squeeze(-2)
+        )  # (P, 1, n_bar, 1)
+        v, v_grad = self._element.compute_shape_functions(bar, inv_jac)
+        dof_vals = tensor[self._global_dofs4elements[cells]][
+            :, None
+        ]  # (P, 1, n_loc[*nc], 1)
+        nc = int(getattr(self, "n_components", 1))
+        if nc >= 2:
+            # lift the scalar shape tables to the vector layout exactly as
+            # VectorBasis.__init__ does (phi_l e_c, interleaved)
+            eye = jnp.eye(nc, dtype=v.dtype)
+            p_n, one, n_loc, _ = v.shape
+            v = jnp.einsum("polu,cC->polcC", v, eye).reshape(
+                p_n, one, n_loc * nc, nc
+            )
+            d = v_grad.shape[-1]
+            v_grad = jnp.einsum(
+                "pold,cC->polcCd", v_grad, eye.astype(v_grad.dtype)
+            ).reshape(p_n, one, n_loc * nc, nc, d)
+            values = (dof_vals * v).sum(-2)[:, 0]  # (P, nc)
+            grads = (dof_vals[..., None] * v_grad).sum(-3)[:, 0]  # (P,nc,d)
+        else:
+            values = (dof_vals * v).sum(-2)[:, 0, 0]  # (P,)
+            grads = (dof_vals * v_grad).sum(-2)[:, 0]  # (P, d)
+        return values, grads
+
     def _cell_coordinates(self, mesh):
         return mesh["cells", "coordinates"]
 
