@@ -45,7 +45,6 @@ def residual(b, u, ug, uh_prev):
 def main():
     mesh = fem.MeshTri(fem.unit_square(max_area=H * H / 2))
     V = fem.Basis(mesh, fem.ElementTri(1, 3))
-    mass = lambda b: b.v @ jnp.matrix_transpose(b.v)
 
     # nodal interpolant of the initial bump (boundary DOFs are 0 there)
     import numpy as np

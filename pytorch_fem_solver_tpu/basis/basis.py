@@ -26,7 +26,9 @@ from .interior_edges_basis import InteriorEdgesBasis
 
 @register_basis_pytree
 class Basis(AbstractBasis):
-    """Lagrange basis over mesh cells (P1 on vertices, P2 on vertices+edges)."""
+    """Lagrange basis over mesh cells: P1 (vertices), P2 (vertices +
+    edge midpoints) or P3 (vertices + two oriented edge nodes + a
+    barycenter/face bubble per cell/face)."""
 
     def _compute_dofs(self, mesh, element):
         if element.polynomial_order == 1:
@@ -44,25 +46,17 @@ class Basis(AbstractBasis):
             n_vertices = verts.shape[0]
 
             # map each cell's local edges to the mesh's unique-edge ids
-            # (shared helpers: topology.p2_cell_edge_pairs fixes the local
-            # order, encode_edge_pairs widens to int64)
+            # (shared helper: topology.unique_edge_ids fixes the local
+            # order and the lookup in one place)
             from ..mesh.topology import (
-                encode_edge_pairs,
-                p2_cell_edge_pairs,
                 p2_edge_dirichlet_markers,
+                unique_edge_ids,
             )
 
             edge_markers = p2_edge_dirichlet_markers(
                 edges, edge_markers, vert_markers
             )
-
-            local = p2_cell_edge_pairs(cells)
-            edge_codes = encode_edge_pairs(np.sort(edges, axis=-1), n_vertices)
-            code_order = np.argsort(edge_codes)
-            local_codes = encode_edge_pairs(local, n_vertices)
-            cell_edges = code_order[
-                np.searchsorted(edge_codes[code_order], local_codes)
-            ]
+            cell_edges = unique_edge_ids(cells, edges, n_vertices)
 
             midpoints = verts[edges].mean(axis=1)
             coords_4_global_dofs = jnp.asarray(
@@ -88,9 +82,8 @@ class Basis(AbstractBasis):
             from ..mesh.topology import (
                 TET_EDGE_PERMUTATIONS,
                 TET_FACE_PERMUTATIONS,
-                encode_edge_pairs,
-                p2_cell_edge_pairs,
                 p2_edge_dirichlet_markers,
+                unique_edge_ids,
             )
 
             verts = np.asarray(mesh["vertices", "coordinates"])
@@ -105,13 +98,8 @@ class Basis(AbstractBasis):
             n_cells = cells.shape[0]
             is_tet = cells.shape[-1] == 4
 
-            local_sorted = p2_cell_edge_pairs(cells)  # (T, n_e_loc, 2)
-            edge_codes = encode_edge_pairs(np.sort(edges, axis=-1), n_vertices)
-            code_order = np.argsort(edge_codes)
-            local_codes = encode_edge_pairs(local_sorted, n_vertices)
-            cell_edges = code_order[
-                np.searchsorted(edge_codes[code_order], local_codes)
-            ]  # (T, n_e_loc) unique-edge ids in the element's local order
+            # (T, n_e_loc) unique-edge ids in the element's local order
+            cell_edges = unique_edge_ids(cells, edges, n_vertices)
 
             # direction: does the local edge run small->large global id?
             if is_tet:
@@ -244,13 +232,12 @@ class Basis(AbstractBasis):
         a_mat = np.concatenate(
             [np.ones((n_cells, 1, k)), coords.transpose(0, 2, 1)], axis=1
         )  # (T, k, k)
-        for k_try in (8, 64, n_cells):
-            miss = np.flatnonzero(found < 0)
-            if miss.size == 0:
-                break
-            kk = min(k_try, n_cells)
-            _, cand = tree.query(pts[miss], k=kk)
-            cand = cand.reshape(miss.size, kk)
+
+        def _try(miss, cand):
+            # candidate batches are capped so the (M, kk, k, k) solve stays
+            # bounded (the all-cells fallback would otherwise materialize
+            # M * n_cells * k * k floats)
+            kk = cand.shape[1]
             rhs = np.concatenate(
                 [np.ones((miss.size, 1)), pts[miss]], axis=1
             )  # (M, k)
@@ -261,6 +248,25 @@ class Basis(AbstractBasis):
             hit = inside.any(axis=1)
             first = inside.argmax(axis=1)
             found[miss[hit]] = cand[np.arange(miss.size), first][hit]
+
+        for k_try in (8, 64):
+            miss = np.flatnonzero(found < 0)
+            if miss.size == 0:
+                break
+            kk = min(k_try, n_cells)
+            _, cand = tree.query(pts[miss], k=kk)
+            _try(miss, cand.reshape(miss.size, kk))
+        # last resort: brute force the remaining points one at a time over
+        # cell chunks (memory stays O(chunk * k * k))
+        chunk = 1 << 16
+        for p_idx in np.flatnonzero(found < 0):
+            for start in range(0, n_cells, chunk):
+                _try(
+                    np.asarray([p_idx]),
+                    np.arange(start, min(start + chunk, n_cells))[None, :],
+                )
+                if found[p_idx] >= 0:
+                    break
         if (found < 0).any():
             bad = pts[np.flatnonzero(found < 0)[0]]
             raise ValueError(
@@ -284,7 +290,8 @@ class Basis(AbstractBasis):
         Returns ``(values, grads)`` with shapes ``(P,)`` and ``(P, d)``
         for scalar bases, ``(P, nc)`` and ``(P, nc, d)`` for vector bases.
         """
-        pts = np.asarray(points, dtype=np.float64)
+        d = int(self.mesh["vertices", "coordinates"].shape[-1])
+        pts = np.asarray(points, dtype=np.float64).reshape(-1, d)
         cells = self._locate_cells(pts, tol)
         pts_j = jnp.asarray(pts, dtype=config.default_dtype())
 

@@ -337,6 +337,21 @@ def tet_boundary_faces(tets, n_vertices: int) -> np.ndarray:
     return uniq[counts == 1]
 
 
+def unique_edge_ids(cells, edges, n_vertices: int) -> np.ndarray:
+    """Per-cell local-edge -> unique-edge-id table.
+
+    ``cells`` (T, k) index into the mesh's unique ``edges`` (E, 2) table;
+    local edge order is :func:`p2_cell_edge_pairs`'s. Shared by the P2 and
+    P3 DOF builders so the encode/argsort/searchsorted lookup exists once.
+    """
+    local_codes = encode_edge_pairs(p2_cell_edge_pairs(cells), n_vertices)
+    edge_codes = encode_edge_pairs(
+        np.sort(np.asarray(edges), axis=-1), n_vertices
+    )
+    order = np.argsort(edge_codes)
+    return order[np.searchsorted(edge_codes[order], local_codes)]
+
+
 def p2_edge_dirichlet_markers(edges, edge_markers, vertex_markers):
     """Dirichlet flags for P2 edge-midpoint DOFs.
 

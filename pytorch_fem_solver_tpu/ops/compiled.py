@@ -367,6 +367,38 @@ def compiled_bsr_solver(
     return solve
 
 
+def _bsr_setup(basis, max_b, want_agg):
+    """Shared construction tail for the compiled Newton/eigsh solvers: the
+    full-entry-slot BSR structure, its big-array table dict (shipped as jit
+    arguments; see compiled_bsr_solver's constants-vs-arguments note) and,
+    when ``want_agg``, the value-independent aggregate-block tables."""
+    from .bsr import default_max_b, get_bsr_structure
+
+    if max_b is None:
+        max_b = default_max_b(basis)
+    st = get_bsr_structure(basis, max_b=max_b, want_entry_slot=True)
+    big_tables = {
+        "bcols": st.bcols,
+        "entry_slot": st.entry_slot,
+        "entry_slot_sym": st.entry_slot_sym,
+        "bcols2": st.bcols2,
+        "heavy_rows": st.heavy_rows,
+        "tpartner": st.tpartner,
+    }
+    g = gs = None
+    agg_table = None
+    if want_agg:
+        from .precondition import (
+            build_agg_block_table,
+            default_aggregate_size,
+        )
+
+        g = default_aggregate_size(st)
+        gs = min(g, 128)
+        agg_table = jnp.asarray(build_agg_block_table(st, gs))
+    return st, big_tables, g, gs, agg_table
+
+
 def compiled_newton_solver(
     basis,
     residual_form: Callable,
@@ -412,14 +444,8 @@ def compiled_newton_solver(
         bsr_matvec,
         bsr_reduce,
         bsr_values_from_local,
-        default_max_b,
-        get_bsr_structure,
     )
-    from .precondition import (
-        agg_block_two_level_from_values,
-        build_agg_block_table,
-        default_aggregate_size,
-    )
+    from .precondition import agg_block_two_level_from_values
     from .solvers import bicgstab
 
     if precondition not in ("auto", "jacobi"):
@@ -433,25 +459,9 @@ def compiled_newton_solver(
             "space rebuilt per Newton step; use 'jacobi'"
         )
 
-    if max_b is None:
-        max_b = default_max_b(basis)
-    st = get_bsr_structure(basis, max_b=max_b, want_entry_slot=True)
-
-    g = gs = None
-    agg_table = None
-    if precondition == "auto":
-        g = default_aggregate_size(st)
-        gs = min(g, 128)
-        agg_table = jnp.asarray(build_agg_block_table(st, gs))
-
-    big_tables = {
-        "bcols": st.bcols,
-        "entry_slot": st.entry_slot,
-        "entry_slot_sym": st.entry_slot_sym,
-        "bcols2": st.bcols2,
-        "heavy_rows": st.heavy_rows,
-        "tpartner": st.tpartner,
-    }
+    st, big_tables, g, gs, agg_table = _bsr_setup(
+        basis, max_b, want_agg=precondition == "auto"
+    )
     device = jax.devices()[0]
     basis_d, tables_d, agg_table_d = jax.device_put(
         (basis, big_tables, agg_table), device
@@ -581,8 +591,6 @@ def compiled_eigsh_solver(
         bsr_matvec,
         bsr_reduce,
         bsr_values_from_local,
-        default_max_b,
-        get_bsr_structure,
     )
     from .eigen import subspace_eigsh_while
 
@@ -607,30 +615,11 @@ def compiled_eigsh_solver(
         )
     m_block = min(k + max(2, k // 2), n_inner)
 
-    if max_b is None:
-        max_b = default_max_b(basis)
-    st = get_bsr_structure(basis, max_b=max_b, want_entry_slot=True)
-    big_tables = {
-        "bcols": st.bcols,
-        "entry_slot": st.entry_slot,
-        "entry_slot_sym": st.entry_slot_sym,
-        "bcols2": st.bcols2,
-        "heavy_rows": st.heavy_rows,
-        "tpartner": st.tpartner,
-    }
     # value-independent preconditioner tables stay on host (the numeric
     # setup from the assembled values runs inside the program)
-    g = gs = None
-    agg_table = None
-    if precondition == "two_level":
-        from .precondition import (
-            build_agg_block_table,
-            default_aggregate_size,
-        )
-
-        g = default_aggregate_size(st)
-        gs = min(g, 128)
-        agg_table = jnp.asarray(build_agg_block_table(st, gs))
+    st, big_tables, g, gs, agg_table = _bsr_setup(
+        basis, max_b, want_agg=precondition == "two_level"
+    )
 
     rng = np.random.default_rng(seed)
     rand = jnp.asarray(

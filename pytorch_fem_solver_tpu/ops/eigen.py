@@ -183,7 +183,6 @@ def subspace_eigsh_while(
         return y
 
     solve_block = jax.vmap(solve_col, in_axes=1, out_axes=1)
-    m = x0.shape[1]
 
     def round_step(x):
         y = solve_block(m_mv_block(x))
