@@ -144,6 +144,36 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         idx = self._basis_parameters["bilinear_form_idx"]
         return jnp.zeros(shape, dtype=values.dtype).at[idx].add(values)
 
+    def integrate_mixed_bilinear_form_local(
+        self,
+        trial_basis: "AbstractBasis",
+        function: Callable[..., jnp.ndarray],
+        *args: Any,
+        **kwargs: Any,
+    ) -> jnp.ndarray:
+        """Unassembled two-space element matrices
+        ``(T, n_test_loc, n_trial_loc)`` — the matrix-free counterpart of
+        :meth:`integrate_mixed_bilinear_form` (same form contract and
+        same-mesh/quadrature checks); feeds the saddle-point operators in
+        ``ops.saddle`` without materializing the dense (n_test, n_trial)
+        coupling block."""
+        if trial_basis.mesh is not self.mesh:
+            raise ValueError(
+                "mixed forms need test and trial bases on the same mesh"
+            )
+        if trial_basis._element.integration_order != (
+            self._element.integration_order
+        ):
+            raise ValueError(
+                "mixed forms need matching integration orders (got "
+                f"{self._element.integration_order} test vs "
+                f"{trial_basis._element.integration_order} trial)"
+            )
+        return (
+            self._evaluate_form(function, self, trial_basis, *args, **kwargs)
+            * self._dx
+        ).sum(-3)
+
     def integrate_mixed_bilinear_form(
         self,
         trial_basis: "AbstractBasis",
@@ -166,22 +196,9 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         entirely (e.g. the Taylor-Hood Stokes pressure-divergence coupling
         B[q, u] = -∫ q div u; see ``examples/example_stokes.py``).
         """
-        if trial_basis.mesh is not self.mesh:
-            raise ValueError(
-                "mixed forms need test and trial bases on the same mesh"
-            )
-        if trial_basis._element.integration_order != (
-            self._element.integration_order
-        ):
-            raise ValueError(
-                "mixed forms need matching integration orders (got "
-                f"{self._element.integration_order} test vs "
-                f"{trial_basis._element.integration_order} trial)"
-            )
-        local = (
-            self._evaluate_form(function, self, trial_basis, *args, **kwargs)
-            * self._dx
-        ).sum(-3)  # (T, n_test_loc, n_trial_loc)
+        local = self.integrate_mixed_bilinear_form_local(
+            trial_basis, function, *args, **kwargs
+        )  # (T, n_test_loc, n_trial_loc)
         rows = self._global_dofs4elements
         cols = trial_basis._global_dofs4elements
         out = jnp.zeros(

@@ -494,7 +494,10 @@ def default_max_b(basis) -> int:
     (docs/performance.md); 3D tets carry mean degree ~18 and max_b=24 cuts
     s/iter 26% at 1M DOFs (48.1 -> 35.7 ms, identical solution).
     """
-    ref_dim = int(np.asarray(basis._element.barycentric_grad).shape[-1])
+    # shape-only read: the property creates its array on access, so under a
+    # trace (e.g. solve_iterative used as a Schur-complement matvec inside
+    # lax.while_loop, ops/saddle.py) materializing it would fail
+    ref_dim = int(basis._element.barycentric_grad.shape[-1])
     return 24 if ref_dim >= 3 else 8
 
 

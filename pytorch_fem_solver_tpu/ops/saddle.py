@@ -1,0 +1,150 @@
+"""Matrix-free saddle-point (Stokes-type) solver: Schur-complement CG.
+
+The mixed examples solve the Taylor-Hood system dense (LU with one pinned
+pressure DOF, ``examples/example_stokes.py``) — fine for parity, O(n^2)
+memory at scale. This module solves
+
+    [A  B^T] [u]   [f]
+    [B   0 ] [p] = [g]
+
+without materializing any global matrix: A (the viscous block, SPD on the
+Dirichlet-reduced velocity space) acts through the hybrid-BSR PCG of
+``solve_iterative``; B / B^T act through the UNASSEMBLED two-space element
+matrices (gather trial DOFs -> local matvec -> scatter to test DOFs, the
+same pattern as the matrix-free operators in ``ops.operators``). The
+pressure solve is conjugate gradients on the Schur complement
+S = B A^{-1} B^T — each application costs one inner A-solve —
+preconditioned by the inverse *lumped pressure mass matrix* (spectrally
+equivalent to S for Stokes), with the constant-pressure nullspace handled
+by mean projection in the M_p inner product (no pinned DOF).
+
+No reference counterpart: the reference has neither mixed elements nor
+iterative solvers (dense LU only, torch_fem/basis/abstract_basis.py:177-195).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from .solvers import PCGInfo, pcg
+
+__all__ = ["StokesInfo", "stokes_solver"]
+
+
+class StokesInfo(NamedTuple):
+    outer_iterations: jnp.ndarray
+    schur_residual: jnp.ndarray
+    converged: jnp.ndarray
+    inner_info: PCGInfo  # from the final velocity solve
+
+
+def stokes_solver(
+    velocity_basis,
+    pressure_basis,
+    a_form: Callable,
+    b_form: Callable,
+    *,
+    tol: float = 1e-8,
+    maxiter: Optional[int] = None,
+    inner_tol: float = 1e-11,
+    inner_precondition: str = "two_level",
+    mass_form: Optional[Callable] = None,
+):
+    """Build ``solve(f, g=None) -> (u, p, StokesInfo)`` for a fixed pair of
+    bases and forms.
+
+    Args:
+      velocity_basis: the A-block basis (typically a ``VectorBasis``);
+        Dirichlet velocity DOFs come from its markers (homogeneous — lift
+        non-homogeneous data into ``f``/``g`` first).
+      pressure_basis: the constraint-space basis (no Dirichlet DOFs
+        expected; the constant mode is projected out, not pinned).
+      a_form: closure ``basis -> (T, q, n_u_loc, n_u_loc)`` for A (SPD).
+      b_form: closure ``(test_p, trial_u) -> (T, q, n_p_loc, n_u_loc)`` for
+        B (e.g. ``-q div(u)``), with matching integration orders.
+      tol: relative Schur-CG tolerance (in the lumped-M_p-preconditioned
+        norm).
+      inner_tol: tolerance for the inner A-solves. Schur-CG sees A^{-1}
+        only through these solves, so keep inner_tol well below tol
+        (inexact inner solves make S applications inconsistent between
+        iterations).
+      mass_form: pressure mass integrand (defaults to ``q.v @ q.v^T``),
+        used for the lumped preconditioner and the mean projection.
+
+    Returns a ``solve`` whose pressure has zero lumped-mass mean.
+    """
+    Vu, Vp = velocity_basis, pressure_basis
+    local_a = Vu.integrate_bilinear_form_local(a_form)
+    local_b = Vp.integrate_mixed_bilinear_form_local(Vu, b_form)
+    if mass_form is None:
+        mass_form = lambda b_: b_.v @ jnp.matrix_transpose(b_.v)
+    # lumped pressure mass: row sums of the assembled M_p = assembled
+    # local row sums (scatter of a linear-form-shaped local)
+    mp_lumped = Vp._assemble_linear_from_local(
+        Vp.integrate_bilinear_form_local(mass_form).sum(-1, keepdims=True)
+    )  # (n_p, 1)
+    mp_total = mp_lumped.sum()
+    u_dofs = Vu._global_dofs4elements
+    p_dofs = Vp._global_dofs4elements
+    local_bt = jnp.matrix_transpose(local_b)
+
+    def apply_b(u_vec):
+        """B u: (n_u, 1) -> (n_p, 1)."""
+        u_cells = u_vec[..., 0][u_dofs][..., None]  # (T, n_u_loc, 1)
+        return Vp._assemble_linear_from_local(local_b @ u_cells)
+
+    def apply_bt(p_vec):
+        """B^T p: (n_p, 1) -> (n_u, 1)."""
+        p_cells = p_vec[..., 0][p_dofs][..., None]  # (T, n_p_loc, 1)
+        return Vu._assemble_linear_from_local(local_bt @ p_cells)
+
+    def project_mean(p_vec):
+        """Remove the constant mode in the lumped-M_p inner product."""
+        mean = (mp_lumped * p_vec).sum() / mp_total
+        return p_vec - mean
+
+    def solve_a(rhs):
+        return Vu.solve_iterative(
+            local_a,
+            rhs,
+            tol=inner_tol,
+            precondition=inner_precondition,
+            symmetric_form=True,
+            return_info=True,
+        )
+
+    def solve(f, g=None, x0=None):
+        u_f, info_f = solve_a(f)
+        rhs_p = apply_b(u_f)
+        if g is not None:
+            rhs_p = rhs_p - g
+        rhs_p = project_mean(rhs_p)
+        del info_f  # per-apply inner infos are trace-time artifacts
+
+        def schur(p_flat):
+            w = apply_bt(p_flat[:, None])
+            y, _ = solve_a(w)
+            return project_mean(apply_b(y))[:, 0]
+
+        inv_lump = 1.0 / mp_lumped[:, 0]
+        p_flat, schur_info = pcg(
+            schur,
+            rhs_p[:, 0],
+            x0=None if x0 is None else x0[:, 0],
+            precond=lambda r: project_mean((inv_lump * r)[:, None])[:, 0],
+            tol=tol,
+            maxiter=maxiter,
+        )
+        p = project_mean(p_flat[:, None])
+        u, info_u = solve_a(f - apply_bt(p))
+        info = StokesInfo(
+            outer_iterations=schur_info.iterations,
+            schur_residual=schur_info.residual_norm,
+            converged=schur_info.converged,
+            inner_info=info_u,
+        )
+        return u, p, info
+
+    return solve

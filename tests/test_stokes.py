@@ -170,3 +170,85 @@ def test_stokes_taylor_hood_3d():
             )
         )
     assert math.log2(errs[0] / errs[1]) > 2.7, errs
+
+
+# -- matrix-free saddle-point solver -------------------------------------------
+
+
+def test_stokes_solver_matches_dense():
+    """ops.stokes_solver (Schur-complement CG, lumped-mass preconditioned,
+    matrix-free B through unassembled mixed element matrices) lands on the
+    dense pinned-LU Taylor-Hood solution."""
+    from pytorch_fem_solver_tpu.ops import stokes_solver
+
+    mu = 1.0
+
+    def psi(x):
+        return (x[0] * (1 - x[0])) ** 2 * (x[1] * (1 - x[1])) ** 2
+
+    def u_fn(x):
+        g = jax.grad(psi)(x)
+        return jnp.stack([g[1], -g[0]])
+
+    def f_fn(x):
+        lap = jnp.trace(
+            jax.jacfwd(jax.jacfwd(u_fn))(x), axis1=-2, axis2=-1
+        )
+        p_grad = jnp.asarray([3 * x[0] ** 2, 3 * x[1] ** 2])
+        return -mu * lap + p_grad
+
+    def a_form(b):
+        g = b.v_grad
+        return mu * jnp.einsum("...icd,...jcd->...ij", g, g)
+
+    def load(b):
+        pts = b.integration_points[..., 0, :]
+        f = jax.vmap(f_fn)(pts.reshape(-1, 2)).reshape(
+            pts.shape[:-1] + (2,)
+        )
+        return (b.v * f[..., None, :]).sum(-1, keepdims=True)
+
+    mesh = fem.MeshTri(fem.unit_square(n=6))
+    Vu = fem.VectorBasis(mesh, fem.ElementTri(2, 4))
+    Vp = fem.Basis(mesh, fem.ElementTri(1, 4))
+
+    # dense reference (pinned constant mode), as in example_stokes
+    A = Vu.reduce(Vu.integrate_bilinear_form(a_form))
+    f_red = Vu.reduce(Vu.integrate_linear_form(load))
+    B = Vp.integrate_mixed_bilinear_form(Vu, div_form)[
+        :, Vu._basis_parameters["inner_dofs"]
+    ]
+    n_u, n_p = A.shape[0], B.shape[0]
+    K = jnp.zeros((n_u + n_p, n_u + n_p))
+    K = (
+        K.at[:n_u, :n_u].set(A)
+        .at[n_u:, :n_u].set(B)
+        .at[:n_u, n_u:].set(B.T)
+    )
+    pin = n_u + n_p - 1
+    K = K.at[pin, :].set(0.0).at[:, pin].set(0.0).at[pin, pin].set(1.0)
+    sol = jnp.linalg.solve(
+        K, jnp.concatenate([f_red, jnp.zeros((n_p, 1))])
+    )
+    u_ref = Vu.solution_tensor().at[
+        Vu._basis_parameters["inner_dofs"], :
+    ].set(sol[:n_u])
+    p_ref = np.asarray(sol[n_u:, 0])
+
+    solve = stokes_solver(
+        Vu, Vp, a_form, div_form, tol=1e-10, inner_tol=1e-12
+    )
+    u, p, info = solve(Vu.integrate_linear_form(load))
+    assert bool(info.converged)
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(u_ref), atol=1e-9
+    )
+    pc = np.asarray(p[:, 0])
+    np.testing.assert_allclose(
+        pc - pc.mean(), p_ref - p_ref.mean(), atol=1e-7
+    )
+    # the discrete constraint holds: ||B u|| ~ 0 against every q
+    u_cells = u[..., 0][Vu._global_dofs4elements][..., None]
+    local_b = Vp.integrate_mixed_bilinear_form_local(Vu, div_form)
+    bu = Vp._assemble_linear_from_local(local_b @ u_cells)
+    assert float(jnp.abs(bu).max()) < 1e-9
