@@ -252,3 +252,41 @@ def test_stokes_solver_matches_dense():
     local_b = Vp.integrate_mixed_bilinear_form_local(Vu, div_form)
     bu = Vp._assemble_linear_from_local(local_b @ u_cells)
     assert float(jnp.abs(bu).max()) < 1e-9
+
+
+def test_stokes_solver_3d():
+    """The matrix-free Schur solver is dimension-agnostic: on a tet mesh
+    it converges and satisfies the discrete divergence constraint."""
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+    from pytorch_fem_solver_tpu.ops import stokes_solver
+
+    def a_form(b):
+        g = b.v_grad
+        return jnp.einsum("...icd,...jcd->...ij", g, g)
+
+    def load(b):
+        # constant body force (lid-driven-like enclosed forcing)
+        f = jnp.asarray([1.0, 0.0, -0.5])
+        return (f * b.v).sum(-1, keepdims=True)
+
+    mesh = MeshTet(unit_cube(3))
+    Vu = fem.VectorBasis(mesh, ElementTet(2, 3))
+    Vp = fem.Basis(mesh, ElementTet(1, 3))
+    solve = stokes_solver(Vu, Vp, a_form, div_form, tol=1e-8, inner_tol=1e-10)
+    u, p, info = solve(Vu.integrate_linear_form(load))
+    assert bool(info.converged)
+    assert np.isfinite(np.asarray(u)).all() and np.isfinite(np.asarray(p)).all()
+    # discrete divergence constraint
+    local_b = Vp.integrate_mixed_bilinear_form_local(Vu, div_form)
+    u_cells = u[..., 0][Vu._global_dofs4elements][..., None]
+    bu = Vp._assemble_linear_from_local(local_b @ u_cells)
+    scale = float(jnp.abs(u).max())
+    assert float(jnp.abs(bu).max()) < 1e-7 * max(scale, 1e-30) + 1e-10
+    # pressure has zero lumped-mass mean
+    mp = Vp._assemble_linear_from_local(
+        Vp.integrate_bilinear_form_local(
+            lambda b_: b_.v @ jnp.matrix_transpose(b_.v)
+        ).sum(-1, keepdims=True)
+    )
+    assert abs(float((mp * p).sum())) < 1e-10
