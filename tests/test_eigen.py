@@ -91,6 +91,29 @@ def test_laplace_first_mode_unit_cube():
     assert exact < first < 1.2 * exact, first
 
 
+def test_dfn_eigenmodes_finite_and_orthonormal():
+    """The eigensolver runs on the glued fracture-network basis
+    (tangential stiffness / surface mass pencil): finite ascending modes,
+    M-orthonormal across the traces."""
+    from pytorch_fem_solver_tpu.mesh.dfn import build_fracture_network
+
+    f1 = [[-1, 0, 0], [1, 0, 0], [1, 1, 0], [-1, 1, 0]]
+    f2 = [[0, 0, -1], [0, 0, 1], [0, 1, 1], [0, 1, -1]]
+    mesh = build_fracture_network([f1, f2], h=0.2)
+    V = fem.FractureNetworkBasis(mesh, fem.ElementTri(1, 2))
+    vals, vecs, info = V.solve_eigsh(
+        a_form, m_form, k=3, tol=1e-8, return_info=True
+    )
+    assert info.converged
+    vals = np.asarray(vals)
+    assert np.isfinite(vals).all() and (np.diff(vals) >= -1e-9).all()
+    assert vals[0] > 0
+    M = np.asarray(V.reduce(V.integrate_bilinear_form(m_form)))
+    inner = np.asarray(V._basis_parameters["inner_dofs"])
+    vr = np.asarray(vecs)[inner]
+    assert np.abs(vr.T @ M @ vr - np.eye(3)).max() < 1e-9
+
+
 def test_elasticity_eigenmodes_vs_dense_oracle():
     """Vector-valued pencil (elasticity stiffness, vector mass): the
     matrix-free eigensolver (RBM-coarse preconditioned inner solves)

@@ -55,6 +55,7 @@ def run_example(name, env_extra, timeout=600):
         "example_mixed_bc.py",
         "example_nonlinear.py",
         "example_nonlinear_heat.py",
+        "example_nonlinear_dfn.py",
         "example_eigenmodes.py",
         "example_weak_convergence.py",
         "example_jump.py",
