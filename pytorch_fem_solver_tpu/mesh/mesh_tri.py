@@ -132,6 +132,28 @@ class MeshTri(config.HostConstructed):
 
     # -- sizes ------------------------------------------------------------
 
+    def refined(self, marked):
+        """Adaptively refined copy: conforming longest-edge bisection of
+        the marked cells (``mesh.refinement``). Mirrors
+        ``FractureNetworkMesh.refined`` so estimator-driven loops read the
+        same on every mesh family."""
+        import numpy as np
+
+        tri = {
+            "vertices": np.asarray(self["vertices", "coordinates"]),
+            "vertex_markers": np.asarray(self["vertices", "markers"]),
+        }
+        cells = np.asarray(self["cells", "vertices"])
+        if cells.shape[-1] == 4:
+            from .refinement import refine_adaptive_tet
+
+            tri["tetrahedra"] = cells
+            return type(self)(refine_adaptive_tet(tri, marked))
+        from .refinement import refine_adaptive
+
+        tri["triangles"] = cells
+        return type(self)(refine_adaptive(tri, marked))
+
     @property
     def n_vertices(self) -> int:
         return int(self["vertices", "coordinates"].shape[-2])

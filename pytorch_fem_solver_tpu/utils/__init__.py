@@ -1,6 +1,7 @@
 """Utilities: data loading, profiling, benchmark geometry."""
 
 from .profiling import StepTimer, trace
+from .vtk import write_vtk
 from .seven_fractures import (
     benchmark_seven_fracture_geometry,
     build_benchmark_network,
@@ -10,6 +11,7 @@ from .seven_fractures import (
 
 __all__ = [
     "StepTimer",
+    "write_vtk",
     "trace",
     "benchmark_seven_fracture_geometry",
     "build_benchmark_network",
