@@ -94,6 +94,80 @@ class FractureNetworkBasis(Basis):
                 np.concatenate([gmark, edge_mark], axis=0).reshape(-1, 1),
                 dtype=config.index_dtype(),
             )
+        elif element.polynomial_order == 3:
+            # P3 on the glued triangulation: trace edges carry the same
+            # GLOBAL vertex pair in every incident fracture, so the two
+            # edge DOFs (oriented toward the smaller global id, exactly as
+            # in Basis P3) and their 1/3-2/3 nodes are shared across
+            # fractures automatically; the barycenter bubble is per-cell.
+            global_ids = np.asarray(mesh["global", "ids"])[:, 0]
+            gverts = np.asarray(mesh["global", "vertices_3d"])
+            gmark = np.asarray(mesh["global", "markers"]).reshape(-1)
+            gcells = global_ids[np.asarray(mesh["cells", "vertices"])]
+            n_gverts = gverts.shape[0]
+            n_cells = gcells.shape[0]
+
+            from ..mesh.topology import encode_edge_pairs
+
+            directed = gcells[:, [[0, 1], [1, 2], [2, 0]]]  # (T, 3, 2)
+            edges, inverse = np.unique(
+                np.sort(directed.reshape(-1, 2), axis=-1),
+                axis=0,
+                return_inverse=True,
+            )
+            cell_edges = inverse.reshape(-1, 3)
+            n_edges = edges.shape[0]
+
+            forward = directed[..., 0] < directed[..., 1]
+            near_i = n_gverts + 2 * cell_edges + np.where(forward, 0, 1)
+            near_j = n_gverts + 2 * cell_edges + np.where(forward, 1, 0)
+            edge_dofs = np.stack([near_i, near_j], axis=-1).reshape(
+                n_cells, 6
+            )
+            bubble = n_gverts + 2 * n_edges + np.arange(n_cells)
+
+            emin = gverts[edges.min(axis=1)]
+            emax = gverts[edges.max(axis=1)]
+            edge_nodes = np.stack(
+                [(2 * emin + emax) / 3.0, (emin + 2 * emax) / 3.0], axis=1
+            ).reshape(2 * n_edges, -1)
+            centroids = gverts[gcells].mean(axis=1)
+
+            # Dirichlet rule as in the P2 branch: the edge must be a
+            # boundary edge of at least one incident fracture AND both
+            # endpoints marked
+            be_pairs = np.sort(
+                global_ids[np.asarray(mesh["boundary_edges", "vertices"])],
+                axis=-1,
+            )
+            be_codes = encode_edge_pairs(be_pairs, n_gverts)
+            edge_codes = encode_edge_pairs(edges, n_gverts)
+            edge_mark = (
+                np.isin(edge_codes, be_codes)
+                & (gmark[edges[:, 0]] != 0)
+                & (gmark[edges[:, 1]] != 0)
+            ).astype(np.int64)
+
+            coords_4_global_dofs = jnp.asarray(
+                np.concatenate([gverts, edge_nodes, centroids], axis=0),
+                dtype=config.default_dtype(),
+            )
+            global_dofs_4_elements = jnp.asarray(
+                np.concatenate(
+                    [gcells, edge_dofs, bubble[:, None]], axis=1
+                ),
+                dtype=config.index_dtype(),
+            )
+            nodes_4_boundary_dofs = jnp.asarray(
+                np.concatenate(
+                    [
+                        gmark,
+                        np.repeat(edge_mark, 2),
+                        np.zeros(n_cells, dtype=np.int64),
+                    ]
+                ).reshape(-1, 1),
+                dtype=config.index_dtype(),
+            )
         else:
             raise NotImplementedError("Polynomial order not implemented")
 

@@ -235,6 +235,41 @@ def test_p3_vector_basis_cubic_exact():
     np.testing.assert_allclose(np.asarray(u), np.asarray(exact), atol=1e-12)
 
 
+def test_p3_fracture_network_cubic_exact_across_traces():
+    """P3 on the glued two-fracture network: u* = y^2 (1 - y) is in-space,
+    continuous across the trace with zero conormal flux, and reproduces
+    exactly — shared oriented edge DOFs glue cubics across fractures
+    (P2 on the same problem errs at ~6.5e-4, so the test discriminates)."""
+    from pytorch_fem_solver_tpu.mesh.dfn import build_fracture_network
+
+    f1 = [[-1, 0, 0], [1, 0, 0], [1, 1, 0], [-1, 1, 0]]
+    f2 = [[0, 0, -1], [0, 0, 1], [0, 1, 1], [0, 1, -1]]
+    mesh = build_fracture_network([f1, f2], h=0.3)
+    V = fem.FractureNetworkBasis(mesh, fem.ElementTri(3, 5))
+    assert np.abs(np.asarray(V.v).sum(-2) - 1.0).max() < 1e-13
+
+    def exact3(c):
+        y = c[..., 1:2]
+        return y**2 * (1 - y)
+
+    A = V.integrate_bilinear_form(a_form)
+    b = V.integrate_linear_form(
+        lambda b_: -(2 - 6 * b_.integration_points[..., 1:2]) * b_.v
+    )
+    coords = np.asarray(V._coords4global_dofs)
+    exact = jnp.asarray(np.asarray(exact3(coords)).reshape(-1, 1))
+    u_bc, rhs = V.dirichlet_lift(A, b, exact)
+    u = V.solve(A, u_bc, rhs)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(exact), atol=1e-12)
+    u_it = V.solve_iterative(
+        V.integrate_bilinear_form_local(a_form),
+        rhs,
+        solution=u_bc,
+        tol=1e-13,
+    )
+    np.testing.assert_allclose(np.asarray(u_it), np.asarray(u), atol=1e-11)
+
+
 def test_p4_rejected():
     from pytorch_fem_solver_tpu.element import ElementTet
     from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
