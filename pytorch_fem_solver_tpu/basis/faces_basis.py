@@ -21,7 +21,7 @@ from ..element.element_tri import ElementTriSurface
 
 @register_basis_pytree
 class InteriorFacesBasis(InteriorEdgesBasis):
-    """P1/P2 basis on interior faces (triangle charts embedded in the 3D mesh).
+    """P1-P3 basis on interior faces (triangle charts embedded in the 3D mesh).
 
     ``mesh["interior_faces", "normals"]`` holds the unit normals oriented
     from the first adjacent cell toward the second — the orientation jump

@@ -6,12 +6,12 @@ weights ``2 * w_q * |edge|/2``. Parity target: reference
 
 The reference's edge DOF map is a placeholder copied from the cell basis and
 flagged "NOT CORRECT" (interior_edges_basis.py:20-23); only functional
-integration is trustworthy there. Here the DOF map is defined *correctly*: P1 puts
-one DOF per facet endpoint (global vertex ids), P2 adds the facet's own
-edge-midpoint DOFs with the SAME numbering as the cell ``Basis`` (n_vertices
-+ unique-edge id), so facet-assembled forms land in the matching global
-space. Functional
-integration is unchanged and remains the primary use.
+integration is trustworthy there. Here the DOF map is defined *correctly*:
+P1 puts one DOF per facet endpoint (global vertex ids); P2/P3 add the
+facet's own edge (and, in 3D, face-bubble) DOFs with the SAME numbering as
+the cell ``Basis``, so facet-assembled forms land in the matching global
+space at every supported order. Functional integration is unchanged and
+remains the primary use.
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ from .abstract_basis import AbstractBasis, register_basis_pytree
 
 @register_basis_pytree
 class InteriorEdgesBasis(AbstractBasis):
-    """P1/P2 basis on interior edges (line elements embedded in the 2D mesh)."""
+    """P1/P2/P3 basis on interior edges (line elements embedded in the 2D mesh)."""
 
     #: mesh group the facet quadrature lives on; subclasses re-target it
     #: (boundary edges, 3D interior/boundary faces) and inherit everything
@@ -91,6 +91,111 @@ class InteriorEdgesBasis(AbstractBasis):
                 np.concatenate([vert_markers, edge_markers], axis=0).reshape(
                     -1, 1
                 ),
+                dtype=config.index_dtype(),
+            )
+        elif element.polynomial_order == 3:
+            # P3 facet DOFs, numbered identically to the cell Basis P3
+            # layout: two oriented DOFs per unique edge (n_v + 2e nearer
+            # the min endpoint) and the bubble block (2D: per-cell
+            # barycenter, never on a facet; 3D: per-face barycenter — a
+            # boundary face's own bubble). Local slot order matches the
+            # P3 ElementLine / ElementTri(Surface).
+            from ..mesh.topology import (
+                encode_edge_pairs,
+                p2_edge_dirichlet_markers,
+            )
+
+            verts = np.asarray(mesh["vertices", "coordinates"])
+            edges_all = np.asarray(mesh["edges", "vertices"])
+            vert_markers = np.asarray(mesh["vertices", "markers"]).reshape(-1)
+            edge_markers = p2_edge_dirichlet_markers(
+                edges_all, mesh["edges", "markers"], vert_markers
+            )
+            fv = np.asarray(mesh[self.facet_group, "vertices"])
+            n_v = verts.shape[0]
+            n_e = edges_all.shape[0]
+            if fv.shape[1] == 2:
+                directed = fv[:, None, :]  # (E, 1, 2): the facet itself
+            else:
+                directed = fv[:, [[0, 1], [1, 2], [2, 0]]]  # (F, 3, 2)
+
+            codes_all = encode_edge_pairs(
+                np.sort(edges_all, axis=-1), n_v
+            )
+            order = np.argsort(codes_all)
+            pc = encode_edge_pairs(
+                np.sort(directed.reshape(-1, 2), axis=-1), n_v
+            )
+            pos = np.searchsorted(codes_all[order], pc)
+            if (codes_all[order][pos] != pc).any():  # pragma: no cover
+                raise ValueError(
+                    "facet edge missing from the mesh's unique-edge table"
+                )
+            facet_edges = order[pos].reshape(directed.shape[:2])
+            forward = directed[..., 0] < directed[..., 1]
+            near_i = n_v + 2 * facet_edges + np.where(forward, 0, 1)
+            near_j = n_v + 2 * facet_edges + np.where(forward, 1, 0)
+            edge_dofs = np.stack([near_i, near_j], axis=-1).reshape(
+                fv.shape[0], -1
+            )
+
+            emin = verts[edges_all.min(axis=1)]
+            emax = verts[edges_all.max(axis=1)]
+            edge_nodes = np.stack(
+                [(2 * emin + emax) / 3.0, (emin + 2 * emax) / 3.0], axis=1
+            ).reshape(2 * n_e, -1)
+
+            cells = np.asarray(mesh["cells", "vertices"])
+            if fv.shape[1] == 2:
+                # 2D: bubble block = per-cell barycenters; none on facets
+                bubble_coords = verts[cells].mean(axis=1)
+                bubble_marks = np.zeros(cells.shape[0], dtype=np.int64)
+                dofs = np.concatenate([fv, edge_dofs], axis=1)
+            else:
+                # 3D: bubble block = per-face barycenters; the facet's own
+                # bubble is its face id in the mesh's unique-face table
+                faces = np.asarray(mesh["faces", "vertices"])  # sorted
+                face_markers = np.asarray(
+                    mesh["faces", "markers"]
+                ).reshape(-1)
+                if n_v**3 >= 2**62:  # pragma: no cover
+                    raise NotImplementedError(
+                        "P3 face matching overflows the scalar face code"
+                    )
+                fcodes = (
+                    faces[:, 0].astype(np.int64) * n_v + faces[:, 1]
+                ) * n_v + faces[:, 2]
+                forder = np.argsort(fcodes)
+                own = np.sort(fv, axis=1)
+                owncodes = (
+                    own[:, 0].astype(np.int64) * n_v + own[:, 1]
+                ) * n_v + own[:, 2]
+                face_ids = forder[
+                    np.searchsorted(fcodes[forder], owncodes)
+                ]
+                dofs = np.concatenate(
+                    [fv, edge_dofs, (n_v + 2 * n_e + face_ids)[:, None]],
+                    axis=1,
+                )
+                bubble_coords = verts[faces].mean(axis=1)
+                fm = vert_markers[faces]
+                bubble_marks = np.where(
+                    (face_markers != 0) & (fm != 0).all(axis=1),
+                    fm.max(axis=1),
+                    0,
+                ).astype(np.int64)
+
+            coords_4_global_dofs = jnp.asarray(
+                np.concatenate([verts, edge_nodes, bubble_coords], axis=0),
+                dtype=config.default_dtype(),
+            )
+            global_dofs_4_elements = jnp.asarray(
+                dofs, dtype=config.index_dtype()
+            )
+            nodes_4_boundary_dofs = jnp.asarray(
+                np.concatenate(
+                    [vert_markers, np.repeat(edge_markers, 2), bubble_marks]
+                ).reshape(-1, 1),
                 dtype=config.index_dtype(),
             )
         else:

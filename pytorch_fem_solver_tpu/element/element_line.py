@@ -67,6 +67,36 @@ class ElementLine(AbstractElement):
             v_grad = grad_ref @ inv_map_jacobian
             return v, v_grad
 
+        if self.polynomial_order == 3:
+            # cubic Lagrange on the segment, local DOF order (endpoint 0,
+            # endpoint 1, node at 2/3 toward endpoint 0, node at 2/3
+            # toward endpoint 1) — mirrors the cell P3 edge-slot order so
+            # facet bases can append the edge's two oriented global DOFs
+            l1 = bar_coords[..., 0, :][..., None, :]
+            l2 = bar_coords[..., 1, :][..., None, :]
+            v = jnp.concatenate(
+                [
+                    0.5 * l1 * (3 * l1 - 1) * (3 * l1 - 2),
+                    0.5 * l2 * (3 * l2 - 1) * (3 * l2 - 2),
+                    4.5 * l1 * l2 * (3 * l1 - 1),
+                    4.5 * l1 * l2 * (3 * l2 - 1),
+                ],
+                axis=-2,
+            )
+            g = self.barycentric_grad  # (2, 1)
+            g1, g2 = g[0:1, :], g[1:2, :]
+            grad_ref = jnp.concatenate(
+                [
+                    (13.5 * l1 * l1 - 9.0 * l1 + 1.0) * g1,
+                    (13.5 * l2 * l2 - 9.0 * l2 + 1.0) * g2,
+                    4.5 * (l2 * (6 * l1 - 1) * g1 + l1 * (3 * l1 - 1) * g2),
+                    4.5 * (l1 * (6 * l2 - 1) * g2 + l2 * (3 * l2 - 1) * g1),
+                ],
+                axis=-2,
+            )
+            v_grad = grad_ref @ inv_map_jacobian
+            return v, v_grad
+
         raise NotImplementedError("Polynomial order not implemented")
 
     def _compute_gauss_values(self):

@@ -163,7 +163,80 @@ def test_p2_midpoint_dirichlet_rule():
     np.testing.assert_array_equal(mid_constrained, mid_on_x0)
 
 
-def test_p3_facet_raises():
+def test_p3_mixed_neumann_dirichlet_exact_2d():
+    """P3 facet bases: u* = x^3 + y with Dirichlet on x=0 only and Neumann
+    data assembled through the P3 BoundaryEdgesBasis reproduces exactly
+    (edge-DOF orientation and the cell-P3 numbering agree)."""
+    tri = fem.unit_square(n=4)
+    v = np.asarray(tri["vertices"])
+    markers = (np.abs(v[:, 0]) < 1e-12).astype(np.int64).reshape(-1, 1)
+    mesh = fem.MeshTri(dict(tri, vertex_markers=markers))
+    V = fem.Basis(mesh, fem.ElementTri(3, 5))
+    Vb = fem.BoundaryEdgesBasis(mesh, fem.ElementLine(3, 4))
+    assert Vb.n_dofs == V.n_dofs
+    assert abs(float(Vb.integrate_linear_form(lambda b_: b_.v).sum()) - 4.0) < 1e-12
+
+    A = V.integrate_bilinear_form(stiffness)
+    b_vol = V.integrate_linear_form(
+        lambda b_: -6.0 * b_.integration_points[..., 0:1] * b_.v
+    )
+
+    def g_form(b_):
+        x = b_.integration_points[..., 0:1]
+        y = b_.integration_points[..., 1:2]
+        g = jnp.where(
+            x > 1 - 1e-9,
+            3.0 * x**2,
+            jnp.where(y > 1 - 1e-9, 1.0, jnp.where(y < 1e-9, -1.0, 0.0)),
+        )
+        return g * b_.v
+
+    b = b_vol + Vb.integrate_linear_form(g_form)
+    coords = np.asarray(V._coords4global_dofs)
+    exact = jnp.asarray((coords[:, 0] ** 3 + coords[:, 1]).reshape(-1, 1))
+    u_bc, rhs = V.dirichlet_lift(A, b, exact)
+    u = V.solve(A, u_bc, rhs)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(exact), atol=1e-10)
+
+
+def test_p3_mixed_neumann_dirichlet_exact_3d():
+    """Same construction through the P3 BoundaryFacesBasis on tets (edge
+    pairs + the face's own bubble DOF in the tet-P3 numbering)."""
+    tri = unit_cube(2)
+    v = np.asarray(tri["vertices"])
+    markers = (np.abs(v[:, 0]) < 1e-12).astype(np.int64).reshape(-1, 1)
+    mesh = MeshTet(dict(tri, vertex_markers=markers))
+    V = fem.Basis(mesh, ElementTet(3, 4))
+    Vb = fem.BoundaryFacesBasis(mesh, fem.ElementTriSurface(3, 4))
+    assert Vb.n_dofs == V.n_dofs
+    assert abs(float(Vb.integrate_linear_form(lambda b_: b_.v).sum()) - 6.0) < 1e-12
+
+    A = V.integrate_bilinear_form(stiffness)
+    b_vol = V.integrate_linear_form(
+        lambda b_: -6.0 * b_.integration_points[..., 0:1] * b_.v
+    )
+
+    def g_form(b_):
+        p = b_.integration_points
+        x, y = p[..., 0:1], p[..., 1:2]
+        eps = 1e-9
+        g = jnp.where(
+            x > 1 - eps,
+            3.0 * x**2,
+            jnp.where(y > 1 - eps, 1.0, 0.0)
+            + jnp.where(y < eps, -1.0, 0.0),
+        )
+        return g * b_.v
+
+    b = b_vol + Vb.integrate_linear_form(g_form)
+    coords = np.asarray(V._coords4global_dofs)
+    exact = jnp.asarray((coords[:, 0] ** 3 + coords[:, 1]).reshape(-1, 1))
+    u_bc, rhs = V.dirichlet_lift(A, b, exact)
+    u = V.solve(A, u_bc, rhs)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(exact), atol=1e-10)
+
+
+def test_p4_facet_raises():
     mesh = fem.MeshTri(fem.unit_square(n=2))
     with pytest.raises(NotImplementedError):
-        fem.InteriorEdgesBasis(mesh, fem.ElementLine(3, 3))
+        fem.InteriorEdgesBasis(mesh, fem.ElementLine(4, 3))
