@@ -45,6 +45,16 @@ FORMAT = os.environ.get("BENCH_FORMAT", "bsr")  # bsr | ell
 OMEGA = float(os.environ.get("BENCH_OMEGA", "0.8"))
 AGG = int(os.environ.get("BENCH_AGG", "0")) or None  # None = adaptive
 AGG_SMOOTH = int(os.environ.get("BENCH_AGG_SMOOTH", "0")) or None  # aggblock gs
+# Fail-fast deadlines (s): the axon tunnel's outage mode hangs every device
+# touch in a silent sleep-retry loop; without these, an outage converts to
+# rc=124 with no output (BENCH_r02.json). 0 disables.
+PROBE_S = float(os.environ.get("BENCH_PROBE_S", "150"))  # init RTT ~60s measured
+WARMUP_S = float(os.environ.get("BENCH_WARMUP_S", "600"))
+REPEAT_S = float(os.environ.get("BENCH_REPEAT_S", "180"))
+
+from pytorch_fem_solver_tpu.utils.watchdog import Watchdog, probe_device
+
+WD = Watchdog(metric="seven_fractures_dfn_assembly_pcg_wallclock")
 
 
 def log(*args):
@@ -69,16 +79,21 @@ def timed_solve(assemble_and_solve):
     np.asarray forces real synchronization on axon (block_until_ready is a
     no-op there); the warmup also reports convergence.
     """
+    if WARMUP_S:
+        WD.arm(WARMUP_S, "tpu warmup (compile + first solve)")
     x, iters, res = assemble_and_solve()
     x_host = np.asarray(x)
     log(f"tpu warmup: converged in {int(iters)} iters, rel res {float(res):.3e}")
 
     times = []
     for _ in range(REPEATS):
+        if REPEAT_S:
+            WD.arm(REPEAT_S, "tpu timed repeat")
         t0 = time.perf_counter()
         x, iters, res = assemble_and_solve()
         x_host = np.asarray(x)
         times.append(time.perf_counter() - t0)
+    WD.disarm()
     tpu_time = float(np.median(times))
     spread = (float(np.min(times)), float(np.max(times)))
     log(f"tpu times: {['%.4f' % t for t in times]} -> median {tpu_time:.4f}s")
@@ -191,6 +206,8 @@ def tpu_run_bsr(mesh):
     # passing them as jit arguments without this re-ships them over the
     # axon tunnel on EVERY call (measured +0.21 s/solve at 107k DOFs)
     device = jax.devices()[0]
+    if WARMUP_S:
+        WD.arm(WARMUP_S, "one-time host->device transfer")
     V, big_tables, agg_table, chunk_xs = jax.device_put(
         (V, big_tables, agg_table, chunk_xs), device
     )
@@ -535,6 +552,9 @@ def cpu_baseline(mesh):
 
 
 def main():
+    if PROBE_S:
+        rtt = probe_device(WD, PROBE_S)
+        log(f"tunnel probe: first device op round-trip {rtt:.1f}s")
     mesh = build_mesh()
     n_dofs = mesh.n_global_dofs
 
