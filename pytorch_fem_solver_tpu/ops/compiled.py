@@ -18,16 +18,31 @@ the TPU-native production solve path.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _mm_precision(precision):
+    """Trace-time matmul-precision scope. On TPU the f32 matmul default is
+    bf16-input passes — harmless for the PCG solve (validated 1.1e-5 vs CPU
+    at 107k DOFs, iterations unchanged, and 'highest' costs a measured 12%)
+    but CORRUPTING for spectral paths: the f32 eigsh at 100k DOFs converged
+    to eigenvalues 7.8% high under the default and to the true values (and
+    in half the rounds: 12 vs 25) under 'highest'. None = backend default.
+    """
+    if precision is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(precision)
+
 __all__ = [
     "compiled_bsr_solver",
     "compiled_eigsh_solver",
     "compiled_newton_solver",
+    "compiled_stokes_solver",
 ]
 
 
@@ -410,6 +425,7 @@ def compiled_newton_solver(
     precondition: str = "jacobi",
     damping: bool = True,
     max_b: Optional[int] = None,
+    matmul_precision: Optional[str] = "highest",
 ):
     """One-jit Newton solve for nonlinear problems F(u)[v] = 0.
 
@@ -445,7 +461,11 @@ def compiled_newton_solver(
         bsr_reduce,
         bsr_values_from_local,
     )
-    from .precondition import agg_block_two_level_from_values
+    from .precondition import (
+        affine_two_level_from_values,
+        agg_block_two_level_from_values,
+        get_affine_two_level_structure,
+    )
     from .solvers import bicgstab
 
     if precondition not in ("auto", "jacobi"):
@@ -453,18 +473,27 @@ def compiled_newton_solver(
             f"unknown precondition: {precondition!r} "
             "(expected 'auto' or 'jacobi')"
         )
-    if int(getattr(basis, "n_components", 1)) >= 2 and precondition == "auto":
-        raise NotImplementedError(
-            "precondition='auto' on vector bases needs the RBM coarse "
-            "space rebuilt per Newton step; use 'jacobi'"
-        )
+    is_vector = int(getattr(basis, "n_components", 1)) >= 2
 
     st, big_tables, g, gs, agg_table = _bsr_setup(
-        basis, max_b, want_agg=precondition == "auto"
+        basis, max_b, want_agg=precondition == "auto" and not is_vector
+    )
+    # vector bases: rigid-body-mode coarse space. The STRUCTURE (mode
+    # tables W, aggregate bins) is value-independent and built once on the
+    # host; the numeric setup from each Newton step's Jacobian values runs
+    # inside the while_loop body (measured on 3D elasticity: Jacobi pays 6x
+    # the iterations of the RBM coarse, docs/performance.md).
+    ast = None
+    if precondition == "auto" and is_vector:
+        ast = get_affine_two_level_structure(basis, st, rbm=True)
+    ast_arrays = (
+        None
+        if ast is None
+        else {"W": ast.W, "bins1": ast.bins1, "bins2": ast.bins2}
     )
     device = jax.devices()[0]
-    basis_d, tables_d, agg_table_d = jax.device_put(
-        (basis, big_tables, agg_table), device
+    basis_d, tables_d, agg_table_d, ast_d = jax.device_put(
+        (basis, big_tables, agg_table, ast_arrays), device
     )
 
     n_loc = int(basis._global_dofs4elements.shape[-1])
@@ -476,7 +505,7 @@ def compiled_newton_solver(
         return (integrand * Vb._dx).sum(-3)
 
     @jax.jit
-    def _run(Vb, tables, agg_tbl, u0, form_args):
+    def _run(Vb, tables, agg_tbl, ast_a, u0, form_args):
         st_d = st._replace(**tables)
         dofs = Vb._global_dofs4elements
 
@@ -513,9 +542,20 @@ def compiled_newton_solver(
             diag = bsr_diagonal(st_d, values)
             precond = None
             if precondition == "auto":
-                precond = agg_block_two_level_from_values(
-                    st_d, values, diag, g=g, gs=gs, table=agg_tbl
-                )
+                if is_vector:
+                    precond = affine_two_level_from_values(
+                        ast._replace(
+                            Wb=ast_a["W"].reshape(st.nb, st.block, ast.m),
+                            **ast_a,
+                        ),
+                        st_d,
+                        values,
+                        diag,
+                    )
+                else:
+                    precond = agg_block_two_level_from_values(
+                        st_d, values, diag, g=g, gs=gs, table=agg_tbl
+                    )
             x, _ = bicgstab(
                 lambda v: bsr_matvec(st_d, values, v),
                 bsr_reduce(st_d, -r),
@@ -535,7 +575,13 @@ def compiled_newton_solver(
 
                 def damp_cond(c):
                     _, rn, t = c
-                    return jnp.logical_and(rn >= res, t < 12)
+                    # NOT (rn < res), not (rn >= res): a NaN trial norm
+                    # (diverged inner solve in f32 — observed on the TPU
+                    # with Jacobi-BiCGStab at 100k DOFs) must keep damping,
+                    # not be accepted
+                    return jnp.logical_and(
+                        jnp.logical_not(rn < res), t < 12
+                    )
 
                 def damp_body(c):
                     s, _, t = c
@@ -547,7 +593,13 @@ def compiled_newton_solver(
                 )
             else:
                 s, rn = 1.0, rn1
-            return (u + s * delta, rn, k + 1)
+            # a still-non-finite trial norm after damping must not poison
+            # the iterate: keep u, stop (converged=False reports the stall)
+            bad = jnp.logical_not(jnp.isfinite(rn))
+            u_next = jnp.where(bad, u, u + s * delta)
+            rn = jnp.where(bad, res, rn)
+            k_next = jnp.where(bad, max_newton, k + 1)
+            return (u_next, rn, k_next)
 
         u, res, k = jax.lax.while_loop(cond, body, (u0, res0, 0))
         return u, (k, res, res <= target)
@@ -555,7 +607,10 @@ def compiled_newton_solver(
     def solve(u0=None, *args):
         if u0 is None:
             u0 = basis.solution_tensor()
-        return _run(basis_d, tables_d, agg_table_d, u0, tuple(args))
+        with _mm_precision(matmul_precision):
+            return _run(
+                basis_d, tables_d, agg_table_d, ast_d, u0, tuple(args)
+            )
 
     return solve
 
@@ -573,6 +628,7 @@ def compiled_eigsh_solver(
     precondition: str = "two_level",
     max_b: Optional[int] = None,
     seed: int = 0,
+    matmul_precision: Optional[str] = "highest",
 ):
     """One-jit generalized eigensolve: compiled counterpart of
     :meth:`AbstractBasis.solve_eigsh`.
@@ -599,15 +655,7 @@ def compiled_eigsh_solver(
             f"unknown precondition: {precondition!r} "
             "(expected 'two_level' or 'jacobi')"
         )
-    if (
-        int(getattr(basis, "n_components", 1)) >= 2
-        and precondition == "two_level"
-    ):
-        raise NotImplementedError(
-            "precondition='two_level' on vector bases needs the RBM coarse "
-            "structure threaded through the compiled program; use 'jacobi' "
-            "or the eager solve_eigsh"
-        )
+    is_vector = int(getattr(basis, "n_components", 1)) >= 2
     n_inner = int(np.asarray(basis._basis_parameters["inner_dofs"]).size)
     if k > n_inner:
         raise ValueError(
@@ -618,7 +666,21 @@ def compiled_eigsh_solver(
     # value-independent preconditioner tables stay on host (the numeric
     # setup from the assembled values runs inside the program)
     st, big_tables, g, gs, agg_table = _bsr_setup(
-        basis, max_b, want_agg=precondition == "two_level"
+        basis, max_b, want_agg=precondition == "two_level" and not is_vector
+    )
+    # vector bases (elasticity eigenmodes): rigid-body-mode coarse space —
+    # structure host-built once, numeric setup inside the program (same
+    # threading as compiled_bsr_solver; measured 6x iteration cut vs Jacobi
+    # on 3D elasticity, docs/performance.md)
+    ast = None
+    if precondition == "two_level" and is_vector:
+        from .precondition import get_affine_two_level_structure
+
+        ast = get_affine_two_level_structure(basis, st, rbm=True)
+    ast_arrays = (
+        None
+        if ast is None
+        else {"W": ast.W, "bins1": ast.bins1, "bins2": ast.bins2}
     )
 
     rng = np.random.default_rng(seed)
@@ -627,13 +689,13 @@ def compiled_eigsh_solver(
         dtype=basis._coords4global_dofs.dtype,
     )
     device = jax.devices()[0]
-    basis_d, tables_d, agg_table_d, rand_d = jax.device_put(
-        (basis, big_tables, agg_table, rand), device
+    basis_d, tables_d, agg_table_d, ast_d, rand_d = jax.device_put(
+        (basis, big_tables, agg_table, ast_arrays, rand), device
     )
     n_dofs = basis.n_dofs
 
     @jax.jit
-    def _run(Vb, tables, agg_tbl, rblock):
+    def _run(Vb, tables, agg_tbl, ast_a, rblock):
         st_d = st._replace(**tables)
         va = bsr_values_from_local(
             st_d, Vb.integrate_bilinear_form_local(a_form)
@@ -644,11 +706,24 @@ def compiled_eigsh_solver(
         diag = bsr_diagonal(st_d, va)
         precond = None
         if precondition == "two_level":
-            from .precondition import agg_block_two_level_from_values
+            if is_vector:
+                from .precondition import affine_two_level_from_values
 
-            precond = agg_block_two_level_from_values(
-                st_d, va, diag, g=g, gs=gs, table=agg_tbl
-            )
+                precond = affine_two_level_from_values(
+                    ast._replace(
+                        Wb=ast_a["W"].reshape(st.nb, st.block, ast.m),
+                        **ast_a,
+                    ),
+                    st_d,
+                    va,
+                    diag,
+                )
+            else:
+                from .precondition import agg_block_two_level_from_values
+
+                precond = agg_block_two_level_from_values(
+                    st_d, va, diag, g=g, gs=gs, table=agg_tbl
+                )
         x0 = jnp.stack(
             [bsr_reduce(st_d, rblock[:, j]) for j in range(m_block)], axis=1
         )
@@ -674,6 +749,230 @@ def compiled_eigsh_solver(
         return vals, vecs, info
 
     def solve():
-        return _run(basis_d, tables_d, agg_table_d, rand_d)
+        with _mm_precision(matmul_precision):
+            return _run(basis_d, tables_d, agg_table_d, ast_d, rand_d)
+
+    return solve
+
+
+def compiled_stokes_solver(
+    velocity_basis,
+    pressure_basis,
+    a_form: Callable,
+    b_form: Callable,
+    *,
+    tol: float = 1e-8,
+    maxiter: Optional[int] = None,
+    inner_tol: float = 1e-11,
+    inner_maxiter: Optional[int] = None,
+    precondition: str = "auto",
+    mass_form: Optional[Callable] = None,
+    max_b: Optional[int] = None,
+    operand_dtype=None,
+    matmul_precision: Optional[str] = "highest",
+):
+    """One-jit Schur-complement Stokes solve: the compiled counterpart of
+    :func:`ops.saddle.stokes_solver` (same math, same contracts).
+
+    The eager solver dispatches every inner A-solve op-by-op — on the
+    tunneled TPU that is ~31 ms RTT per op times hundreds of inner PCG
+    iterations per Schur application (the measured 90x eager/compiled gap,
+    docs/performance.md). Here the ENTIRE solve — both local assemblies,
+    BSR value scatter, preconditioner numeric setup, the outer Schur CG and
+    every nested inner A-solve (``lax.while_loop`` inside the outer CG's
+    ``lax.while_loop`` body) — is a single XLA program; a solve costs one
+    dispatch. ``f`` (and optional ``g``, ``x0``) ride as jit arguments, so
+    re-solving with new right-hand sides reuses the compiled program.
+
+    Args:
+      precondition: inner A-block preconditioner — ``"auto"`` (aggregate-
+        block two-level for scalar bases; rigid-body-mode coarse space for
+        vector bases, the compiled_bsr_solver defaults) or ``"jacobi"``.
+      inner_maxiter: cap for the nested A-solves (default: PCG's 10n bound;
+        set ~a few hundred to bound the nested loop's worst case).
+
+    Returns ``solve(f, g=None, x0=None) -> (u, p, StokesInfo)``; the
+    pressure has zero lumped-mass mean. No reference counterpart (the
+    reference has neither mixed elements nor iterative solvers — dense LU
+    only, torch_fem/basis/abstract_basis.py:177-195).
+    """
+    from .bsr import (
+        bsr_diagonal,
+        bsr_expand,
+        bsr_matvec,
+        bsr_reduce,
+        bsr_values_from_local_symmetric,
+        default_max_b,
+        get_bsr_structure,
+    )
+    from .precondition import (
+        affine_two_level_from_values,
+        agg_block_two_level_from_values,
+        build_agg_block_table,
+        default_aggregate_size,
+        get_affine_two_level_structure,
+    )
+    from .saddle import StokesInfo
+    from .solvers import pcg
+
+    if precondition not in ("auto", "jacobi"):
+        raise ValueError(
+            f"unknown precondition: {precondition!r} "
+            "(expected 'auto' or 'jacobi')"
+        )
+    Vu, Vp = velocity_basis, pressure_basis
+    if mass_form is None:
+        mass_form = lambda b_: b_.v @ jnp.matrix_transpose(b_.v)
+
+    if max_b is None:
+        max_b = default_max_b(Vu)
+    st = get_bsr_structure(Vu, max_b=max_b, want_entry_slot=False)
+
+    is_vector = int(getattr(Vu, "n_components", 1)) >= 2
+    ast = None
+    agg_table = None
+    g_agg = gs = None
+    if precondition == "auto":
+        if is_vector:
+            ast = get_affine_two_level_structure(Vu, st, rbm=True)
+        else:
+            g_agg = default_aggregate_size(st)
+            gs = min(g_agg, 128)
+            agg_table = jnp.asarray(build_agg_block_table(st, gs))
+
+    big_tables = {
+        "bcols": st.bcols,
+        "entry_slot": st.entry_slot[:0],
+        "entry_slot_sym": st.entry_slot_sym,
+        "bcols2": st.bcols2,
+        "heavy_rows": st.heavy_rows,
+        "tpartner": st.tpartner,
+    }
+    ast_arrays = (
+        None
+        if ast is None
+        else {"W": ast.W, "bins1": ast.bins1, "bins2": ast.bins2}
+    )
+    # the mixed coupling block is geometry-only (the forms see basis tables,
+    # not solution state): assemble the unassembled element matrices once at
+    # construction, on the host-committed arrays, and ship them as device
+    # arguments — this also sidesteps the mesh-identity validation, which
+    # cannot hold between pytree-reconstructed jit operands
+    local_b_host = Vp.integrate_mixed_bilinear_form_local(Vu, b_form)
+    mp_lumped_host = Vp._assemble_linear_from_local(
+        Vp.integrate_bilinear_form_local(mass_form).sum(-1, keepdims=True)
+    )
+    device = jax.devices()[0]
+    Vu_d, Vp_d, tables_d, agg_table_d, ast_d, local_b_d, mp_d = (
+        jax.device_put(
+            (Vu, Vp, big_tables, agg_table, ast_arrays, local_b_host,
+             mp_lumped_host),
+            device,
+        )
+    )
+
+    n_u = Vu.n_dofs
+
+    @jax.jit
+    def _run(Vub, Vpb, tables, agg_tbl, ast_a, local_b, mp_lumped, f, g, x0):
+        st_d = st._replace(**tables)
+        local_a = Vub.integrate_bilinear_form_local(a_form)
+        values = bsr_values_from_local_symmetric(st_d, local_a)
+        diag = bsr_diagonal(st_d, values)
+        precond = None
+        if precondition == "auto":
+            if is_vector:
+                precond = affine_two_level_from_values(
+                    ast._replace(
+                        Wb=ast_a["W"].reshape(st.nb, st.block, ast.m),
+                        **ast_a,
+                    ),
+                    st_d,
+                    values,
+                    diag,
+                    operand_dtype=operand_dtype,
+                )
+            else:
+                precond = agg_block_two_level_from_values(
+                    st_d, values, diag, g=g_agg, gs=gs, table=agg_tbl,
+                    operand_dtype=operand_dtype,
+                )
+
+        local_bt = jnp.matrix_transpose(local_b)
+        mp_total = mp_lumped.sum()
+        u_dofs = Vub._global_dofs4elements
+        p_dofs = Vpb._global_dofs4elements
+
+        def apply_b(u_vec):
+            u_cells = u_vec[..., 0][u_dofs][..., None]
+            return Vpb._assemble_linear_from_local(local_b @ u_cells)
+
+        def apply_bt(p_vec):
+            p_cells = p_vec[..., 0][p_dofs][..., None]
+            return Vub._assemble_linear_from_local(local_bt @ p_cells)
+
+        def project_mean(p_vec):
+            mean = (mp_lumped * p_vec).sum() / mp_total
+            return p_vec - mean
+
+        def solve_a(rhs):
+            x, info = pcg(
+                lambda v: bsr_matvec(st_d, values, v),
+                bsr_reduce(st_d, rhs),
+                precond_diag=diag,
+                precond=precond,
+                tol=inner_tol,
+                maxiter=inner_maxiter,
+            )
+            return bsr_expand(st_d, x, n_u), info
+
+        u_f, _ = solve_a(f)
+        rhs_p = apply_b(u_f)
+        rhs_p = rhs_p - g
+        rhs_p = project_mean(rhs_p)
+
+        def schur(p_flat):
+            w = apply_bt(p_flat[:, None])
+            y, _ = solve_a(w)
+            return project_mean(apply_b(y))[:, 0]
+
+        inv_lump = 1.0 / mp_lumped[:, 0]
+        p_flat, schur_info = pcg(
+            schur,
+            rhs_p[:, 0],
+            x0=x0,
+            precond=lambda r: project_mean((inv_lump * r)[:, None])[:, 0],
+            tol=tol,
+            maxiter=maxiter,
+        )
+        p = project_mean(p_flat[:, None])
+        u, info_u = solve_a(f - apply_bt(p))
+        info = StokesInfo(
+            outer_iterations=schur_info.iterations,
+            schur_residual=schur_info.residual_norm,
+            converged=schur_info.converged,
+            inner_info=info_u,
+        )
+        return u, p, info
+
+    n_p = Vp.n_dofs
+    f_dtype = Vu._coords4global_dofs.dtype
+    zero_g = jnp.zeros((n_p, 1), dtype=f_dtype)
+    zero_x0 = jnp.zeros((n_p,), dtype=f_dtype)
+
+    def solve(f, g=None, x0=None):
+        with _mm_precision(matmul_precision):
+            return _run(
+                Vu_d,
+                Vp_d,
+                tables_d,
+                agg_table_d,
+                ast_d,
+                local_b_d,
+                mp_d,
+                f,
+                zero_g if g is None else g,
+                zero_x0 if x0 is None else x0[:, 0],
+            )
 
     return solve

@@ -195,3 +195,35 @@ def test_solve_eigsh_tiny_system_guard_block_clamped():
         )
         assert np.isfinite(np.asarray(vals)).all()
         np.testing.assert_allclose(np.asarray(vals), ref[:k], rtol=1e-7)
+
+
+def test_compiled_eigsh_vector_rbm_two_level():
+    """precondition='two_level' on a vector basis (previously
+    NotImplementedError) uses the rigid-body-mode coarse space inside the
+    compiled program and matches the eager RBM-preconditioned solve."""
+    mu, lam = 1.0, 1.5
+
+    def elasticity(b):
+        g = b.v_grad
+        eps = 0.5 * (g + jnp.swapaxes(g, -1, -2))
+        div = jnp.trace(g, axis1=-2, axis2=-1)
+        return (
+            2 * mu * jnp.einsum("...icd,...jcd->...ij", eps, eps)
+            + lam * div[..., :, None] * div[..., None, :]
+        )
+
+    def vmass(b):
+        return jnp.einsum("...ic,...jc->...ij", b.v, b.v)
+
+    mesh = fem.MeshTri(fem.unit_square(n=5))
+    V = fem.VectorBasis(mesh, fem.ElementTri(1, 2))
+    vals_e, _ = V.solve_eigsh(elasticity, vmass, k=4, tol=1e-10)
+    solve = V.compiled_eigsh(
+        elasticity, vmass, k=4, tol=1e-10, precondition="two_level"
+    )
+    vals_c, vecs_c, (rounds, change, conv) = solve()
+    assert bool(conv)
+    np.testing.assert_allclose(
+        np.asarray(vals_c), np.asarray(vals_e), rtol=1e-7
+    )
+    assert vecs_c.shape == (V.n_dofs, 4)

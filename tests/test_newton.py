@@ -393,3 +393,38 @@ def test_newton_3d():
     )
     assert info["converged"]
     np.testing.assert_allclose(np.asarray(u), exact, atol=1e-7)
+
+
+def test_compiled_newton_vector_rbm_auto():
+    """precondition='auto' on a vector basis threads the rigid-body-mode
+    coarse space through the compiled Newton program (structure host-built
+    once, numeric setup per step inside the while_loop) and lands on the
+    eager solution."""
+    mu0, lam = 1.0, 1.5
+
+    def bodyf(b_):
+        f = jnp.asarray([0.0, -1.0])
+        return jnp.einsum("c,...lc->...l", f, b_.v)[..., None]
+
+    def residual(b_, u, ug):
+        mu_u = mu0 * (1.0 + (u**2).sum(-1, keepdims=True))
+        eps_u = 0.5 * (ug + jnp.swapaxes(ug, -1, -2))
+        eps_v = 0.5 * (b_.v_grad + jnp.swapaxes(b_.v_grad, -1, -2))
+        div_u = jnp.trace(ug, axis1=-2, axis2=-1)
+        div_v = jnp.trace(b_.v_grad, axis1=-2, axis2=-1)
+        return (
+            2 * mu_u * jnp.einsum("...ocd,...lcd->...lo", eps_u, eps_v)
+            + lam * (div_u[..., None, :] * div_v[..., :, None])
+            - bodyf(b_)
+        )
+
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**6))
+    V = fem.VectorBasis(mesh, fem.ElementTri(1, 3))
+    u_ref, info = V.solve_newton(residual, tol=1e-12, return_info=True)
+    assert info["converged"]
+
+    u_c, (k, res, conv) = V.compiled_newton(
+        residual, tol=1e-12, precondition="auto"
+    )()
+    assert bool(conv)
+    np.testing.assert_allclose(np.asarray(u_c), np.asarray(u_ref), atol=1e-11)

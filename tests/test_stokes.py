@@ -290,3 +290,53 @@ def test_stokes_solver_3d():
         ).sum(-1, keepdims=True)
     )
     assert abs(float((mp * p).sum())) < 1e-10
+
+
+def test_compiled_stokes_matches_eager():
+    """compiled_stokes_solver (one-jit Schur CG with nested BSR-PCG
+    A-solves) lands on the eager stokes_solver solution; a second call with
+    a different right-hand side reuses the compiled program."""
+    from pytorch_fem_solver_tpu.ops import compiled_stokes_solver, stokes_solver
+
+    def a_form(b):
+        g = b.v_grad
+        return jnp.einsum("...icd,...jcd->...ij", g, g)
+
+    def load(b):
+        pts = b.integration_points[..., 0, :]
+        f = jnp.stack(
+            [jnp.sin(math.pi * pts[..., 0]), pts[..., 1] ** 2], axis=-1
+        )
+        return (b.v * f[..., None, :]).sum(-1, keepdims=True)
+
+    mesh = fem.MeshTri(fem.unit_square(n=6))
+    Vu = fem.VectorBasis(mesh, fem.ElementTri(2, 4))
+    Vp = fem.Basis(mesh, fem.ElementTri(1, 4))
+    f = Vu.integrate_linear_form(load)
+
+    solve_eager = stokes_solver(Vu, Vp, a_form, div_form, tol=1e-10, inner_tol=1e-12)
+    u_ref, p_ref, info_ref = solve_eager(f)
+    assert bool(info_ref.converged)
+
+    solve_c = compiled_stokes_solver(
+        Vu, Vp, a_form, div_form, tol=1e-10, inner_tol=1e-12
+    )
+    u, p, info = solve_c(f)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-7)
+
+    # warm call, different rhs: same program, consistent answer
+    u2, p2, info2 = solve_c(2.0 * f)
+    assert bool(info2.converged)
+    np.testing.assert_allclose(
+        np.asarray(u2), 2.0 * np.asarray(u_ref), atol=2e-8
+    )
+
+    # jacobi inner preconditioner path also agrees
+    u3, p3, info3 = compiled_stokes_solver(
+        Vu, Vp, a_form, div_form, tol=1e-10, inner_tol=1e-12,
+        precondition="jacobi",
+    )(f)
+    assert bool(info3.converged)
+    np.testing.assert_allclose(np.asarray(u3), np.asarray(u_ref), atol=1e-8)
