@@ -25,15 +25,19 @@ from .basis import (
     PatchesBasis,
     VectorBasis,
 )
-from .element import ElementLine, ElementTri, ElementTriSurface
+from .element import ElementLine, ElementTet, ElementTri, ElementTriSurface
 from .mesh import (
     FractureNetworkMesh,
     FracturesTri,
+    MeshTet,
     MeshTri,
     MeshesTri,
     Patches,
+    box,
     rectangle,
     refine_uniform,
+    refine_uniform_tet,
+    unit_cube,
     unit_square,
 )
 from .mesh import quality_report, triangle_min_angles, triangulate_pslg
@@ -58,16 +62,21 @@ __all__ = [
     "PatchesBasis",
     "VectorBasis",
     "ElementLine",
+    "ElementTet",
     "ElementTri",
     "ElementTriSurface",
+    "MeshTet",
     "MeshTri",
     "MeshesTri",
     "FracturesTri",
     "Patches",
     "FeedForwardNeuralNetwork",
     "Model",
+    "box",
     "rectangle",
     "refine_uniform",
+    "refine_uniform_tet",
+    "unit_cube",
     "unit_square",
 ]
 

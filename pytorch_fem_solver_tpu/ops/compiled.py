@@ -594,8 +594,14 @@ def compiled_newton_solver(
             else:
                 s, rn = 1.0, rn1
             # a still-non-finite trial norm after damping must not poison
-            # the iterate: keep u, stop (converged=False reports the stall)
+            # the iterate (keep u, stop); likewise a fully backtracked step
+            # that STILL does not decrease the residual is a stalled line
+            # search (the f32 assembly noise floor on TPU) — burning the
+            # remaining Newton budget on it cannot help, so stop there too
+            # and let converged=False report the stall honestly
             bad = jnp.logical_not(jnp.isfinite(rn))
+            if damping:
+                bad = jnp.logical_or(bad, rn >= res)
             u_next = jnp.where(bad, u, u + s * delta)
             rn = jnp.where(bad, res, rn)
             k_next = jnp.where(bad, max_newton, k + 1)

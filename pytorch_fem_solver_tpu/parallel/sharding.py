@@ -235,125 +235,6 @@ def solve_pcg_sharded_ell(
     return u
 
 
-def solve_pcg_sharded_bsr(
-    basis,
-    local_matrices,
-    vector,
-    device_mesh: Optional[Mesh] = None,
-    tol: float = 1e-10,
-    maxiter: Optional[int] = None,
-    precondition: str = "two_level",
-    return_info: bool = False,
-):
-    """PCG with the 8x8 block-sparse operator row-sharded over the mesh.
-
-    Multi-chip variant of the fastest single-chip path (``ops.bsr``): each
-    device owns a contiguous slice of block-rows (values + block-column
-    ids — the O(nnz) arrays, which dominate memory at scale); the iterate is
-    replicated, and each matvec block-row-gathers from the replicated
-    vector, computes its row slice, and rejoins with one tiled
-    ``all_gather`` over the ICI ring. The preconditioner (block-Jacobi +
-    aggregate coarse correction) is O(n)/O(nc^2) and applied replicated —
-    zero extra collectives per iteration.
-    """
-    from ..ops.bsr import (
-        bsr_diagonal,
-        bsr_expand,
-        bsr_reduce,
-        bsr_values_from_local,
-        get_bsr_structure,
-    )
-    from ..ops.precondition import agg_block_two_level_from_values
-
-    if device_mesh is None:
-        device_mesh = make_device_mesh()
-    axis = device_mesh.axis_names[0]
-    n_shards = device_mesh.devices.size
-
-    # the sharded path uses the uncapped layout (no tier-2 spill): the
-    # capped hybrid only trims replicated-side streaming, while here the
-    # big arrays are already sharded
-    structure = get_bsr_structure(basis, max_b=None)
-    values, _ = bsr_values_from_local(structure, local_matrices)
-    b_pad = bsr_reduce(structure, vector)
-
-    nb = structure.nb
-    k = structure.block
-    B = structure.bcols.shape[1]
-    # pad block-rows so the shards are even AND the padded length stays a
-    # whole number of 32-DOF aggregates (4 block-rows) for the coarse level
-    row_pad = (-nb) % int(np.lcm(n_shards, 32 // k))
-    nb_pad = nb + row_pad
-    values_p = jnp.concatenate(
-        [values, jnp.zeros((row_pad, B, k, k), dtype=values.dtype)], axis=0
-    )
-    bcols_p = jnp.concatenate(
-        [structure.bcols, jnp.zeros((row_pad, B), dtype=structure.bcols.dtype)],
-        axis=0,
-    )
-    padded = structure._replace(
-        bcols=bcols_p, nb=nb_pad, n_pad=nb_pad * k
-    )
-    values_pair = (values_p, jnp.zeros((0, 0, k, k), dtype=values_p.dtype))
-    diag_p = bsr_diagonal(padded, values_pair)
-    if precondition == "two_level":
-        # aggregate-block smoother, matching the single-chip auto policy
-        # (iteration parity with solve_iterative's two_level is asserted
-        # in tests and the driver dryrun); the host block tables stay
-        # valid on the row-padded structure (decoded ubr/ubc)
-        precond = agg_block_two_level_from_values(padded, values_pair, diag_p)
-    elif precondition == "jacobi":
-        safe = jnp.where(diag_p != 0, diag_p, 1.0)
-        inv_diag = 1.0 / safe
-        precond = lambda r: inv_diag * r
-    else:
-        raise ValueError(f"unknown precondition: {precondition!r}")
-
-    if maxiter is None:
-        maxiter = max(10 * structure.n_inner, 100)
-
-    @partial(
-        shard_map,
-        mesh=device_mesh,
-        in_specs=(P(axis), P(axis), P()),
-        out_specs=(P(), P(), P(), P()),
-        # the iterate is mathematically replicated (all_gather per matvec)
-        # but the varying-axis tracker cannot prove it
-        check_vma=False,
-    )
-    def run(values_chunk, bcols_chunk, b_full):
-        b_full = jax.lax.pcast(b_full, (axis,), to="varying")
-
-        def matvec(x):
-            x2 = x.reshape(nb_pad, k)
-            y_local = jnp.einsum(
-                "rbij,rbj->ri", values_chunk, x2[bcols_chunk]
-            ).reshape(-1)
-            return jax.lax.all_gather(y_local, axis, tiled=True)
-
-        x, info = pcg(
-            matvec,
-            b_full,
-            precond=precond,
-            tol=tol,
-            maxiter=maxiter,
-        )
-        return x, info.iterations, info.residual_norm, info.converged
-
-    b_p = jnp.concatenate(
-        [b_pad, jnp.zeros((row_pad * k,), dtype=b_pad.dtype)]
-    )
-    x, it, res, conv = run(values_p, bcols_p, b_p)
-    x = x[: structure.n_pad]
-    solution = basis.solution_tensor()
-    u = solution + bsr_expand(structure, x, basis.n_dofs)
-    if return_info:
-        from ..ops.solvers import PCGInfo
-
-        return u, PCGInfo(it, res, conv)
-    return u
-
-
 def shard_basis_cells(basis, device_mesh: Optional[Mesh] = None):
     """Place a basis's per-cell quadrature arrays sharded over the mesh.
 

@@ -106,9 +106,12 @@ def main():
         }
 
     if "newton" in which:
+        # f32 TPU: the assembly noise floor sits ~3e-5 relative (measured);
+        # tol below that burns the Newton budget at the floor
+        ntol = float(os.environ.get("EXP_NEWTON_TOL", "1e-4"))
         for pc in ("jacobi", "auto"):
             solve = V.compiled_newton(
-                residual, tol=1e-5, solve_tol=1e-6, precondition=pc
+                residual, tol=ntol, solve_tol=1e-6, precondition=pc
             )
             t, (u, (k, res, conv)) = timed(wd, f"newton[{pc}]", solve)
             results[f"newton_{pc}"] = {
