@@ -48,7 +48,7 @@ AGG_SMOOTH = int(os.environ.get("BENCH_AGG_SMOOTH", "0")) or None  # aggblock gs
 # Fail-fast deadlines (s): the axon tunnel's outage mode hangs every device
 # touch in a silent sleep-retry loop; without these, an outage converts to
 # rc=124 with no output (BENCH_r02.json). 0 disables.
-PROBE_S = float(os.environ.get("BENCH_PROBE_S", "150"))  # init RTT ~60s measured
+PROBE_S = float(os.environ.get("BENCH_PROBE_S", "240"))  # init RTT 60-145s measured
 WARMUP_S = float(os.environ.get("BENCH_WARMUP_S", "600"))
 REPEAT_S = float(os.environ.get("BENCH_REPEAT_S", "180"))
 

@@ -164,7 +164,8 @@ def build_global_triangulation(mesh, tol: float = 1e-9) -> dict:
 
 @register_basis_pytree
 class FractureBasis(AbstractBasis):
-    """P1 basis on the glued global DFN triangulation."""
+    """P1/P2/P3 basis on the glued global DFN triangulation (the reference
+    is P1-only, basis/fracture_basis.py)."""
 
     def __init__(self, mesh, element, tol: float = 1e-9):
         self.global_triangulation = build_global_triangulation(mesh, tol)
@@ -232,6 +233,68 @@ class FractureBasis(AbstractBasis):
             )
             nodes_4_boundary_dofs = jnp.asarray(
                 np.concatenate([vmark, edge_dirichlet], axis=0).reshape(-1, 1),
+                dtype=config.index_dtype(),
+            )
+        elif element.polynomial_order == 3:
+            # P3 on the glued triangulation, reusing the oriented-edge
+            # logic of the plain/flat-network builders (basis.py P3,
+            # fracture_network_basis.py): two DOFs per unique GLOBAL edge,
+            # ordered toward the smaller global vertex id — trace edges
+            # carry the same global vertex pair in every incident fracture,
+            # so both cubic edge nodes are shared and continuity glues.
+            # Cell bubbles are per (fracture, cell), never shared.
+            gverts = np.asarray(g["vertices_3D"])
+            gcells = np.asarray(g["triangles"])
+            gedges = np.asarray(g["edges"])  # lexicographically sorted rows
+            edge_markers = np.asarray(g["edge_markers"]).reshape(-1)
+            vmark = np.asarray(g["vertex_markers"]).reshape(-1)
+            n_gverts = gverts.shape[0]
+            n_gedges = gedges.shape[0]
+            n_cells = gcells.shape[0]
+
+            from ..mesh.topology import unique_edge_ids
+
+            cell_edges = unique_edge_ids(gcells, gedges, n_gverts)
+            directed = gcells[:, [[0, 1], [1, 2], [2, 0]]]
+            forward = directed[..., 0] < directed[..., 1]
+            near_i = n_gverts + 2 * cell_edges + np.where(forward, 0, 1)
+            near_j = n_gverts + 2 * cell_edges + np.where(forward, 1, 0)
+            edge_dofs = np.stack([near_i, near_j], axis=-1).reshape(
+                n_cells, -1
+            )
+            bubble_dofs = (n_gverts + 2 * n_gedges + np.arange(n_cells))[
+                :, None
+            ]
+
+            emin = gverts[gedges[:, 0]]
+            emax = gverts[gedges[:, 1]]
+            edge_nodes = np.stack(
+                [(2 * emin + emax) / 3.0, (emin + 2 * emax) / 3.0], axis=1
+            ).reshape(2 * n_gedges, -1)
+            bubble_coords = gverts[gcells].mean(axis=1)
+
+            edge_dirichlet = (
+                (edge_markers != 0)
+                & (vmark[gedges[:, 0]] != 0)
+                & (vmark[gedges[:, 1]] != 0)
+            ).astype(np.int64)
+
+            coords_4_global_dofs = jnp.asarray(
+                np.concatenate([gverts, edge_nodes, bubble_coords], axis=0),
+                dtype=config.default_dtype(),
+            )
+            global_dofs_4_elements = jnp.asarray(
+                np.concatenate([gcells, edge_dofs, bubble_dofs], axis=1),
+                dtype=config.index_dtype(),
+            )
+            nodes_4_boundary_dofs = jnp.asarray(
+                np.concatenate(
+                    [
+                        vmark,
+                        np.repeat(edge_dirichlet, 2),
+                        np.zeros(n_cells, dtype=np.int64),
+                    ]
+                ).reshape(-1, 1),
                 dtype=config.index_dtype(),
             )
         else:

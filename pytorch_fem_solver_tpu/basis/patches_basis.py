@@ -24,7 +24,8 @@ from .abstract_basis import AbstractBasis, register_basis_pytree
 
 @register_basis_pytree
 class PatchesBasis(AbstractBasis):
-    """P1 basis over a batch of patch meshes."""
+    """P1/P2 basis over a batch of patch meshes (the reference's patches
+    are P1-only, torch_fem/basis/patches_basis.py)."""
 
     def __init__(self, mesh, element):
         self.nb_patches = int(mesh.batch_size()[0])
@@ -34,12 +35,49 @@ class PatchesBasis(AbstractBasis):
         super().__init__(mesh, element)
 
     def _compute_dofs(self, mesh, element):
-        if element.polynomial_order != 1:
-            raise NotImplementedError("Polynomial order not implemented")
+        if element.polynomial_order == 1:
+            coords_4_global_dofs = mesh["vertices", "coordinates"]
+            global_dofs_4_elements = mesh["cells", "vertices"]
+            nodes_4_boundary_dofs = mesh["vertices", "markers"]
 
-        coords_4_global_dofs = mesh["vertices", "coordinates"]
-        global_dofs_4_elements = mesh["cells", "vertices"]
-        nodes_4_boundary_dofs = mesh["vertices", "markers"]
+        elif element.polynomial_order == 2:
+            # P2 on the shared patch template: every patch has identical
+            # topology (template broadcast, mesh/patches.py), so the
+            # edge-DOF map is derived ONCE from batch entry 0 and tiled;
+            # only the midpoint coordinates are per patch.
+            from ..mesh.topology import (
+                p2_edge_dirichlet_markers,
+                unique_edge_ids,
+            )
+
+            verts = mesh["vertices", "coordinates"]  # (B, n_v, d)
+            cells0 = np.asarray(mesh["cells", "vertices"])[0]
+            edges0 = np.asarray(mesh["edges", "vertices"])[0]
+            vmark0 = np.asarray(mesh["vertices", "markers"])[0].reshape(-1)
+            emark0 = np.asarray(mesh["edges", "markers"])[0]
+            n_v = int(verts.shape[-2])
+            B = self.nb_patches
+
+            cell_edges = unique_edge_ids(cells0, edges0, n_v)
+            dofs0 = np.concatenate([cells0, n_v + cell_edges], axis=1)
+            global_dofs_4_elements = jnp.asarray(
+                np.broadcast_to(dofs0, (B,) + dofs0.shape),
+                dtype=config.index_dtype(),
+            )
+
+            midpoints = verts[:, jnp.asarray(edges0)].mean(axis=-2)
+            coords_4_global_dofs = jnp.concatenate(
+                [verts, midpoints], axis=-2
+            )
+
+            edge_mark = p2_edge_dirichlet_markers(edges0, emark0, vmark0)
+            marks0 = np.concatenate([vmark0, edge_mark]).reshape(-1, 1)
+            nodes_4_boundary_dofs = jnp.asarray(
+                np.broadcast_to(marks0, (B,) + marks0.shape),
+                dtype=config.index_dtype(),
+            )
+        else:
+            raise NotImplementedError("Polynomial order not implemented")
 
         coords_4_elements = mesh.compute_coordinates_4_cells(
             coords_4_global_dofs, global_dofs_4_elements

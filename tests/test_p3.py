@@ -278,3 +278,45 @@ def test_p4_rejected():
         fem.Basis(MeshTet(unit_cube(1)), ElementTet(4, 3))
     with pytest.raises(NotImplementedError):
         fem.Basis(fem.MeshTri(fem.unit_square(n=2)), fem.ElementTri(4, 5))
+
+
+def test_p3_batched_fracture_basis_cubic_exact_across_trace():
+    """P3 on the BATCHED FractureBasis (previously P2-max): the glued
+    global triangulation shares both oriented cubic edge DOFs on trace
+    edges, so u* = y^2 (1 - y) reproduces exactly across the two-fracture
+    intersection — same discriminating problem as the flat-network test."""
+    tri = fem.rectangle(4, 2, x0=-1.0, x1=1.0, y0=0.0, y1=1.0)
+    anchors = np.array([[[-1.0, 0.0], [1.0, 0.0], [-1.0, 1.0]]] * 2)
+    f3d = np.array(
+        [
+            [[-1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [-1.0, 1.0, 0.0]],
+            [[0.0, 0.0, -1.0], [0.0, 0.0, 1.0], [0.0, 1.0, -1.0]],
+        ]
+    )
+    mesh = fem.FracturesTri([tri, tri], f3d, anchor_vertices_2d=anchors)
+    V = fem.FractureBasis(mesh, fem.ElementTri(3, 5))
+    assert np.abs(np.asarray(V.v).sum(-2) - 1.0).max() < 1e-12
+
+    # trace edges exist and their cubic edge DOFs are genuinely shared:
+    # total DOFs < the unglued sum (2 fractures x per-fracture P3 count)
+    g = V.global_triangulation
+    assert np.asarray(g["traces_global_edges_idx"]).size > 0
+    n_v2d = tri["vertices"].shape[0]
+    n_e2d = np.asarray(mesh["edges", "vertices"]).shape[-2]
+    n_t2d = tri["triangles"].shape[0]
+    unglued = 2 * (n_v2d + 2 * n_e2d + n_t2d)
+    assert V.n_dofs < unglued
+
+    def exact3(c):
+        y = c[..., 1:2]
+        return y * y * (1 - y)
+
+    A = V.integrate_bilinear_form(a_form)
+    b = V.integrate_linear_form(
+        lambda b_: -(2 - 6 * b_.integration_points[..., 1:2]) * b_.v
+    )
+    coords = np.asarray(V._coords4global_dofs)
+    exact = jnp.asarray(np.asarray(exact3(coords)).reshape(-1, 1))
+    u_bc, rhs = V.dirichlet_lift(A, b, exact)
+    u = V.solve(A, u_bc, rhs)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(exact), atol=1e-11)

@@ -111,3 +111,53 @@ def test_uniform_refine_compounds():
     # each pass: B -> 5B
     assert centers.shape[0] == 25
     assert float(jnp.max(radius)) <= 0.5 / np.sqrt(2.0) + 1e-12
+
+
+def test_batched_patch_p2_matches_standalone():
+    """P2 PatchesBasis (beyond the reference's P1-only patches): batched
+    quadratic local solves equal their standalone Basis P2 solves, matched
+    through the DOF coordinates (edge numbering differs between the patch
+    template and MeshTri's edge table)."""
+    rng = np.random.default_rng(1)
+    B = 5
+    centers = rng.uniform(0.3, 0.7, size=(B, 2))
+    radius = rng.uniform(0.05, 0.2, size=(B, 1))
+    patches = fem.Patches(centers, radius)
+    VP = fem.PatchesBasis(patches, fem.ElementTri(2, 4))
+
+    # partition of unity on the quadratic tables
+    assert np.abs(np.asarray(VP.v).sum(-2) - 1.0).max() < 1e-13
+
+    A = VP.integrate_bilinear_form(stiffness)
+    b = VP.integrate_linear_form(load)
+    u = VP.solve(A, VP.solution_tensor(), b)
+    assert u.shape == (B, 13, 1)  # 5 vertices + 8 edge midpoints
+
+    coords_b = np.asarray(VP._coords4global_dofs)  # (B, 13, 2)
+    for i in range(B):
+        mesh_i = fem.MeshTri(
+            {
+                "vertices": np.asarray(patches["vertices", "coordinates"])[i],
+                "triangles": VERTICES_4_CELLS_4_PATCH,
+                "vertex_markers": MARKERS_4_VERTICES,
+            }
+        )
+        V_i = fem.Basis(mesh_i, fem.ElementTri(2, 4))
+        u_i = np.asarray(
+            V_i.solve(
+                V_i.integrate_bilinear_form(stiffness),
+                V_i.solution_tensor(),
+                V_i.integrate_linear_form(load),
+            )
+        )
+        # match batched DOFs to standalone DOFs by coordinates
+        coords_i = np.asarray(V_i._coords4global_dofs)
+        dist = np.linalg.norm(
+            coords_b[i][:, None, :] - coords_i[None, :, :], axis=-1
+        )
+        perm = dist.argmin(axis=1)
+        assert dist.min(axis=1).max() < 1e-12  # bijection on this geometry
+        assert len(set(perm.tolist())) == 13
+        np.testing.assert_allclose(
+            np.asarray(u)[i, :, 0], u_i[perm, 0], atol=1e-12
+        )

@@ -76,7 +76,7 @@ def nonlinear_rhs(p):
 def main():
     which = sys.argv[1:] or ["linear", "newton", "eigsh", "p3"]
     wd = Watchdog(metric="solver_tier_tpu")
-    rtt = probe_device(wd, 150.0)
+    rtt = probe_device(wd, 240.0)
     log(f"tunnel probe: {rtt:.1f}s")
 
     results = {}
@@ -131,6 +131,45 @@ def main():
             "s": t, "rounds": int(info[0]),
             "vals": [float(v) for v in np.asarray(vals)],
             "n_dofs": int(V.n_dofs),
+        }
+
+    if "stokes" in which:
+        from pytorch_fem_solver_tpu.ops import compiled_stokes_solver
+
+        n_s = int(os.environ.get("EXP_N_STOKES", "115"))
+        mesh_s = fem.MeshTri(fem.rectangle(n_s, n_s))
+        Vu = fem.VectorBasis(mesh_s, fem.ElementTri(2, 4))
+        Vp = fem.Basis(mesh_s, fem.ElementTri(1, 4))
+        log(f"stokes mesh: {mesh_s.n_cells} cells, "
+            f"{Vu.n_dofs} velocity + {Vp.n_dofs} pressure dofs")
+
+        def visc(b):
+            gr = b.v_grad
+            return jnp.einsum("...icd,...jcd->...ij", gr, gr)
+
+        def div_form(test_p, trial_u):
+            div = jnp.trace(trial_u.v_grad, axis1=-2, axis2=-1)
+            return -(test_p.v[..., 0][..., :, None] * div[..., None, :])
+
+        def load(b):
+            pts = b.integration_points[..., 0, :]
+            f = jnp.stack(
+                [jnp.sin(PI * pts[..., 0]), pts[..., 1] ** 2], axis=-1
+            )
+            return (b.v * f[..., None, :]).sum(-1, keepdims=True)
+
+        f_vec = Vu.integrate_linear_form(load)
+        solve = compiled_stokes_solver(
+            Vu, Vp, visc, div_form, tol=1e-5, inner_tol=1e-6,
+            inner_maxiter=400,
+        )
+        t, (u, p, sinfo) = timed(wd, "stokes", lambda: solve(f_vec),
+                                 warmup_s=900.0, repeat_s=600.0)
+        results["stokes"] = {
+            "s": t,
+            "outer_iters": int(sinfo.outer_iterations),
+            "converged": bool(sinfo.converged),
+            "n_u": int(Vu.n_dofs), "n_p": int(Vp.n_dofs),
         }
 
     if "p3" in which:
