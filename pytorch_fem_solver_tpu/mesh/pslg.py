@@ -69,21 +69,51 @@ def segment_divisions(lengths: np.ndarray, h: float) -> np.ndarray:
     )
 
 
-def _sample_segments(vertices, segments, divisions):
+def _eval_size(size_field, points):
+    """Evaluate a user size field -> positive (N,) local edge lengths."""
+    s = np.asarray(size_field(np.asarray(points, dtype=np.float64)), dtype=float)
+    s = s.reshape(len(points))
+    if not (np.isfinite(s).all() and (s > 0).all()):
+        raise ValueError("size_field must return finite positive lengths")
+    return s
+
+
+def _graded_ts(pa, pb, size_field, n_div=None):
+    """Subdivision parameters (incl. endpoints) of segment pa->pb such that
+    each sub-edge spans an ~equal integral of ds/size (arc length measured
+    in local-size units); n_div defaults to ceil of that integral."""
+    length = float(np.linalg.norm(pb - pa))
+    tf = np.linspace(0.0, 1.0, 129)
+    w = 1.0 / _eval_size(size_field, pa[None] + tf[:, None] * (pb - pa)[None])
+    cum = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (w[1:] + w[:-1]) * np.diff(tf))]
+    )
+    if n_div is None:
+        n_div = max(1, int(np.ceil(cum[-1] * length)))
+    return np.interp(np.linspace(0.0, cum[-1], n_div + 1), cum, tf)
+
+
+def _sample_segments(vertices, segments, divisions, size_field=None):
     """Steiner points on each segment (excluding endpoints).
 
     Returns (points (M, 2), owner_segment (M,)) plus, per segment, the index
     chain [v0, s..., v1] describing its sub-edges — endpoint indices refer to
-    the input vertex array; interior samples are offset later.
+    the input vertex array; interior samples are offset later. With a
+    size_field, points are placed at equal quantiles of the 1/size integral
+    (shorter sub-edges where the field is small).
     """
     points = []
     chains = []
     owners = []
     count = 0
     for s, (a, b) in enumerate(segments):
-        n_div = int(divisions[s])
         pa, pb = vertices[a], vertices[b]
-        ts = np.linspace(0.0, 1.0, n_div + 1)[1:-1]
+        if size_field is None:
+            n_div = int(divisions[s])
+            ts = np.linspace(0.0, 1.0, n_div + 1)[1:-1]
+        else:
+            n_div = None if divisions is None else int(divisions[s])
+            ts = _graded_ts(pa, pb, size_field, n_div)[1:-1]
         seg_pts = pa[None] + ts[:, None] * (pb - pa)[None]
         idx = np.arange(count, count + len(seg_pts))
         chains.append((a, idx, b))
@@ -94,6 +124,48 @@ def _sample_segments(vertices, segments, divisions):
         np.concatenate(points, axis=0) if points else np.zeros((0, 2))
     )
     return all_pts, np.asarray(owners, dtype=np.int64), chains
+
+
+def _graded_background(lo, hi, size_field):
+    """Quadtree-banded background points for a graded size field.
+
+    Level-k points live on a grid of spacing s_max/2^k and are kept only
+    where the local size falls in that level's band — factor-2 density
+    jumps that the density-weighted Lloyd smoothing then relaxes.
+    """
+    extent = float(max(hi[0] - lo[0], hi[1] - lo[1]))
+    # probe the size range over the bounding box
+    px, py = np.meshgrid(
+        np.linspace(lo[0], hi[0], 64), np.linspace(lo[1], hi[1], 64)
+    )
+    s_probe = _eval_size(
+        size_field, np.stack([px.ravel(), py.ravel()], axis=-1)
+    )
+    s_min = float(s_probe.min())
+    s_max = float(min(s_probe.max(), 0.5 * extent))
+    if s_max <= s_min:
+        s_max = s_min
+    n_levels = int(np.ceil(np.log2(max(s_max / s_min, 1.0))))
+
+    out = []
+    for k in range(n_levels + 1):
+        hk = s_max / 2**k
+        # cell centers; odd levels half-offset to de-collinearize vs even
+        off = 0.25 * hk if (k % 2) else 0.0
+        xs = np.arange(lo[0] + 0.5 * hk + off, hi[0], hk)
+        ys = np.arange(lo[1] + 0.5 * hk + off, hi[1], hk)
+        if len(xs) == 0 or len(ys) == 0:
+            continue
+        gx, gy = np.meshgrid(xs, ys)
+        grid_k = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+        s = np.maximum(_eval_size(size_field, grid_k), s_min)
+        lvl = np.clip(
+            np.floor(np.log2(s_max / s)), 0, n_levels
+        ).astype(np.int64)
+        out.append(grid_k[lvl == k])
+    return (
+        np.concatenate(out, axis=0) if out else np.zeros((0, 2))
+    )
 
 
 def _point_segment_distance(points, seg_a, seg_b):
@@ -115,6 +187,7 @@ def triangulate_pslg(
     clearance: float = 0.45,
     max_retries: int = 3,
     min_angle: float | None = None,
+    size_field=None,
 ):
     """Triangulate a PSLG with max edge length ~ h.
 
@@ -133,6 +206,14 @@ def triangulate_pslg(
       min_angle: optional quality floor in degrees — free background points
         are Lloyd-smoothed until every triangle clears it (the triangle
         library's "q" role); RuntimeError if unattainable.
+      size_field: optional callable (N, 2) points -> (N,) positive local
+        target edge lengths — graded meshes (boundary layers, corner
+        refinement), the role of the triangle library's per-region area
+        constraints. Constraint segments are subdivided at equal quantiles
+        of the 1/size integral, the background is a quadtree-banded point
+        hierarchy matched to the field, and the free points are
+        density-weighted Lloyd-smoothed. ``h`` then only scales the
+        clearance fallback; spacing comes from the field.
 
     Returns a dict: vertices (N, 2), triangles (T, 3), vertex_markers (N, 1)
     in {0, 1}, vertex_labels (N, 1) carrying the originating segment marker,
@@ -146,21 +227,26 @@ def triangulate_pslg(
 
     seg_a = vertices[segments[:, 0]]
     seg_b = vertices[segments[:, 1]]
-    if divisions is None:
+    if divisions is None and size_field is None:
         lengths = np.linalg.norm(seg_b - seg_a, axis=-1)
         divisions = segment_divisions(lengths, h)
 
-    steiner, steiner_owner, chains = _sample_segments(vertices, segments, divisions)
+    steiner, steiner_owner, chains = _sample_segments(
+        vertices, segments, divisions, size_field
+    )
 
-    # background grid over the domain hull interior
+    # background points over the domain hull interior
     lo = vertices.min(axis=0)
     hi = vertices.max(axis=0)
-    nx = max(1, int(np.ceil((hi[0] - lo[0]) / h)))
-    ny = max(1, int(np.ceil((hi[1] - lo[1]) / h)))
-    gx, gy = np.meshgrid(
-        np.linspace(lo[0], hi[0], nx + 1), np.linspace(lo[1], hi[1], ny + 1)
-    )
-    grid = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+    if size_field is None:
+        nx = max(1, int(np.ceil((hi[0] - lo[0]) / h)))
+        ny = max(1, int(np.ceil((hi[1] - lo[1]) / h)))
+        gx, gy = np.meshgrid(
+            np.linspace(lo[0], hi[0], nx + 1), np.linspace(lo[1], hi[1], ny + 1)
+        )
+        grid = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+    else:
+        grid = _graded_background(lo, hi, size_field)
 
     hull = Delaunay(vertices)
     inside = hull.find_simplex(grid) >= 0
@@ -189,6 +275,8 @@ def triangulate_pslg(
     chain_edges = np.sort(chain_edges, axis=1)
 
     grid_dist = _point_segment_distance(grid, seg_a, seg_b).min(axis=1)
+    # local clearance scale: global h, or the size field where graded
+    grid_h = h if size_field is None else _eval_size(size_field, grid)
 
     def conforming_delaunay(all_points):
         """Delaunay + constraint-sub-edge presence check.
@@ -207,8 +295,8 @@ def triangulate_pslg(
         )
 
     for attempt in range(max_retries):
-        clear = clearance * h * (1.0 + 0.5 * attempt)
-        background = grid[grid_dist > clear]
+        clear_scale = clearance * (1.0 + 0.5 * attempt)
+        background = grid[grid_dist > clear_scale * grid_h]
         all_points = np.concatenate([vertices, steiner, background], axis=0)
         simplices, ok = conforming_delaunay(all_points)
         if ok:
@@ -236,7 +324,10 @@ def triangulate_pslg(
 
     simplices = domain_filter(all_points, simplices)
 
-    if min_angle is not None:
+    # sliver/degenerate-area threshold scale (finest resolution in play)
+    h_fine = h if size_field is None else float(np.min(grid_h, initial=h))
+
+    if min_angle is not None or size_field is not None:
         from .quality import triangle_min_angles
 
         def floor_angle(points, tris):
@@ -245,46 +336,59 @@ def triangulate_pslg(
             cross = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
                 p[:, 1, 1] - p[:, 0, 1]
             ) * (p[:, 2, 0] - p[:, 0, 0])
-            real = np.abs(cross) > 1e-12 * h * h
+            real = np.abs(cross) > 1e-12 * h_fine * h_fine
             return float(triangle_min_angles(points, tris[real]).min())
 
         free = np.arange(n_fixed + n_steiner, len(all_points))
-        for _ in range(30):
-            if floor_angle(all_points, simplices) >= min_angle:
+        # without a quality floor (graded mesh), run a fixed relaxation
+        # budget — the banded point hierarchy needs it to blend levels
+        passes = 30 if min_angle is not None else 10
+        for _ in range(passes):
+            if min_angle is not None and floor_angle(all_points, simplices) >= min_angle:
                 break
             # Lloyd-style step: move each free background point to the
-            # (incidence-weighted) mean of its triangulation neighbors
+            # density-weighted mean of its triangulation neighbors
+            # (weight 1/size^2 keeps graded point budgets where the field
+            # is small; uniform fields reduce to the plain mean)
+            if size_field is None:
+                wts = np.ones(len(all_points))
+            else:
+                wts = 1.0 / _eval_size(size_field, all_points) ** 2
             nbr_sum = np.zeros_like(all_points)
             nbr_cnt = np.zeros(len(all_points))
             e = simplices[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
-            np.add.at(nbr_sum, e[:, 0], all_points[e[:, 1]])
-            np.add.at(nbr_cnt, e[:, 0], 1.0)
-            np.add.at(nbr_sum, e[:, 1], all_points[e[:, 0]])
-            np.add.at(nbr_cnt, e[:, 1], 1.0)
+            np.add.at(nbr_sum, e[:, 0], all_points[e[:, 1]] * wts[e[:, 1], None])
+            np.add.at(nbr_cnt, e[:, 0], wts[e[:, 1]])
+            np.add.at(nbr_sum, e[:, 1], all_points[e[:, 0]] * wts[e[:, 0], None])
+            np.add.at(nbr_cnt, e[:, 1], wts[e[:, 0]])
             new_pts = all_points.copy()
-            new_pts[free] = nbr_sum[free] / np.maximum(nbr_cnt[free, None], 1.0)
+            new_pts[free] = nbr_sum[free] / np.maximum(nbr_cnt[free, None], 1e-300)
             # smoothed points must stay out of the constraint clearance band
             d = _point_segment_distance(new_pts[free], seg_a, seg_b).min(axis=1)
-            reverted = d <= clear
+            local_h = (
+                h if size_field is None else _eval_size(size_field, new_pts[free])
+            )
+            reverted = d <= clear_scale * local_h
             new_pts[free[reverted]] = all_points[free[reverted]]
             new_simplices, ok = conforming_delaunay(new_pts)
             if not ok:
                 break
             all_points = new_pts
             simplices = domain_filter(all_points, new_simplices)
-        achieved = floor_angle(all_points, simplices)
-        if achieved < min_angle:
-            raise RuntimeError(
-                f"min_angle={min_angle} deg not attained by smoothing "
-                f"(achieved {achieved:.2f} deg); refine h or relax the floor"
-            )
+        if min_angle is not None:
+            achieved = floor_angle(all_points, simplices)
+            if achieved < min_angle:
+                raise RuntimeError(
+                    f"min_angle={min_angle} deg not attained by smoothing "
+                    f"(achieved {achieved:.2f} deg); refine h or relax the floor"
+                )
 
     # drop zero-area slivers qhull may emit on collinear boundary points
     p = all_points[simplices]
     cross = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
         p[:, 1, 1] - p[:, 0, 1]
     ) * (p[:, 2, 0] - p[:, 0, 0])
-    good = np.abs(cross) > 1e-12 * h * h
+    good = np.abs(cross) > 1e-12 * h_fine * h_fine
     simplices = simplices[good]
     cross = cross[good]
     # enforce positive orientation

@@ -257,3 +257,107 @@ def test_encode_edge_pairs_is_overflow_safe():
     np.testing.assert_array_equal(
         local[0], [[0, 2], [0, 1], [1, 2]]
     )
+
+
+def test_pslg_graded_size_field_tracks_field():
+    """size_field grades the mesh: edge lengths track the local target
+    (the triangle library's per-region "a" constraints, SURVEY.md 'What's
+    missing' #1), the quality floor still holds, and interior constraint
+    segments stay conforming under grading."""
+    from pytorch_fem_solver_tpu.mesh.pslg import triangulate_pslg
+    from pytorch_fem_solver_tpu.mesh.quality import (
+        quality_report,
+        triangle_min_angles,
+    )
+
+    v = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+                  [0.3, 0.2], [0.7, 0.8]])
+    s = np.array([[0, 1], [1, 2], [2, 3], [3, 0], [4, 5]])
+    m = np.array([1, 1, 1, 1, 0])  # one interior constraint segment
+
+    def size(p):
+        # boundary layer at x=1: target edge length 0.1 -> 0.01
+        return np.maximum(0.01, 0.1 - 0.09 * p[:, 0])
+
+    out = triangulate_pslg(
+        v, s, h=0.05, segment_markers=m, size_field=size, min_angle=20.0
+    )
+    verts, tris = out["vertices"], out["triangles"]
+    q = quality_report(verts, tris)
+    assert abs(q["total_area"] - 1.0) < 1e-12, q
+    assert triangle_min_angles(verts, tris).min() >= 20.0
+
+    e = np.sort(tris[:, [0, 1, 1, 2, 0, 2]].reshape(-1, 2), axis=1)
+    e = np.unique(e, axis=0)
+    lengths = np.linalg.norm(verts[e[:, 0]] - verts[e[:, 1]], axis=-1)
+    mid = 0.5 * (verts[e[:, 0]] + verts[e[:, 1]])
+    left = np.median(lengths[mid[:, 0] < 0.2])    # field ~0.09
+    right = np.median(lengths[mid[:, 0] > 0.9])   # field ~0.012
+    assert right < 0.35 * left, (left, right)
+    assert 0.4 * 0.09 < left < 2.0 * 0.09, left
+    assert right < 2.0 * 0.015, right
+
+
+def test_pslg_graded_beats_uniform_on_boundary_layer():
+    """A graded mesh matched to an exponential boundary layer halves the
+    P1 H1 error of a uniform mesh with MORE dofs (the capability the
+    reference gets from the triangle library's area switches)."""
+    import jax.numpy as jnp
+
+    import pytorch_fem_solver_tpu as fem
+    from pytorch_fem_solver_tpu.mesh.pslg import triangulate_pslg
+
+    sig = 30.0
+    den = np.expm1(sig)
+
+    def g(x):
+        return x - jnp.expm1(sig * x) / den
+
+    def gx(x):
+        return 1 - sig * jnp.exp(sig * x) / den
+
+    def a_form(b):
+        return b.v_grad @ jnp.matrix_transpose(b.v_grad)
+
+    def l_form(b):
+        x = b.integration_points[..., 0:1]
+        y = b.integration_points[..., 1:2]
+        return (2 * g(x) + sig**2 * y * (1 - y) * jnp.exp(sig * x) / den) * b.v
+
+    def h1_seminorm_err(V, u):
+        _, ugr = V.interpolate(V, u)
+
+        def h1(b_):
+            x = b_.integration_points[..., 0:1]
+            y = b_.integration_points[..., 1:2]
+            return (ugr[..., 0:1] - y * (1 - y) * gx(x)) ** 2 + (
+                ugr[..., 1:2] - (1 - 2 * y) * g(x)
+            ) ** 2
+
+        return float(jnp.sqrt(V.integrate_functional(h1).sum()))
+
+    def solve(tri):
+        V = fem.Basis(fem.MeshTri(tri), fem.ElementTri(1, 3))
+        u = V.solve(
+            V.integrate_bilinear_form(a_form),
+            V.solution_tensor(),
+            V.integrate_linear_form(l_form),
+        )
+        return V, h1_seminorm_err(V, u)
+
+    verts = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    segs = np.array([[0, 1], [1, 2], [2, 3], [3, 0]])
+
+    def size(p):
+        return np.maximum(0.008, 0.09 - 0.082 * p[:, 0])
+
+    Vg, err_graded = solve(
+        triangulate_pslg(verts, segs, h=0.05, size_field=size, min_angle=20.0)
+    )
+    Vu, err_uniform = solve(
+        triangulate_pslg(verts, segs, h=1.0 / np.sqrt(Vg.n_dofs))
+    )
+    assert Vu.n_dofs >= Vg.n_dofs  # uniform gets at least the same budget
+    # measured 0.083 vs 0.184 (ratio 0.45); 0.65 leaves slack for qhull
+    # / smoothing perturbations across platforms
+    assert err_graded < 0.65 * err_uniform, (err_graded, err_uniform)
