@@ -621,13 +621,20 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         precondition: str = "two_level",
         seed: int = 0,
         return_info: bool = False,
+        method: str = "subspace",
     ):
         """Smallest ``k`` eigenpairs of the generalized problem
         a(u, v) = lambda m(u, v) on the interior (non-Dirichlet) DOFs.
 
         Modal analysis on the matrix-free BSR operators: shift-invert
         subspace iteration (``ops.eigen.subspace_eigsh``) whose inner
-        A-solves run the same preconditioned CG as :meth:`solve_iterative`.
+        A-solves run the same preconditioned CG as :meth:`solve_iterative`,
+        or ``method="lobpcg"`` (``ops.eigen.lobpcg_eigsh``: one
+        preconditioner application per round instead of inner A-solves —
+        the cheaper round; the compiled path defaults to it). The eager
+        default stays subspace iteration: op-by-op it dispatches a handful
+        of batched solves, while LOBPCG's many light rounds pay per-op
+        latency — use :meth:`compiled_eigsh` where round cost matters.
         Both forms must be symmetric positive definite on the reduced
         space (stiffness/mass pairs). Returns eigenvalues ascending and
         M-orthonormal eigenvectors as full DOF vectors (zeros on Dirichlet
@@ -648,8 +655,13 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
             default_max_b,
             get_bsr_structure,
         )
-        from ..ops.eigen import subspace_eigsh
+        from ..ops.eigen import lobpcg_eigsh, subspace_eigsh
 
+        if method not in ("subspace", "lobpcg"):
+            raise ValueError(
+                f"unknown method: {method!r} "
+                "(expected 'subspace' or 'lobpcg')"
+            )
         # validate before any assembly/preconditioner work; the guard block
         # must also fit in the reduced space or the projected Gram matrix
         # goes singular (NaN Cholesky)
@@ -696,20 +708,41 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
             )
         )(rand)
 
-        vals, vecs_pad, info = subspace_eigsh(
-            lambda v: bsr_matvec(structure, va, v),
-            lambda v: bsr_matvec(structure, vm, v),
-            n=x0.shape[0],
-            k=k,
-            n_extra=m_block - k,
-            tol=tol,
-            max_rounds=max_rounds,
-            solve_tol=solve_tol,
-            precond=precond,
-            precond_diag=None if precond is not None else diag,
-            x0=x0,
-            dtype=config.default_dtype(),
-        )
+        if method == "lobpcg":
+            from ..ops.eigen import EighInfo
+
+            vals, vecs_pad, (rounds, change, conv) = jax.jit(
+                lambda x0_: lobpcg_eigsh(
+                    lambda v: bsr_matvec(structure, va, v),
+                    lambda v: bsr_matvec(structure, vm, v),
+                    x0_,
+                    k,
+                    tol=tol,
+                    max_rounds=max(max_rounds, 200),
+                    precond=precond,
+                    precond_diag=None if precond is not None else diag,
+                )
+            )(x0)
+            info = EighInfo(
+                iterations=int(rounds),
+                eig_change=float(change),
+                converged=bool(conv),
+            )
+        else:
+            vals, vecs_pad, info = subspace_eigsh(
+                lambda v: bsr_matvec(structure, va, v),
+                lambda v: bsr_matvec(structure, vm, v),
+                n=x0.shape[0],
+                k=k,
+                n_extra=m_block - k,
+                tol=tol,
+                max_rounds=max_rounds,
+                solve_tol=solve_tol,
+                precond=precond,
+                precond_diag=None if precond is not None else diag,
+                x0=x0,
+                dtype=config.default_dtype(),
+            )
         vectors = jnp.stack(
             [
                 bsr_expand(structure, vecs_pad[:, j], self.n_dofs)[..., 0]

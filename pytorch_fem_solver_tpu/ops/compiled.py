@@ -635,14 +635,21 @@ def compiled_eigsh_solver(
     max_b: Optional[int] = None,
     seed: int = 0,
     matmul_precision: Optional[str] = "highest",
+    method: str = "lobpcg",
 ):
     """One-jit generalized eigensolve: compiled counterpart of
     :meth:`AbstractBasis.solve_eigsh`.
 
-    Assembly of both forms, preconditioner setup and the whole subspace
-    iteration (``ops.eigen.subspace_eigsh_while`` — vmapped inner PCG
-    solves inside a ``lax.while_loop`` of Rayleigh-Ritz rounds) run as a
-    single XLA program; a solve costs one dispatch instead of ~2 x rounds.
+    Assembly of both forms, preconditioner setup and the whole iteration
+    run as a single XLA program; a solve costs one dispatch instead of
+    ~2 x rounds. ``method="lobpcg"`` (default) runs blocked LOBPCG
+    (``ops.eigen.lobpcg_eigsh``): one preconditioner application per round
+    replaces subspace iteration's full inner PCG A-solve per column
+    (``solve_tol``/``solve_maxiter`` are then unused); ``"subspace"`` is
+    the shift-invert subspace iteration
+    (``ops.eigen.subspace_eigsh_while`` — vmapped inner PCG solves inside
+    a ``lax.while_loop`` of Rayleigh-Ritz rounds). Both stop on relative
+    eigenvalue change <= ``tol``.
     Returns ``solve() -> (vals (k,), vecs (n_dofs, k), (rounds,
     eig_change, converged))``. No reference counterpart (the reference has
     no eigen capability).
@@ -654,12 +661,16 @@ def compiled_eigsh_solver(
         bsr_reduce,
         bsr_values_from_local,
     )
-    from .eigen import subspace_eigsh_while
+    from .eigen import lobpcg_eigsh, subspace_eigsh_while
 
     if precondition not in ("two_level", "jacobi"):
         raise ValueError(
             f"unknown precondition: {precondition!r} "
             "(expected 'two_level' or 'jacobi')"
+        )
+    if method not in ("lobpcg", "subspace"):
+        raise ValueError(
+            f"unknown method: {method!r} (expected 'lobpcg' or 'subspace')"
         )
     is_vector = int(getattr(basis, "n_components", 1)) >= 2
     n_inner = int(np.asarray(basis._basis_parameters["inner_dofs"]).size)
@@ -733,18 +744,30 @@ def compiled_eigsh_solver(
         x0 = jnp.stack(
             [bsr_reduce(st_d, rblock[:, j]) for j in range(m_block)], axis=1
         )
-        vals, vecs_pad, info = subspace_eigsh_while(
-            lambda v: bsr_matvec(st_d, va, v),
-            lambda v: bsr_matvec(st_d, vm, v),
-            x0,
-            k,
-            tol=tol,
-            max_rounds=max_rounds,
-            solve_tol=solve_tol,
-            solve_maxiter=solve_maxiter,
-            precond=precond,
-            precond_diag=None if precond is not None else diag,
-        )
+        if method == "lobpcg":
+            vals, vecs_pad, info = lobpcg_eigsh(
+                lambda v: bsr_matvec(st_d, va, v),
+                lambda v: bsr_matvec(st_d, vm, v),
+                x0,
+                k,
+                tol=tol,
+                max_rounds=max(max_rounds, 200),
+                precond=precond,
+                precond_diag=None if precond is not None else diag,
+            )
+        else:
+            vals, vecs_pad, info = subspace_eigsh_while(
+                lambda v: bsr_matvec(st_d, va, v),
+                lambda v: bsr_matvec(st_d, vm, v),
+                x0,
+                k,
+                tol=tol,
+                max_rounds=max_rounds,
+                solve_tol=solve_tol,
+                solve_maxiter=solve_maxiter,
+                precond=precond,
+                precond_diag=None if precond is not None else diag,
+            )
         vecs = jnp.stack(
             [
                 bsr_expand(st_d, vecs_pad[:, j], n_dofs)[..., 0]
@@ -776,26 +799,37 @@ def compiled_stokes_solver(
     max_b: Optional[int] = None,
     operand_dtype=None,
     matmul_precision: Optional[str] = "highest",
+    method: str = "minres",
 ):
-    """One-jit Schur-complement Stokes solve: the compiled counterpart of
+    """One-jit Stokes solve: the compiled counterpart of
     :func:`ops.saddle.stokes_solver` (same math, same contracts).
 
     The eager solver dispatches every inner A-solve op-by-op — on the
     tunneled TPU that is ~31 ms RTT per op times hundreds of inner PCG
     iterations per Schur application (the measured 90x eager/compiled gap,
     docs/performance.md). Here the ENTIRE solve — both local assemblies,
-    BSR value scatter, preconditioner numeric setup, the outer Schur CG and
-    every nested inner A-solve (``lax.while_loop`` inside the outer CG's
-    ``lax.while_loop`` body) — is a single XLA program; a solve costs one
-    dispatch. ``f`` (and optional ``g``, ``x0``) ride as jit arguments, so
-    re-solving with new right-hand sides reuses the compiled program.
+    BSR value scatter, preconditioner numeric setup and the Krylov loop —
+    is a single XLA program; a solve costs one dispatch. ``f`` (and
+    optional ``g``, ``x0``) ride as jit arguments, so re-solving with new
+    right-hand sides reuses the compiled program.
 
     Args:
-      precondition: inner A-block preconditioner — ``"auto"`` (aggregate-
-        block two-level for scalar bases; rigid-body-mode coarse space for
+      method: ``"minres"`` (default) solves the full symmetric-indefinite
+        saddle system with block-diagonally preconditioned MINRES — the
+        A-block preconditioner applied ONCE per iteration replaces the
+        Schur path's full inner A-solve per operator application, cutting
+        total A-block work by roughly the inner iteration count (measured
+        8.9x at 107k velocity DOFs, docs/performance.md). ``tol`` is then
+        the relative full-system residual in the preconditioned norm, and
+        ``inner_tol``/``inner_maxiter`` only govern the one final velocity
+        recovery solve. ``"schur"`` is the nested Schur-complement CG of
+        the eager solver (``lax.while_loop`` inside ``lax.while_loop``),
+        with ``tol`` on the lumped-M_p-preconditioned Schur residual.
+      precondition: A-block preconditioner — ``"auto"`` (aggregate-block
+        two-level for scalar bases; rigid-body-mode coarse space for
         vector bases, the compiled_bsr_solver defaults) or ``"jacobi"``.
-      inner_maxiter: cap for the nested A-solves (default: PCG's 10n bound;
-        set ~a few hundred to bound the nested loop's worst case).
+      inner_maxiter: cap for the nested/recovery A-solves (default: PCG's
+        10n bound; set ~a few hundred to bound the worst case).
 
     Returns ``solve(f, g=None, x0=None) -> (u, p, StokesInfo)``; the
     pressure has zero lumped-mass mean. No reference counterpart (the
@@ -819,12 +853,16 @@ def compiled_stokes_solver(
         get_affine_two_level_structure,
     )
     from .saddle import StokesInfo
-    from .solvers import pcg
+    from .solvers import minres, pcg
 
     if precondition not in ("auto", "jacobi"):
         raise ValueError(
             f"unknown precondition: {precondition!r} "
             "(expected 'auto' or 'jacobi')"
+        )
+    if method not in ("minres", "schur"):
+        raise ValueError(
+            f"unknown method: {method!r} (expected 'minres' or 'schur')"
         )
     Vu, Vp = velocity_basis, pressure_basis
     if mass_form is None:
@@ -932,6 +970,57 @@ def compiled_stokes_solver(
             )
             return bsr_expand(st_d, x, n_u), info
 
+        inv_lump = 1.0 / mp_lumped[:, 0]
+
+        if method == "minres":
+            # full saddle system, block-diagonal preconditioner: ONE
+            # A-preconditioner application per iteration (vs one full inner
+            # A-solve per Schur matvec). Velocity block rides in the
+            # reduced/padded BSR layout so bsr_reduce/bsr_expand (exact
+            # adjoints: perm-gather / perm-scatter) keep K symmetric.
+            nr = st.n_pad
+            safe_diag = jnp.where(diag != 0, diag, 1.0)
+            precond_u = precond if precond is not None else (
+                lambda r: r / safe_diag
+            )
+
+            def k_op(xall):
+                xu, xp = xall[:nr], xall[nr:]
+                yu = bsr_matvec(st_d, values, xu) + bsr_reduce(
+                    st_d, apply_bt(xp[:, None])
+                )
+                yp = apply_b(bsr_expand(st_d, xu, n_u))[:, 0]
+                return jnp.concatenate([yu, yp])
+
+            def p_op(rall):
+                ru, rp = rall[:nr], rall[nr:]
+                # pressure block: mean-projected lumped-mass inverse,
+                # Pi M_p^{-1} = M_p^{-1} - 1 1^T / (1^T M_p 1) — symmetric
+                # PSD with nullspace M_p·1, orthogonal to the residuals
+                # (discrete div integrates to 0 against the constant)
+                zp = inv_lump * rp - jnp.sum(rp) / mp_total
+                return jnp.concatenate([precond_u(ru), zp])
+
+            rhs = jnp.concatenate([bsr_reduce(st_d, f), g[:, 0]])
+            x0_all = jnp.concatenate(
+                [jnp.zeros((nr,), dtype=rhs.dtype), x0]
+            )
+            xall, mr_info = minres(
+                k_op, rhs, x0=x0_all, precond=p_op, tol=tol, maxiter=maxiter
+            )
+            p = project_mean(xall[nr:][:, None])
+            # velocity recovery at inner_tol: MINRES balances the u/p
+            # residual blocks in the preconditioned norm; the final A-solve
+            # restores a velocity consistent with p to solver precision
+            u, info_u = solve_a(f - apply_bt(p))
+            info = StokesInfo(
+                outer_iterations=mr_info.iterations,
+                schur_residual=mr_info.residual_norm,
+                converged=mr_info.converged,
+                inner_info=info_u,
+            )
+            return u, p, info
+
         u_f, _ = solve_a(f)
         rhs_p = apply_b(u_f)
         rhs_p = rhs_p - g
@@ -942,7 +1031,6 @@ def compiled_stokes_solver(
             y, _ = solve_a(w)
             return project_mean(apply_b(y))[:, 0]
 
-        inv_lump = 1.0 / mp_lumped[:, 0]
         p_flat, schur_info = pcg(
             schur,
             rhs_p[:, 0],

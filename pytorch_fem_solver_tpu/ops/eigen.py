@@ -25,7 +25,12 @@ import numpy as np
 
 from .solvers import pcg
 
-__all__ = ["EighInfo", "subspace_eigsh", "subspace_eigsh_while"]
+__all__ = [
+    "EighInfo",
+    "lobpcg_eigsh",
+    "subspace_eigsh",
+    "subspace_eigsh_while",
+]
 
 
 class EighInfo(NamedTuple):
@@ -207,4 +212,111 @@ def subspace_eigsh_while(
     state = (x0, jnp.full((k,), big), big, 0)
     x, head, change, rounds = jax.lax.while_loop(cond, body, state)
     # one more Rayleigh-Ritz would be redundant: head/x already consistent
+    return head, x[:, :k], (rounds, change, change <= tol)
+
+
+def lobpcg_eigsh(
+    a_matvec,
+    m_matvec,
+    x0: jnp.ndarray,
+    k: int,
+    *,
+    tol: float = 1e-9,
+    max_rounds: int = 500,
+    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    precond_diag: Optional[jnp.ndarray] = None,
+):
+    """Blocked LOBPCG (Knyazev) for the smallest ``k`` pairs of (A, M).
+
+    Same contract as :func:`subspace_eigsh_while` — fully jittable
+    ``lax.while_loop``, identical stopping rule (relative eigenvalue
+    change of the leading ``k`` values between rounds <= ``tol``) — but a
+    fundamentally cheaper round: one A- and M-block-matvec plus ONE
+    preconditioner application, where shift-invert subspace iteration pays
+    a full inner PCG A-solve per column per round. The trial space
+    [X, T(A X - M X Λ), P] keeps the previous search directions, so the
+    round count grows only modestly vs the inner-solve-powered rounds.
+
+    Rank deficiency (the first round's P = 0; late-stage collinearity as
+    residual directions converge) is handled inside Rayleigh-Ritz: the
+    M-Gram matrix is eigendecomposed, directions below a relative floor
+    are dropped, and the corresponding whitened rows are pushed to +inf so
+    they can never masquerade as smallest modes.
+
+    Returns ``(vals (k,), vecs (n, k), (rounds, eig_change, converged))``.
+    """
+    n, m = x0.shape
+    dtype = x0.dtype
+    a_blk = jax.vmap(a_matvec, in_axes=1, out_axes=1)
+    m_blk = jax.vmap(m_matvec, in_axes=1, out_axes=1)
+    if precond is not None:
+        t_blk = jax.vmap(precond, in_axes=1, out_axes=1)
+    elif precond_diag is not None:
+        safe = jnp.where(precond_diag != 0, precond_diag, 1.0)
+        t_blk = lambda r: r / safe[:, None]
+    else:
+        t_blk = lambda r: r
+    eps = jnp.finfo(dtype).eps
+    tiny = jnp.finfo(dtype).tiny
+
+    def normalized(s):
+        norms = jnp.sqrt(jnp.sum(s * s, axis=0))
+        return s / jnp.maximum(norms, tiny)[None, :]
+
+    def rr(s, width):
+        """Rank-tolerant Rayleigh-Ritz on basis ``s``; returns the
+        ascending Ritz values and M-orthonormal coefficient columns."""
+        as_, ms_ = a_blk(s), m_blk(s)
+        ga = s.T @ as_
+        ga = 0.5 * (ga + ga.T)
+        gm = s.T @ ms_
+        gm = 0.5 * (gm + gm.T)
+        d, q = jnp.linalg.eigh(gm)
+        dmax = jnp.maximum(jnp.max(jnp.abs(d)), tiny)
+        mask = d > (10.0 * width * eps) * dmax
+        inv_sqrt = jnp.where(
+            mask, 1.0 / jnp.sqrt(jnp.where(mask, d, 1.0)), 0.0
+        )
+        w = q * inv_sqrt[None, :]
+        white = w.T @ ga @ w
+        white = 0.5 * (white + white.T)
+        big = 2.0 * jnp.max(jnp.abs(white)) + 1.0
+        white = white + jnp.diag(jnp.where(mask, 0.0, big))
+        evals, evecs = jnp.linalg.eigh(white)
+        return evals, w @ evecs
+
+    # seed Ritz step on X alone: M-orthonormal X, initial Λ
+    evals0, c0 = rr(normalized(x0), m)
+    x = x0 @ c0[:, :m]
+    lam = evals0[:m]
+
+    bigf = jnp.asarray(np.inf, dtype=dtype)
+
+    def cond(state):
+        _, _, _, _, change, rounds = state
+        return jnp.logical_and(change > tol, rounds < max_rounds)
+
+    def body(state):
+        x, p, lam, head_prev, _, rounds = state
+        ax = a_blk(x)
+        mx = m_blk(x)
+        r = ax - mx * lam[None, :]
+        w = normalized(t_blk(r))
+        s = jnp.concatenate([x, w, normalized(p)], axis=1)
+        evals, c = rr(s, 3 * m)
+        x_new = s @ c[:, :m]
+        # next conjugate directions: the W/P part of the update only
+        p_new = s[:, m:] @ c[m:, :m]
+        head = evals[:k]
+        change = jnp.max(
+            jnp.abs(head - head_prev)
+            / jnp.maximum(jnp.abs(head), tiny)
+        )
+        return (x_new, p_new, evals[:m], head, change, rounds + 1)
+
+    state = (
+        x, jnp.zeros_like(x), lam, jnp.full((k,), bigf, dtype=dtype),
+        bigf, 0,
+    )
+    x, _, _, head, change, rounds = jax.lax.while_loop(cond, body, state)
     return head, x[:, :k], (rounds, change, change <= tol)

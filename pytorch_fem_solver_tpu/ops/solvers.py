@@ -103,6 +103,110 @@ def cg(matvec, b, **kwargs):
     return pcg(matvec, b, **kwargs)
 
 
+def minres(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    tol: float = 1e-10,
+    maxiter: Optional[int] = None,
+    dot: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = None,
+):
+    """Preconditioned MINRES (Paige & Saunders) for symmetric, possibly
+    INDEFINITE operators.
+
+    The saddle-point (Stokes) system is symmetric indefinite, so CG does
+    not apply; MINRES minimizes the preconditioned residual over the Krylov
+    space with one matvec and one preconditioner application per iteration
+    — this is what makes the block-diagonal-preconditioned full-system
+    solve cheaper than Schur CG, whose every operator application hides a
+    full inner A-solve (``ops.saddle``).
+
+    Args:
+      matvec: symmetric operator action.
+      precond: application of an SPD (or PSD with nullspace orthogonal to
+        the residuals — e.g. the mean-projected pressure mass inverse)
+        preconditioner M^{-1}. Identity when omitted.
+      tol: relative tolerance on the M^{-1}-norm residual,
+        ||r_k||_{M^{-1}} <= tol * ||r_0||_{M^{-1}} (the norm the Lanczos
+        recurrence tracks for free).
+
+    Returns ``(x, PCGInfo)``; residual_norm is the preconditioned norm.
+    Stops early on Lanczos breakdown (beta ~ 0: solution found in exact
+    arithmetic) with converged judged by the tracked residual.
+    """
+    n = b.shape[-1]
+    if maxiter is None:
+        maxiter = max(10 * n, 100)
+    if dot is None:
+        dot = lambda u, v: jnp.sum(u * v)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if precond is None:
+        precond = lambda r: r
+    eps = jnp.finfo(b.dtype).eps
+    tiny = jnp.finfo(b.dtype).tiny
+
+    r1 = b - matvec(x0)
+    y = precond(r1)
+    # the PSD-preconditioner contract keeps this non-negative; clamp the
+    # f32 rounding tail so sqrt never NaNs
+    beta1 = jnp.sqrt(jnp.maximum(dot(r1, y), 0.0))
+    rtol = tol * jnp.maximum(beta1, tiny)
+
+    def cond(state):
+        _, _, _, _, _, beta, _, _, phibar, _, _, _, _, k = state
+        return jnp.logical_and(
+            k < maxiter,
+            jnp.logical_and(phibar > rtol, beta > eps * jnp.maximum(beta1, tiny)),
+        )
+
+    def body(state):
+        (x, r1_, r2, y_, oldb, beta, dbar, epsln, phibar, cs, sn, w, w2, k) = state
+        v = y_ / beta
+        av = matvec(v)
+        # three-term Lanczos: subtract the previous direction (k=0 has none)
+        coef = jnp.where(k > 0, beta / jnp.where(k > 0, oldb, 1.0), 0.0)
+        av = av - coef * r1_
+        alfa = dot(v, av)
+        av = av - (alfa / beta) * r2
+        r1n, r2n = r2, av
+        yn = precond(r2n)
+        oldb_n = beta
+        beta_n = jnp.sqrt(jnp.maximum(dot(r2n, yn), 0.0))
+        # previous rotation applied to the new tridiagonal column
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln_n = sn * beta_n
+        dbar_n = -cs * beta_n
+        gamma = jnp.maximum(jnp.sqrt(gbar**2 + beta_n**2), eps)
+        cs_n = gbar / gamma
+        sn_n = beta_n / gamma
+        phi = cs_n * phibar
+        phibar_n = sn_n * phibar
+        w1, w2n = w2, w
+        wn = (v - oldeps * w1 - delta * w2n) / gamma
+        xn = x + phi * wn
+        return (
+            xn, r1n, r2n, yn, oldb_n, beta_n, dbar_n, epsln_n,
+            phibar_n, cs_n, sn_n, wn, w2n, k + 1,
+        )
+
+    zero = jnp.zeros((), dtype=b.dtype)
+    state = (
+        x0, r1, r1, y, zero, beta1, zero, zero, beta1,
+        -jnp.ones((), dtype=b.dtype), zero,
+        jnp.zeros_like(b), jnp.zeros_like(b), 0,
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    x, phibar, k = out[0], out[8], out[13]
+    info = PCGInfo(
+        iterations=k, residual_norm=phibar, converged=phibar <= rtol
+    )
+    return x, info
+
+
 def bicgstab(
     matvec: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,

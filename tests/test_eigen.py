@@ -55,6 +55,57 @@ def test_subspace_eigsh_dense_oracle():
         assert np.linalg.norm(r) < 1e-6 * float(vals[j])
 
 
+def test_lobpcg_dense_oracle():
+    """ops.eigen.lobpcg_eigsh on a dense SPD pencil: eigenvalues match the
+    whitened-eigh oracle; rank-deficient first round (P=0) and Jacobi
+    preconditioning are exercised."""
+    from pytorch_fem_solver_tpu.ops.eigen import lobpcg_eigsh
+
+    rng = np.random.default_rng(0)
+    n = 50
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    a = q @ np.diag(np.arange(1.0, n + 1) ** 2) @ q.T
+    qm = rng.normal(size=(n, n)) * 0.1
+    m = qm @ qm.T + np.eye(n)
+    li = np.linalg.inv(np.linalg.cholesky(m))
+    ref = np.sort(np.linalg.eigvalsh(li @ a @ li.T))[:4]
+    aj, mj = jnp.asarray(a), jnp.asarray(m)
+    x0 = jnp.asarray(rng.standard_normal((n, 6)))
+    vals, vecs, (rounds, change, conv) = lobpcg_eigsh(
+        lambda v: aj @ v,
+        lambda v: mj @ v,
+        x0,
+        4,
+        tol=1e-11,
+        precond_diag=jnp.diag(aj),
+    )
+    assert bool(conv), (int(rounds), float(change))
+    np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-9)
+    # M-orthonormal eigenvectors
+    g = np.asarray(vecs).T @ m @ np.asarray(vecs)
+    np.testing.assert_allclose(g, np.eye(4), atol=1e-8)
+
+
+def test_compiled_eigsh_lobpcg_matches_subspace():
+    """The two compiled methods agree on the Laplace spectrum; lobpcg is
+    the default."""
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**8))
+    V = fem.Basis(mesh, fem.ElementTri(1, 3))
+    vals_s, _, (_, _, conv_s) = V.compiled_eigsh(
+        a_form, m_form, k=4, tol=1e-9, method="subspace"
+    )()
+    vals_l, vecs_l, (rounds, change, conv_l) = V.compiled_eigsh(
+        a_form, m_form, k=4, tol=1e-9
+    )()
+    assert bool(conv_s) and bool(conv_l), (int(rounds), float(change))
+    np.testing.assert_allclose(
+        np.asarray(vals_l), np.asarray(vals_s), rtol=1e-7
+    )
+    assert vecs_l.shape == (V.n_dofs, 4)
+    with pytest.raises(ValueError, match="method"):
+        V.compiled_eigsh(a_form, m_form, k=2, method="arnoldi")
+
+
 def test_laplace_spectrum_unit_square():
     """First 4 Dirichlet modes converge to pi^2 (2, 5, 5, 8) from above
     at O(h^2); eigenvectors are M-orthonormal."""

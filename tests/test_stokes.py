@@ -293,8 +293,9 @@ def test_stokes_solver_3d():
 
 
 def test_compiled_stokes_matches_eager():
-    """compiled_stokes_solver (one-jit Schur CG with nested BSR-PCG
-    A-solves) lands on the eager stokes_solver solution; a second call with
+    """compiled_stokes_solver lands on the eager stokes_solver solution
+    through BOTH methods — the default block-preconditioned MINRES on the
+    full saddle system and the nested Schur CG — and a second call with
     a different right-hand side reuses the compiled program."""
     from pytorch_fem_solver_tpu.ops import compiled_stokes_solver, stokes_solver
 
@@ -318,22 +319,28 @@ def test_compiled_stokes_matches_eager():
     u_ref, p_ref, info_ref = solve_eager(f)
     assert bool(info_ref.converged)
 
-    solve_c = compiled_stokes_solver(
-        Vu, Vp, a_form, div_form, tol=1e-10, inner_tol=1e-12
-    )
-    u, p, info = solve_c(f)
-    assert bool(info.converged)
-    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-8)
-    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-7)
+    for method in ("minres", "schur"):
+        solve_c = compiled_stokes_solver(
+            Vu, Vp, a_form, div_form, tol=1e-10, inner_tol=1e-12,
+            method=method,
+        )
+        u, p, info = solve_c(f)
+        assert bool(info.converged), method
+        np.testing.assert_allclose(
+            np.asarray(u), np.asarray(u_ref), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(p_ref), atol=1e-7
+        )
 
-    # warm call, different rhs: same program, consistent answer
-    u2, p2, info2 = solve_c(2.0 * f)
-    assert bool(info2.converged)
-    np.testing.assert_allclose(
-        np.asarray(u2), 2.0 * np.asarray(u_ref), atol=2e-8
-    )
+        # warm call, different rhs: same program, consistent answer
+        u2, p2, info2 = solve_c(2.0 * f)
+        assert bool(info2.converged), method
+        np.testing.assert_allclose(
+            np.asarray(u2), 2.0 * np.asarray(u_ref), atol=2e-8
+        )
 
-    # jacobi inner preconditioner path also agrees
+    # jacobi A-block preconditioner path also agrees (default method)
     u3, p3, info3 = compiled_stokes_solver(
         Vu, Vp, a_form, div_form, tol=1e-10, inner_tol=1e-12,
         precondition="jacobi",

@@ -123,15 +123,19 @@ def main():
         def m_form(b):
             return b.v @ jnp.matrix_transpose(b.v)
 
-        solve = V.compiled_eigsh(
-            a_form, m_form, k=6, tol=1e-5, solve_tol=1e-6
-        )
-        t, (vals, vecs, info) = timed(wd, "eigsh", solve)
-        results["eigsh"] = {
-            "s": t, "rounds": int(info[0]),
-            "vals": [float(v) for v in np.asarray(vals)],
-            "n_dofs": int(V.n_dofs),
-        }
+        # EXP_EIGSH_METHOD: lobpcg (default) | subspace | both
+        emeths = os.environ.get("EXP_EIGSH_METHOD", "lobpcg")
+        emeths = ("lobpcg", "subspace") if emeths == "both" else (emeths,)
+        for meth in emeths:
+            solve = V.compiled_eigsh(
+                a_form, m_form, k=6, tol=1e-5, solve_tol=1e-6, method=meth
+            )
+            t, (vals, vecs, info) = timed(wd, f"eigsh[{meth}]", solve)
+            results[f"eigsh_{meth}" if len(emeths) > 1 else "eigsh"] = {
+                "s": t, "rounds": int(info[0]),
+                "vals": [float(v) for v in np.asarray(vals)],
+                "n_dofs": int(V.n_dofs),
+            }
 
     if "stokes" in which:
         from pytorch_fem_solver_tpu.ops import compiled_stokes_solver
@@ -159,18 +163,32 @@ def main():
             return (b.v * f[..., None, :]).sum(-1, keepdims=True)
 
         f_vec = Vu.integrate_linear_form(load)
-        solve = compiled_stokes_solver(
-            Vu, Vp, visc, div_form, tol=1e-5, inner_tol=1e-6,
-            inner_maxiter=400,
-        )
-        t, (u, p, sinfo) = timed(wd, "stokes", lambda: solve(f_vec),
-                                 warmup_s=900.0, repeat_s=600.0)
-        results["stokes"] = {
-            "s": t,
-            "outer_iters": int(sinfo.outer_iterations),
-            "converged": bool(sinfo.converged),
-            "n_u": int(Vu.n_dofs), "n_p": int(Vp.n_dofs),
-        }
+        # EXP_STOKES_METHOD: minres (default) | schur | both (A/B with
+        # cross-method solution diff)
+        methods = os.environ.get("EXP_STOKES_METHOD", "minres")
+        methods = ("minres", "schur") if methods == "both" else (methods,)
+        prev = None
+        for meth in methods:
+            solve = compiled_stokes_solver(
+                Vu, Vp, visc, div_form, tol=1e-5, inner_tol=1e-6,
+                inner_maxiter=400, method=meth,
+            )
+            t, (u, p, sinfo) = timed(wd, f"stokes[{meth}]",
+                                     lambda: solve(f_vec),
+                                     warmup_s=900.0, repeat_s=600.0)
+            entry = {
+                "s": t,
+                "outer_iters": int(sinfo.outer_iterations),
+                "converged": bool(sinfo.converged),
+                "n_u": int(Vu.n_dofs), "n_p": int(Vp.n_dofs),
+            }
+            if prev is not None:
+                u0, p0 = prev
+                scale = float(np.abs(u0).max())
+                entry["du_vs_prev"] = float(np.abs(np.asarray(u) - u0).max() / scale)
+                entry["dp_vs_prev"] = float(np.abs(np.asarray(p) - p0).max())
+            prev = (np.asarray(u), np.asarray(p))
+            results[f"stokes_{meth}" if len(methods) > 1 else "stokes"] = entry
 
     if "p3" in which:
         mesh3 = fem.MeshTri(fem.rectangle(N_P3, N_P3))
