@@ -635,20 +635,24 @@ def compiled_eigsh_solver(
     max_b: Optional[int] = None,
     seed: int = 0,
     matmul_precision: Optional[str] = "highest",
-    method: str = "lobpcg",
+    method: str = "subspace",
 ):
     """One-jit generalized eigensolve: compiled counterpart of
     :meth:`AbstractBasis.solve_eigsh`.
 
     Assembly of both forms, preconditioner setup and the whole iteration
     run as a single XLA program; a solve costs one dispatch instead of
-    ~2 x rounds. ``method="lobpcg"`` (default) runs blocked LOBPCG
-    (``ops.eigen.lobpcg_eigsh``): one preconditioner application per round
-    replaces subspace iteration's full inner PCG A-solve per column
-    (``solve_tol``/``solve_maxiter`` are then unused); ``"subspace"`` is
-    the shift-invert subspace iteration
-    (``ops.eigen.subspace_eigsh_while`` — vmapped inner PCG solves inside
-    a ``lax.while_loop`` of Rayleigh-Ritz rounds). Both stop on relative
+    ~2 x rounds. ``method="subspace"`` (default) is shift-invert subspace
+    iteration (``ops.eigen.subspace_eigsh_while`` — vmapped inner PCG
+    solves inside a ``lax.while_loop`` of Rayleigh-Ritz rounds).
+    ``"lobpcg"`` (``ops.eigen.lobpcg_eigsh``) replaces the inner A-solves
+    with one preconditioner application per round
+    (``solve_tol``/``solve_maxiter`` are then unused) — but it is
+    x64-only in practice: measured on the real chip (f32, 100k DOFs,
+    2026-08-19, tools/exp_solver_tier.py) its Gram-basis Rayleigh-Ritz
+    loses B-orthogonality and converges to garbage (735/786114/... vs
+    subspace's correct 19.74/49.35/...), while subspace costs 2.38 s for
+    the correct spectrum. Both stop on relative
     eigenvalue change <= ``tol``.
     Returns ``solve() -> (vals (k,), vecs (n_dofs, k), (rounds,
     eig_change, converged))``. No reference counterpart (the reference has
@@ -799,7 +803,7 @@ def compiled_stokes_solver(
     max_b: Optional[int] = None,
     operand_dtype=None,
     matmul_precision: Optional[str] = "highest",
-    method: str = "minres",
+    method: str = "schur",
 ):
     """One-jit Stokes solve: the compiled counterpart of
     :func:`ops.saddle.stokes_solver` (same math, same contracts).
@@ -814,17 +818,22 @@ def compiled_stokes_solver(
     right-hand sides reuses the compiled program.
 
     Args:
-      method: ``"minres"`` (default) solves the full symmetric-indefinite
-        saddle system with block-diagonally preconditioned MINRES — the
-        A-block preconditioner applied ONCE per iteration replaces the
-        Schur path's full inner A-solve per operator application, cutting
-        total A-block work by roughly the inner iteration count (measured
-        8.9x at 107k velocity DOFs, docs/performance.md). ``tol`` is then
-        the relative full-system residual in the preconditioned norm, and
-        ``inner_tol``/``inner_maxiter`` only govern the one final velocity
-        recovery solve. ``"schur"`` is the nested Schur-complement CG of
+      method: ``"schur"`` (default) is the nested Schur-complement CG of
         the eager solver (``lax.while_loop`` inside ``lax.while_loop``),
-        with ``tol`` on the lumped-M_p-preconditioned Schur residual.
+        with ``tol`` on the lumped-M_p-preconditioned Schur residual —
+        measured 2.04 s / 17 outer iterations at 107k velocity DOFs on
+        the real chip (f32, 2026-08-19, tools/exp_solver_tier.py).
+        ``"minres"`` solves the full symmetric-indefinite saddle system
+        with block-diagonally preconditioned MINRES — one A-block
+        preconditioner application per iteration instead of a full inner
+        A-solve per Schur application; ``tol`` is then the relative
+        full-system residual in the preconditioned norm, and
+        ``inner_tol``/``inner_maxiter`` only govern the one final
+        velocity recovery solve. MINRES is x64-accurate (parity 4e-12 vs
+        the eager solver in tests) but f32-fragile: the same real-chip
+        measurement took 286 iterations, cost 2.58 s, and drifted to a
+        wrong velocity field (the f32 recurrence loses track of the true
+        residual over hundreds of iterations) — keep ``"schur"`` on TPU.
       precondition: A-block preconditioner — ``"auto"`` (aggregate-block
         two-level for scalar bases; rigid-body-mode coarse space for
         vector bases, the compiled_bsr_solver defaults) or ``"jacobi"``.

@@ -87,15 +87,16 @@ def test_lobpcg_dense_oracle():
 
 
 def test_compiled_eigsh_lobpcg_matches_subspace():
-    """The two compiled methods agree on the Laplace spectrum; lobpcg is
-    the default."""
+    """The two compiled methods agree on the Laplace spectrum in x64
+    (subspace is the shipped default: lobpcg is f32-fragile on the real
+    chip — garbage Rayleigh-Ritz values, docs/performance.md)."""
     mesh = fem.MeshTri(fem.unit_square(max_area=0.5**8))
     V = fem.Basis(mesh, fem.ElementTri(1, 3))
     vals_s, _, (_, _, conv_s) = V.compiled_eigsh(
-        a_form, m_form, k=4, tol=1e-9, method="subspace"
+        a_form, m_form, k=4, tol=1e-9
     )()
     vals_l, vecs_l, (rounds, change, conv_l) = V.compiled_eigsh(
-        a_form, m_form, k=4, tol=1e-9
+        a_form, m_form, k=4, tol=1e-9, method="lobpcg"
     )()
     assert bool(conv_s) and bool(conv_l), (int(rounds), float(change))
     np.testing.assert_allclose(

@@ -123,8 +123,8 @@ def main():
         def m_form(b):
             return b.v @ jnp.matrix_transpose(b.v)
 
-        # EXP_EIGSH_METHOD: lobpcg (default) | subspace | both
-        emeths = os.environ.get("EXP_EIGSH_METHOD", "lobpcg")
+        # EXP_EIGSH_METHOD: subspace (default) | lobpcg | both
+        emeths = os.environ.get("EXP_EIGSH_METHOD", "subspace")
         emeths = ("lobpcg", "subspace") if emeths == "both" else (emeths,)
         for meth in emeths:
             solve = V.compiled_eigsh(
@@ -163,9 +163,9 @@ def main():
             return (b.v * f[..., None, :]).sum(-1, keepdims=True)
 
         f_vec = Vu.integrate_linear_form(load)
-        # EXP_STOKES_METHOD: minres (default) | schur | both (A/B with
+        # EXP_STOKES_METHOD: schur (default) | minres | both (A/B with
         # cross-method solution diff)
-        methods = os.environ.get("EXP_STOKES_METHOD", "minres")
+        methods = os.environ.get("EXP_STOKES_METHOD", "schur")
         methods = ("minres", "schur") if methods == "both" else (methods,)
         prev = None
         for meth in methods:
