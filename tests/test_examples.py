@@ -79,6 +79,7 @@ def run_example(name, env_extra, timeout=600):
         _param("example_poisson_3d.py"),
         _param("example_vpinn_3d.py"),
         _param("example_heat.py"),
+        _param("example_wave.py"),
         _param("example_elasticity_3d.py"),
         _param("example_stokes.py"),
         _param("example_adaptive.py"),
