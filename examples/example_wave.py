@@ -65,8 +65,12 @@ def main():
         mesh = fem.MeshTri(fem.unit_square(n=n))
         V = fem.Basis(mesh, fem.ElementTri(1, 4))
         A = V.reduce(V.integrate_bilinear_form(stiffness_form))
-        M = V.reduce(V.integrate_bilinear_form(mass_form))
-        m_l = M.sum(axis=1, keepdims=True)  # row-sum lumping (diagonal)
+        # row-sum lumping on the FULL mass matrix, then restrict to inner
+        # DOFs: lumping the reduced M instead drops the boundary-column
+        # mass of boundary-adjacent rows and degrades the L2 rate to ~1.8
+        m_l = V.integrate_bilinear_form(mass_form).sum(axis=1, keepdims=True)[
+            V._basis_parameters["inner_dofs"]
+        ]
         inv_m = 1.0 / m_l
 
         # CFL: dt <= 2 / (c sqrt(lambda_max(M_l^-1 A))), power-iterated

@@ -635,24 +635,27 @@ def compiled_eigsh_solver(
     max_b: Optional[int] = None,
     seed: int = 0,
     matmul_precision: Optional[str] = "highest",
-    method: str = "subspace",
+    method: str = "lobpcg",
+    lock_tol: Optional[float] = None,
 ):
     """One-jit generalized eigensolve: compiled counterpart of
     :meth:`AbstractBasis.solve_eigsh`.
 
     Assembly of both forms, preconditioner setup and the whole iteration
     run as a single XLA program; a solve costs one dispatch instead of
-    ~2 x rounds. ``method="subspace"`` (default) is shift-invert subspace
-    iteration (``ops.eigen.subspace_eigsh_while`` — vmapped inner PCG
-    solves inside a ``lax.while_loop`` of Rayleigh-Ritz rounds).
-    ``"lobpcg"`` (``ops.eigen.lobpcg_eigsh``) replaces the inner A-solves
-    with one preconditioner application per round
-    (``solve_tol``/``solve_maxiter`` are then unused) — but it is
-    x64-only in practice: measured on the real chip (f32, 100k DOFs,
-    2026-08-19, tools/exp_solver_tier.py) its Gram-basis Rayleigh-Ritz
-    loses B-orthogonality and converges to garbage (735/786114/... vs
-    subspace's correct 19.74/49.35/...), while subspace costs 2.38 s for
-    the correct spectrum. Both stop on relative
+    ~2 x rounds. ``method="lobpcg"`` (default;
+    ``ops.eigen.lobpcg_eigsh``) costs one A-matvec, one M-matvec and ONE
+    preconditioner application per round (``solve_tol``/``solve_maxiter``
+    are unused); ``"subspace"`` is shift-invert subspace iteration
+    (``ops.eigen.subspace_eigsh_while`` — vmapped full inner PCG A-solves
+    inside a ``lax.while_loop`` of Rayleigh-Ritz rounds). The round-3
+    LOBPCG was x64-only (its Gram-basis Rayleigh-Ritz lost
+    B-orthogonality in f32 and returned garbage); the blockwise
+    M-orthonormalization + soft-locking rewrite fixed that, and the
+    on-chip A/B (f32, 100k DOFs, 2026-08-19, tools/exp_solver_tier.py)
+    now measures LOBPCG at 0.463 s / 27 rounds vs subspace's 2.078 s /
+    12 rounds for the same spectrum (19.7380 vs 19.7379, ...), a 4.5x
+    win — hence the default flip. Both stop on relative
     eigenvalue change <= ``tol``.
     Returns ``solve() -> (vals (k,), vecs (n_dofs, k), (rounds,
     eig_change, converged))``. No reference counterpart (the reference has
@@ -758,6 +761,7 @@ def compiled_eigsh_solver(
                 max_rounds=max(max_rounds, 200),
                 precond=precond,
                 precond_diag=None if precond is not None else diag,
+                lock_tol=lock_tol,
             )
         else:
             vals, vecs_pad, info = subspace_eigsh_while(
@@ -804,6 +808,9 @@ def compiled_stokes_solver(
     operand_dtype=None,
     matmul_precision: Optional[str] = "highest",
     method: str = "schur",
+    minres_restart: Optional[int] = 50,
+    inner_eta: float = 0.1,
+    inner_tol_max: float = 1e-2,
 ):
     """One-jit Stokes solve: the compiled counterpart of
     :func:`ops.saddle.stokes_solver` (same math, same contracts).
@@ -820,9 +827,17 @@ def compiled_stokes_solver(
     Args:
       method: ``"schur"`` (default) is the nested Schur-complement CG of
         the eager solver (``lax.while_loop`` inside ``lax.while_loop``),
-        with ``tol`` on the lumped-M_p-preconditioned Schur residual —
-        measured 2.04 s / 17 outer iterations at 107k velocity DOFs on
-        the real chip (f32, 2026-08-19, tools/exp_solver_tier.py).
+        with ``tol`` on the lumped-M_p-preconditioned Schur residual.
+        Unlike the eager solver, the outer loop is a FLEXIBLE CG whose
+        inner A-solves are warm-started (optimally scaled previous inner
+        solution) and run at a RELAXED tolerance
+        ``clip(inner_eta * tol * ||r_0|| / ||r_k||, inner_tol,
+        inner_tol_max)`` (van den Eshof & Sleijpen inexact-Krylov
+        relaxation; ``inner_eta=0`` pins every inner solve at
+        ``inner_tol``). The fixed-tolerance version measured 2.04 s / 17
+        outer iterations at 107k velocity DOFs on the real chip (f32,
+        2026-08-19, tools/exp_solver_tier.py); see docs/performance.md
+        for the relaxed-path A/B.
         ``"minres"`` solves the full symmetric-indefinite saddle system
         with block-diagonally preconditioned MINRES — one A-block
         preconditioner application per iteration instead of a full inner
@@ -830,10 +845,14 @@ def compiled_stokes_solver(
         full-system residual in the preconditioned norm, and
         ``inner_tol``/``inner_maxiter`` only govern the one final
         velocity recovery solve. MINRES is x64-accurate (parity 4e-12 vs
-        the eager solver in tests) but f32-fragile: the same real-chip
-        measurement took 286 iterations, cost 2.58 s, and drifted to a
-        wrong velocity field (the f32 recurrence loses track of the true
-        residual over hundreds of iterations) — keep ``"schur"`` on TPU.
+        the eager solver in tests) and, since the round-4
+        ``minres_restart`` true-residual replacement, its f32 stopping
+        test is honest — but it stays uncompetitive on chip: 3.69 s /
+        416 iterations vs schur's 1.47 s / 17 outer at 107k velocity
+        DOFs, and at equal ``tol`` the full-system residual norm admits
+        pressure error that the A^{-1} B^T recovery amplifies into much
+        larger velocity error (2026-08-19 A/B, docs/performance.md) —
+        keep ``"schur"`` on TPU.
       precondition: A-block preconditioner — ``"auto"`` (aggregate-block
         two-level for scalar bases; rigid-body-mode coarse space for
         vector bases, the compiled_bsr_solver defaults) or ``"jacobi"``.
@@ -1015,7 +1034,8 @@ def compiled_stokes_solver(
                 [jnp.zeros((nr,), dtype=rhs.dtype), x0]
             )
             xall, mr_info = minres(
-                k_op, rhs, x0=x0_all, precond=p_op, tol=tol, maxiter=maxiter
+                k_op, rhs, x0=x0_all, precond=p_op, tol=tol,
+                maxiter=maxiter, restart=minres_restart,
             )
             p = project_mean(xall[nr:][:, None])
             # velocity recovery at inner_tol: MINRES balances the u/p
@@ -1030,30 +1050,111 @@ def compiled_stokes_solver(
             )
             return u, p, info
 
-        u_f, _ = solve_a(f)
+        def solve_a_reduced(rhs_reduced, x0_red, tol_inner):
+            """Inner A-solve in the reduced/padded layout with an explicit
+            starting guess and a (possibly traced) relative tolerance."""
+            return pcg(
+                lambda v: bsr_matvec(st_d, values, v),
+                rhs_reduced,
+                x0=x0_red,
+                precond_diag=diag,
+                precond=precond,
+                tol=tol_inner,
+                maxiter=inner_maxiter,
+            )
+
+        u_f_red, _ = solve_a_reduced(
+            bsr_reduce(st_d, f),
+            jnp.zeros((st.n_pad,), dtype=f.dtype),
+            inner_tol,
+        )
+        u_f = bsr_expand(st_d, u_f_red, n_u)
         rhs_p = apply_b(u_f)
         rhs_p = rhs_p - g
         rhs_p = project_mean(rhs_p)
 
-        def schur(p_flat):
-            w = apply_bt(p_flat[:, None])
-            y, _ = solve_a(w)
-            return project_mean(apply_b(y))[:, 0]
+        precond_p = lambda r: project_mean((inv_lump * r)[:, None])[:, 0]
+        tiny = jnp.finfo(f.dtype).tiny
 
-        p_flat, schur_info = pcg(
-            schur,
-            rhs_p[:, 0],
-            x0=x0,
-            precond=lambda r: project_mean((inv_lump * r)[:, None])[:, 0],
-            tol=tol,
-            maxiter=maxiter,
+        # Flexible outer CG on the Schur complement with the two classic
+        # inner-solve economies (the fixed-inner-tol version spent 17 outer
+        # x full 1e-6 inner solves = 2.04 s at 107k velocity DOFs on chip):
+        #  1. WARM START: each inner solve starts from the previous inner
+        #     solution scaled by the 2-norm-optimal coefficient
+        #     gamma = <w_k, w_{k-1}> / <w_{k-1}, w_{k-1}> (A y_{k-1} ~
+        #     w_{k-1} to solver precision, so gamma y_{k-1} minimizes the
+        #     starting residual over the single direction y_{k-1}; gamma ~ 0
+        #     when the new rhs is uncorrelated, recovering the zero start).
+        #  2. RELAXED TOLERANCE (van den Eshof & Sleijpen / Simoncini-Szyld
+        #     inexact-Krylov): the inner tolerance may grow inversely with
+        #     the outer residual, tol_k = eta * tol * ||r_0|| / ||r_k||,
+        #     because late perturbations enter the true residual weighted by
+        #     the (small) current outer residual. Clamped to
+        #     [inner_tol, inner_tol_max]. The outer beta is Polak-Ribiere
+        #     (flexible CG), which tolerates the resulting non-stationarity.
+        b_norm = jnp.sqrt(jnp.sum(rhs_p[:, 0] ** 2))
+        atol = tol * jnp.maximum(b_norm, tiny)
+        outer_cap = maxiter if maxiter is not None else 10 * Vp.n_dofs
+
+        def schur_apply(d_flat, y_prev, w_prev, tol_k):
+            w = bsr_reduce(st_d, apply_bt(d_flat[:, None]))
+            gamma = jnp.sum(w * w_prev) / jnp.maximum(
+                jnp.sum(w_prev * w_prev), tiny
+            )
+            y, _ = solve_a_reduced(w, gamma * y_prev, tol_k)
+            sd = project_mean(apply_b(bsr_expand(st_d, y, n_u)))[:, 0]
+            return sd, y, w
+
+        # initial residual: one Schur apply against the user's x0 (zero by
+        # default, where the inner PCG exits after 0 iterations on ||b||=0)
+        zeros_red = jnp.zeros((st.n_pad,), dtype=f.dtype)
+        sx0, y0, w0 = schur_apply(x0, zeros_red, zeros_red, inner_tol)
+        r0 = rhs_p[:, 0] - sx0
+        z0 = precond_p(r0)
+        r0_norm = jnp.sqrt(jnp.sum(r0 * r0))
+
+        def cond(state):
+            _, r, _, _, _, _, _, k = state
+            return jnp.logical_and(
+                k < outer_cap, jnp.sqrt(jnp.sum(r * r)) > atol
+            )
+
+        def body(state):
+            xp, r, z, d, rz, y_prev, w_prev, k = state
+            r_norm = jnp.sqrt(jnp.sum(r * r))
+            tol_k = jnp.clip(
+                inner_eta * tol * r0_norm / jnp.maximum(r_norm, tiny),
+                inner_tol,
+                inner_tol_max,
+            )
+            sd, y_new, w_new = schur_apply(d, y_prev, w_prev, tol_k)
+            alpha = rz / jnp.sum(d * sd)
+            xp = xp + alpha * d
+            r_new = r - alpha * sd
+            z_new = precond_p(r_new)
+            # Polak-Ribiere (flexible) beta: exact-CG-equivalent when the
+            # operator is stationary, robust when the inner tol varies
+            beta = jnp.sum((r_new - r) * z_new) / rz
+            rz_new = jnp.sum(r_new * z_new)
+            d_new = z_new + beta * d
+            return (xp, r_new, z_new, d_new, rz_new, y_new, w_new, k + 1)
+
+        state = (x0, r0, z0, z0, jnp.sum(r0 * z0), y0, w0, 0)
+        p_flat, r_fin, _, _, _, y_last, _, k_out = jax.lax.while_loop(
+            cond, body, state
         )
+        res_fin = jnp.sqrt(jnp.sum(r_fin * r_fin))
         p = project_mean(p_flat[:, None])
-        u, info_u = solve_a(f - apply_bt(p))
+        # velocity recovery at full inner_tol, warm-started from the f-solve
+        # (r0 = -B^T p, typically far smaller than ||f - B^T p||)
+        u_red, info_u = solve_a_reduced(
+            bsr_reduce(st_d, f - apply_bt(p)), u_f_red, inner_tol
+        )
+        u = bsr_expand(st_d, u_red, n_u)
         info = StokesInfo(
-            outer_iterations=schur_info.iterations,
-            schur_residual=schur_info.residual_norm,
-            converged=schur_info.converged,
+            outer_iterations=k_out,
+            schur_residual=res_fin,
+            converged=res_fin <= atol,
             inner_info=info_u,
         )
         return u, p, info

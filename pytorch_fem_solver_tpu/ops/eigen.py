@@ -225,6 +225,7 @@ def lobpcg_eigsh(
     max_rounds: int = 500,
     precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     precond_diag: Optional[jnp.ndarray] = None,
+    lock_tol: Optional[float] = None,
 ):
     """Blocked LOBPCG (Knyazev) for the smallest ``k`` pairs of (A, M).
 
@@ -237,16 +238,26 @@ def lobpcg_eigsh(
     [X, T(A X - M X Λ), P] keeps the previous search directions, so the
     round count grows only modestly vs the inner-solve-powered rounds.
 
-    Rank deficiency (the first round's P = 0; late-stage collinearity as
-    residual directions converge) is handled inside Rayleigh-Ritz: the
-    M-Gram matrix is eigendecomposed, directions below a relative floor
-    are dropped, and the corresponding whitened rows are pushed to +inf so
-    they can never masquerade as smallest modes.
+    f32 stability (the round-3 on-chip failure mode was a catastrophic
+    loss of M-orthogonality in the joint 3m x 3m Gram matrix, producing
+    garbage Ritz values): the basis is now **explicitly M-orthonormalized
+    blockwise before every Rayleigh-Ritz** — W and P are projected against
+    the earlier blocks in the M inner product and whitened by a
+    rank-revealing eigendecomposition of their own small Gram matrices
+    (Cholesky-QR-class cure, rank-tolerant variant), so the joint Gram is
+    ~identity and the Ritz step is a well-conditioned standard ``eigh``.
+    **Soft locking**: columns whose relative residual
+    ``||A x - λ M x|| / ((||A x|| + |λ| ||M x||)`` drops below
+    ``lock_tol`` (default ``sqrt(tol)``) stop contributing residual
+    directions W, which removes the near-dependent directions that drive
+    the Gram collapse in the converged tail.
 
     Returns ``(vals (k,), vecs (n, k), (rounds, eig_change, converged))``.
     """
     n, m = x0.shape
     dtype = x0.dtype
+    if lock_tol is None:
+        lock_tol = float(np.sqrt(tol))
     a_blk = jax.vmap(a_matvec, in_axes=1, out_axes=1)
     m_blk = jax.vmap(m_matvec, in_axes=1, out_axes=1)
     if precond is not None:
@@ -263,9 +274,33 @@ def lobpcg_eigsh(
         norms = jnp.sqrt(jnp.sum(s * s, axis=0))
         return s / jnp.maximum(norms, tiny)[None, :]
 
-    def rr(s, width):
-        """Rank-tolerant Rayleigh-Ritz on basis ``s``; returns the
-        ascending Ritz values and M-orthonormal coefficient columns."""
+    def whiten(s, ms, width):
+        """M-orthonormalize block ``s`` (its M-image ``ms`` given) via a
+        rank-revealing eigendecomposition of the small Gram s^T M s.
+        Rank-dropped directions become zero columns; returns the
+        transformed (s, ms, valid-column mask)."""
+        g = s.T @ ms
+        g = 0.5 * (g + g.T)
+        d, q = jnp.linalg.eigh(g)
+        dmax = jnp.maximum(jnp.max(jnp.abs(d)), tiny)
+        keep = d > (10.0 * width * eps) * dmax
+        inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, d, 1.0)), 0.0)
+        t = q * inv_sqrt[None, :]
+        return s @ t, ms @ t, keep
+
+    def rr_ortho(s, as_, valid):
+        """Rayleigh-Ritz on an (approximately) M-orthonormal basis:
+        standard eigh of the projected A, with rank-dropped (zero) columns
+        pushed to +inf so they can never masquerade as smallest modes."""
+        ga = s.T @ as_
+        ga = 0.5 * (ga + ga.T)
+        big = 2.0 * jnp.max(jnp.abs(ga)) + 1.0
+        ga = ga + jnp.diag(jnp.where(valid, 0.0, big))
+        return jnp.linalg.eigh(ga)
+
+    def rr_seed(s, width):
+        """Rank-tolerant generalized Rayleigh-Ritz used once on the raw
+        starting block (which is not yet M-orthonormal)."""
         as_, ms_ = a_blk(s), m_blk(s)
         ga = s.T @ as_
         ga = 0.5 * (ga + ga.T)
@@ -285,9 +320,13 @@ def lobpcg_eigsh(
         evals, evecs = jnp.linalg.eigh(white)
         return evals, w @ evecs
 
-    # seed Ritz step on X alone: M-orthonormal X, initial Λ
-    evals0, c0 = rr(normalized(x0), m)
-    x = x0 @ c0[:, :m]
+    # seed Ritz step on X alone: M-orthonormal X, initial Λ. The
+    # coefficients are computed in the column-normalized basis, so they
+    # must be applied to that SAME basis — the body assumes X is exactly
+    # M-orthonormal (identity-Gram Ritz, (M X)^T W projections).
+    x0n = normalized(x0)
+    evals0, c0 = rr_seed(x0n, m)
+    x = x0n @ c0[:, :m]
     lam = evals0[:m]
 
     bigf = jnp.asarray(np.inf, dtype=dtype)
@@ -301,9 +340,34 @@ def lobpcg_eigsh(
         ax = a_blk(x)
         mx = m_blk(x)
         r = ax - mx * lam[None, :]
-        w = normalized(t_blk(r))
-        s = jnp.concatenate([x, w, normalized(p)], axis=1)
-        evals, c = rr(s, 3 * m)
+        # soft locking: converged columns contribute no residual direction
+        resn = jnp.sqrt(jnp.sum(r * r, axis=0))
+        axn = jnp.sqrt(jnp.sum(ax * ax, axis=0))
+        mxn = jnp.sqrt(jnp.sum(mx * mx, axis=0))
+        locked = resn <= lock_tol * jnp.maximum(axn + jnp.abs(lam) * mxn, tiny)
+        w = jnp.where(locked[None, :], 0.0, t_blk(r))
+        # M-project W off X (X is M-orthonormal from the previous Ritz
+        # step, so the projection coefficient is just (M X)^T W), then
+        # whiten W in the M inner product
+        w = w - x @ (mx.T @ w)
+        mw = m_blk(w)
+        # pre-scale columns to unit 2-norm (the SAME scale on w and its
+        # M-image, so the Gram stays exact) before the rank-revealing
+        # whitening — keeps the small eigh away from under/overflow
+        wscale = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(w * w, axis=0)), tiny)
+        w, mw, w_keep = whiten(w * wscale[None, :], mw * wscale[None, :], m)
+        # P: M-project off X and W, then whiten
+        p = p - x @ (mx.T @ p)
+        p = p - w @ (mw.T @ p)
+        mp = m_blk(p)
+        pscale = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(p * p, axis=0)), tiny)
+        p, mp, p_keep = whiten(p * pscale[None, :], mp * pscale[None, :], m)
+        s = jnp.concatenate([x, w, p], axis=1)
+        as_ = jnp.concatenate([ax, a_blk(jnp.concatenate([w, p], axis=1))], axis=1)
+        valid = jnp.concatenate(
+            [jnp.ones((m,), dtype=bool), w_keep, p_keep]
+        )
+        evals, c = rr_ortho(s, as_, valid)
         x_new = s @ c[:, :m]
         # next conjugate directions: the W/P part of the update only
         p_new = s[:, m:] @ c[m:, :m]

@@ -111,6 +111,7 @@ def minres(
     tol: float = 1e-10,
     maxiter: Optional[int] = None,
     dot: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = None,
+    restart: Optional[int] = None,
 ):
     """Preconditioned MINRES (Paige & Saunders) for symmetric, possibly
     INDEFINITE operators.
@@ -130,6 +131,17 @@ def minres(
       tol: relative tolerance on the M^{-1}-norm residual,
         ||r_k||_{M^{-1}} <= tol * ||r_0||_{M^{-1}} (the norm the Lanczos
         recurrence tracks for free).
+      restart: when set, every ``restart`` iterations the TRUE residual
+        ``r = b - K x`` is recomputed and the Lanczos/QR recurrence is
+        re-seeded from it (periodic true-residual replacement). This is
+        the f32 cure for the round-3 on-chip failure mode: over hundreds
+        of f32 iterations the tracked preconditioned-residual recurrence
+        drifts ~100% off the true residual, so the solver "converges" to
+        a wrong solution. With replacement the stopping test is anchored
+        to the true residual at every restart, at the cost of one extra
+        matvec per ``restart`` iterations (and the usual restarted-Krylov
+        convergence penalty — keep ``restart`` >= ~40). The final
+        residual_norm/converged are recomputed from the true residual.
 
     Returns ``(x, PCGInfo)``; residual_norm is the preconditioned norm.
     Stops early on Lanczos breakdown (beta ~ 0: solution found in exact
@@ -165,8 +177,10 @@ def minres(
         (x, r1_, r2, y_, oldb, beta, dbar, epsln, phibar, cs, sn, w, w2, k) = state
         v = y_ / beta
         av = matvec(v)
-        # three-term Lanczos: subtract the previous direction (k=0 has none)
-        coef = jnp.where(k > 0, beta / jnp.where(k > 0, oldb, 1.0), 0.0)
+        # three-term Lanczos: subtract the previous direction (none at
+        # k=0 and right after a true-residual refresh, both oldb == 0)
+        has_prev = oldb > 0
+        coef = jnp.where(has_prev, beta / jnp.where(has_prev, oldb, 1.0), 0.0)
         av = av - coef * r1_
         alfa = dot(v, av)
         av = av - (alfa / beta) * r2
@@ -188,9 +202,28 @@ def minres(
         w1, w2n = w2, w
         wn = (v - oldeps * w1 - delta * w2n) / gamma
         xn = x + phi * wn
-        return (
+        state_n = (
             xn, r1n, r2n, yn, oldb_n, beta_n, dbar_n, epsln_n,
             phibar_n, cs_n, sn_n, wn, w2n, k + 1,
+        )
+        if restart is None:
+            return state_n
+
+        def refresh(s):
+            xr = s[0]
+            kr = s[13]
+            rr = b - matvec(xr)
+            yr = precond(rr)
+            br = jnp.sqrt(jnp.maximum(dot(rr, yr), 0.0))
+            z = jnp.zeros((), dtype=b.dtype)
+            return (
+                xr, rr, rr, yr, z, br, z, z, br,
+                -jnp.ones((), dtype=b.dtype), z,
+                jnp.zeros_like(b), jnp.zeros_like(b), kr,
+            )
+
+        return jax.lax.cond(
+            (k + 1) % restart == 0, refresh, lambda s: s, state_n
         )
 
     zero = jnp.zeros((), dtype=b.dtype)
@@ -201,6 +234,12 @@ def minres(
     )
     out = jax.lax.while_loop(cond, body, state)
     x, phibar, k = out[0], out[8], out[13]
+    if restart is not None:
+        # anchor the reported result to the TRUE residual, not the
+        # recurrence (which is exactly what f32 drift corrupts)
+        r_true = b - matvec(x)
+        y_true = precond(r_true)
+        phibar = jnp.sqrt(jnp.maximum(dot(r_true, y_true), 0.0))
     info = PCGInfo(
         iterations=k, residual_norm=phibar, converged=phibar <= rtol
     )

@@ -87,13 +87,15 @@ def test_lobpcg_dense_oracle():
 
 
 def test_compiled_eigsh_lobpcg_matches_subspace():
-    """The two compiled methods agree on the Laplace spectrum in x64
-    (subspace is the shipped default: lobpcg is f32-fragile on the real
-    chip — garbage Rayleigh-Ritz values, docs/performance.md)."""
+    """The two compiled methods agree on the Laplace spectrum in x64.
+    lobpcg is the shipped default since the round-4 blockwise
+    M-orthonormalization + soft-locking rewrite: the on-chip f32 A/B
+    (2026-08-19) measures it correct AND 4.5x faster than subspace
+    (0.463 s vs 2.078 s at 100k DOFs, docs/performance.md)."""
     mesh = fem.MeshTri(fem.unit_square(max_area=0.5**8))
     V = fem.Basis(mesh, fem.ElementTri(1, 3))
     vals_s, _, (_, _, conv_s) = V.compiled_eigsh(
-        a_form, m_form, k=4, tol=1e-9
+        a_form, m_form, k=4, tol=1e-9, method="subspace"
     )()
     vals_l, vecs_l, (rounds, change, conv_l) = V.compiled_eigsh(
         a_form, m_form, k=4, tol=1e-9, method="lobpcg"

@@ -1,5 +1,7 @@
 """Sharded solver correctness on the virtual 8-device CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -322,8 +324,6 @@ def test_shard_plan_memory_scales_at_benchmark_scale(eight_devices):
     h=0.05/tol 1e-9 the sharded and single-device solves match exactly:
     92 = 92 iterations, max err 1.7e-15 (docs/performance.md).
     """
-    import os
-
     from pytorch_fem_solver_tpu.parallel.sharded_bsr import build_bsr_shard_plan
     from pytorch_fem_solver_tpu.utils import build_benchmark_network
 
@@ -357,7 +357,7 @@ def test_shard_plan_memory_scales_at_benchmark_scale(eight_devices):
 
 
 @pytest.mark.skipif(
-    not __import__("os").environ.get("FEM_TEST_SCALE"),
+    not os.environ.get("FEM_TEST_SCALE"),
     reason="~6 min CPU solve; set FEM_TEST_SCALE=1 (captured evidence in "
     "docs/performance.md)",
 )

@@ -294,9 +294,11 @@ def test_stokes_solver_3d():
 
 def test_compiled_stokes_matches_eager():
     """compiled_stokes_solver lands on the eager stokes_solver solution
-    through BOTH methods — the default block-preconditioned MINRES on the
-    full saddle system and the nested Schur CG — and a second call with
-    a different right-hand side reuses the compiled program."""
+    through BOTH methods — the default nested Schur CG and the x64-only
+    block-preconditioned MINRES on the full saddle system — and a second
+    call with a different right-hand side reuses the compiled program.
+    The trailing precondition="jacobi" check exercises the default method
+    (schur)."""
     from pytorch_fem_solver_tpu.ops import compiled_stokes_solver, stokes_solver
 
     def a_form(b):
