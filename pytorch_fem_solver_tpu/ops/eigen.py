@@ -226,6 +226,7 @@ def lobpcg_eigsh(
     precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     precond_diag: Optional[jnp.ndarray] = None,
     lock_tol: Optional[float] = None,
+    psum: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ):
     """Blocked LOBPCG (Knyazev) for the smallest ``k`` pairs of (A, M).
 
@@ -252,12 +253,21 @@ def lobpcg_eigsh(
     directions W, which removes the near-dependent directions that drive
     the Gram collapse in the converged tail.
 
+    ``psum`` is the cross-row reduction hook for the SHARDED path: when the
+    block's rows are distributed (``parallel.sharded_eigen``), every Gram
+    matrix and column norm is a local partial that must be summed across
+    shards — pass ``lambda x: jax.lax.psum(x, axis)``. All other operations
+    (column-space updates, the small eigendecompositions) act on replicated
+    small matrices or local rows and need no communication.
+
     Returns ``(vals (k,), vecs (n, k), (rounds, eig_change, converged))``.
     """
     n, m = x0.shape
     dtype = x0.dtype
     if lock_tol is None:
         lock_tol = float(np.sqrt(tol))
+    if psum is None:
+        psum = lambda x: x
     a_blk = jax.vmap(a_matvec, in_axes=1, out_axes=1)
     m_blk = jax.vmap(m_matvec, in_axes=1, out_axes=1)
     if precond is not None:
@@ -270,16 +280,18 @@ def lobpcg_eigsh(
     eps = jnp.finfo(dtype).eps
     tiny = jnp.finfo(dtype).tiny
 
+    def colnorm(s):
+        return jnp.sqrt(psum(jnp.sum(s * s, axis=0)))
+
     def normalized(s):
-        norms = jnp.sqrt(jnp.sum(s * s, axis=0))
-        return s / jnp.maximum(norms, tiny)[None, :]
+        return s / jnp.maximum(colnorm(s), tiny)[None, :]
 
     def whiten(s, ms, width):
         """M-orthonormalize block ``s`` (its M-image ``ms`` given) via a
         rank-revealing eigendecomposition of the small Gram s^T M s.
         Rank-dropped directions become zero columns; returns the
         transformed (s, ms, valid-column mask)."""
-        g = s.T @ ms
+        g = psum(s.T @ ms)
         g = 0.5 * (g + g.T)
         d, q = jnp.linalg.eigh(g)
         dmax = jnp.maximum(jnp.max(jnp.abs(d)), tiny)
@@ -292,7 +304,7 @@ def lobpcg_eigsh(
         """Rayleigh-Ritz on an (approximately) M-orthonormal basis:
         standard eigh of the projected A, with rank-dropped (zero) columns
         pushed to +inf so they can never masquerade as smallest modes."""
-        ga = s.T @ as_
+        ga = psum(s.T @ as_)
         ga = 0.5 * (ga + ga.T)
         big = 2.0 * jnp.max(jnp.abs(ga)) + 1.0
         ga = ga + jnp.diag(jnp.where(valid, 0.0, big))
@@ -302,9 +314,9 @@ def lobpcg_eigsh(
         """Rank-tolerant generalized Rayleigh-Ritz used once on the raw
         starting block (which is not yet M-orthonormal)."""
         as_, ms_ = a_blk(s), m_blk(s)
-        ga = s.T @ as_
+        ga = psum(s.T @ as_)
         ga = 0.5 * (ga + ga.T)
-        gm = s.T @ ms_
+        gm = psum(s.T @ ms_)
         gm = 0.5 * (gm + gm.T)
         d, q = jnp.linalg.eigh(gm)
         dmax = jnp.maximum(jnp.max(jnp.abs(d)), tiny)
@@ -341,26 +353,26 @@ def lobpcg_eigsh(
         mx = m_blk(x)
         r = ax - mx * lam[None, :]
         # soft locking: converged columns contribute no residual direction
-        resn = jnp.sqrt(jnp.sum(r * r, axis=0))
-        axn = jnp.sqrt(jnp.sum(ax * ax, axis=0))
-        mxn = jnp.sqrt(jnp.sum(mx * mx, axis=0))
+        resn = colnorm(r)
+        axn = colnorm(ax)
+        mxn = colnorm(mx)
         locked = resn <= lock_tol * jnp.maximum(axn + jnp.abs(lam) * mxn, tiny)
         w = jnp.where(locked[None, :], 0.0, t_blk(r))
         # M-project W off X (X is M-orthonormal from the previous Ritz
         # step, so the projection coefficient is just (M X)^T W), then
         # whiten W in the M inner product
-        w = w - x @ (mx.T @ w)
+        w = w - x @ psum(mx.T @ w)
         mw = m_blk(w)
         # pre-scale columns to unit 2-norm (the SAME scale on w and its
         # M-image, so the Gram stays exact) before the rank-revealing
         # whitening — keeps the small eigh away from under/overflow
-        wscale = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(w * w, axis=0)), tiny)
+        wscale = 1.0 / jnp.maximum(colnorm(w), tiny)
         w, mw, w_keep = whiten(w * wscale[None, :], mw * wscale[None, :], m)
         # P: M-project off X and W, then whiten
-        p = p - x @ (mx.T @ p)
-        p = p - w @ (mw.T @ p)
+        p = p - x @ psum(mx.T @ p)
+        p = p - w @ psum(mw.T @ p)
         mp = m_blk(p)
-        pscale = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(p * p, axis=0)), tiny)
+        pscale = 1.0 / jnp.maximum(colnorm(p), tiny)
         p, mp, p_keep = whiten(p * pscale[None, :], mp * pscale[None, :], m)
         s = jnp.concatenate([x, w, p], axis=1)
         as_ = jnp.concatenate([ax, a_blk(jnp.concatenate([w, p], axis=1))], axis=1)

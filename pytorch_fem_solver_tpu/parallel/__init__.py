@@ -5,6 +5,8 @@ from .sharded_bsr import (
     sharded_bsr_solver,
     solve_pcg_sharded_bsr,
 )
+from .sharded_eigen import sharded_eigsh_solver
+from .sharded_newton import sharded_newton_solver
 from .sharding import (
     CELL_AXIS,
     make_device_mesh,
@@ -18,6 +20,8 @@ __all__ = [
     "get_bsr_shard_plan",
     "sharded_bsr_solver",
     "make_device_mesh",
+    "sharded_eigsh_solver",
+    "sharded_newton_solver",
     "shard_basis_cells",
     "solve_pcg_sharded",
     "solve_pcg_sharded_bsr",

@@ -93,6 +93,9 @@ class BSRShardPlan(NamedTuple):
     bcols2_sh: jnp.ndarray  # (n_shards*nh_max, B2)
     hrows_sh: jnp.ndarray  # (n_shards*nh_max,) local block-row; pad: rps
     agg_sh: jnp.ndarray  # (n_shards*ns_local, bpa, bpa) local block ids
+    vec_slots_sh: jnp.ndarray = None  # (n_shards*T_max*n_loc,) local reduced
+    #   row per (halo cell, i_loc) entry; foreign/Dirichlet/pad -> rps*k
+    #   (out of range, dropped) — the per-shard residual-vector scatter
 
 
 def _local_block_ids(plan_args, blk):
@@ -211,6 +214,22 @@ def build_bsr_shard_plan(
     slots_sh = np.full((n_shards, T_max * n_loc2), n_values_local, np.int64)
     slots_sh[owner[sel], pos * n_loc2 + flat_idx[sel] % n_loc2] = lslot[sel]
 
+    # ---- per-shard residual-vector scatter ---------------------------------
+    # (halo cell, i_loc) -> local reduced row when this shard owns the row.
+    # Every real (cell, i) entry has exactly ONE owning shard, and that
+    # shard's halo contains the cell (the (i, i) matrix entry put it there),
+    # so scatter-adding per shard assembles the reduced residual exactly
+    # once with zero collectives.
+    lrows = rps * k
+    inv_pos = np.full(int(basis.n_dofs), lrows * n_shards, dtype=np.int64)
+    inv_pos[np.asarray(st.inner_perm)] = np.arange(st.inner_perm.size)
+    d_sh = dofs.reshape(-1, n_loc)[cells_sh]  # (n_shards, T_max, n_loc)
+    pos_v = inv_pos[d_sh]
+    shard_col = np.arange(n_shards)[:, None, None]
+    own_v = pos_v // lrows == shard_col
+    real_cell = (np.arange(T_max)[None, :] < counts_c[:, None])[..., None]
+    vec_slots = np.where(own_v & real_cell, pos_v - shard_col * lrows, lrows)
+
     # ---- per-shard aggregate-block smoother tables -------------------------
     table_g = build_agg_block_table(st._replace(n_pad=n_pad, nb=nb_pad), gs)
     sentinel_g = nb * B + nh * B2
@@ -253,6 +272,7 @@ def build_bsr_shard_plan(
         agg_sh=jnp.asarray(
             agg_sh.reshape(n_shards * ns_local, bpa, bpa), dtype=i_t
         ),
+        vec_slots_sh=jnp.asarray(vec_slots.reshape(-1), dtype=np.int32),
     )
 
 
@@ -270,6 +290,139 @@ def get_bsr_shard_plan(basis, n_shards: int, **kwargs) -> BSRShardPlan:
     return plan
 
 
+def _scatter_local_values(plan, local_s, slots_s):
+    """Per-shard value scatter (no collectives): halo-cell element matrices
+    (T_max, n_loc, n_loc) -> (tier-1 (rps, B, k, k), tier-2
+    (nh_max, B2, k, k), local point diagonal)."""
+    st = plan.st
+    k, kk = st.block, st.block * st.block
+    B, B2 = st.bcols.shape[1], st.bcols2.shape[1]
+    vals = (
+        jnp.zeros((plan.n_values_local,), dtype=local_s.dtype)
+        .at[slots_s]
+        .add(local_s.reshape(-1), mode="drop")
+    )
+    v1 = vals[: plan.rps * B * kk].reshape(plan.rps, B, k, k)
+    v2 = vals[plan.rps * B * kk :].reshape(plan.nh_max, B2, k, k)
+    diag_local = jnp.diagonal(v1[:, 0], axis1=-2, axis2=-1).reshape(-1)
+    return v1, v2, diag_local
+
+
+def _shard_matvec(plan, axis, v1, v2, bcols_s, bcols2_s, hrows_s):
+    """Row-sharded SpMV closure: one tiled all_gather of the iterate per
+    application, tier-1 + hybrid tier-2 local block contractions."""
+    st = plan.st
+    k = st.block
+    B, B2 = st.bcols.shape[1], st.bcols2.shape[1]
+    rps, nh_max, nb_pad = plan.rps, plan.nh_max, plan.nb_pad
+
+    def matvec(x_local):
+        x_full = jax.lax.all_gather(x_local, axis, tiled=True)
+        x2 = x_full.reshape(nb_pad, k)
+        xo = x_local.reshape(rps, k)
+        y = jnp.einsum(
+            "rij,rj->ri", v1[:, 0], xo,
+            preferred_element_type=x_local.dtype,
+        )
+        if B > 1:
+            y = y + jnp.einsum(
+                "rbij,rbj->ri", v1[:, 1:], x2[bcols_s[:, 1:]],
+                preferred_element_type=x_local.dtype,
+            )
+        if nh_max:
+            y2 = jnp.einsum(
+                "rbij,rbj->ri", v2, x2[bcols2_s],
+                preferred_element_type=x_local.dtype,
+            )
+            y = y.at[hrows_s].add(
+                y2, mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            )
+        return y.reshape(-1)
+
+    return matvec
+
+
+def _shard_two_level_precond(
+    plan, axis, v1, v2, agg_s, bcols_s, bcols2_s, hrows_s
+):
+    """Per-shard two-level (aggregate-block smoother + sharded-apply dense
+    coarse) preconditioner closure, built from local values only (one
+    (nc, nc) psum for the Galerkin coarse matrix)."""
+    st = plan.st
+    k, kk = st.block, st.block * st.block
+    B2 = st.bcols2.shape[1]
+    rps, nh_max = plan.rps, plan.nh_max
+    g, gs, nc, nc_local = plan.g, plan.gs, plan.nc, plan.nc_local
+    bpg, bpa = g // k, gs // k
+
+    # per-shard smoother: (gs, gs) aggregate diagonal blocks from LOCAL
+    # values only (aggregates never straddle shards)
+    flat = jnp.concatenate(
+        [
+            v1.reshape(-1, kk),
+            v2.reshape(-1, kk),
+            jnp.zeros((1, kk), dtype=v1.dtype),
+        ]
+    )
+    rows = flat[agg_s]  # (ns_local, bpa, bpa, kk)
+    D = rows.reshape(-1, bpa, bpa, k, k).transpose(
+        0, 1, 3, 2, 4
+    ).reshape(-1, gs, gs)
+    zero_d = jnp.diagonal(D, axis1=-2, axis2=-1) == 0
+    D = D + jnp.eye(gs, dtype=D.dtype) * zero_d[:, None, :]
+    inv_agg = batched_small_inv(D)
+
+    # coarse Galerkin: per-shard partials + one (nc, nc) psum per solve;
+    # the dense inverse is redundant compute (nc <= 4096) but its
+    # per-iteration APPLY is row-sharded
+    my = jax.lax.axis_index(axis)
+    rows_c = (my * rps + jnp.arange(rps, dtype=jnp.int32)) // bpg
+    bins1 = (rows_c[:, None] * nc + bcols_s // bpg).reshape(-1)
+    part = jax.ops.segment_sum(
+        v1.sum(axis=(-1, -2)).reshape(-1), bins1,
+        num_segments=nc * nc,
+    )
+    if nh_max:
+        # sentinel rows (hrows == rps) land in a foreign bin with zero
+        # values — harmless
+        hg = (my * rps + hrows_s) // bpg
+        bins2 = (hg[:, None] * nc + bcols2_s // bpg).reshape(-1)
+        part = part + jax.ops.segment_sum(
+            v2.sum(axis=(-1, -2)).reshape(-1), bins2,
+            num_segments=nc * nc,
+        )
+    coarse = jax.lax.psum(part, axis).reshape(nc, nc)
+    coarse = 0.5 * (coarse + coarse.T)
+    shift = jnp.maximum(jnp.trace(coarse) / nc, 1.0)
+    coarse_inv = jnp.linalg.inv(
+        coarse + 1e-7 * shift * jnp.eye(nc, dtype=coarse.dtype)
+    )
+    start = (my * nc_local).astype(jnp.int32)
+    coarse_rows = jax.lax.dynamic_slice(
+        coarse_inv, (start, jnp.zeros((), jnp.int32)),
+        (nc_local, nc),
+    )
+
+    def precond(r_local):
+        fine = jnp.einsum(
+            "rij,rj->ri", inv_agg, r_local.reshape(-1, gs),
+            preferred_element_type=r_local.dtype,
+        ).reshape(-1)
+        rc_l = r_local.reshape(-1, g).sum(-1)
+        rc = jax.lax.all_gather(rc_l, axis, tiled=True)
+        zc_l = coarse_rows @ rc
+        return fine + _prolong(zc_l, g, rps * k)
+
+    return precond
+
+
+def _shard_jacobi_precond(diag_local):
+    safe = jnp.where(diag_local != 0, diag_local, 1.0)
+    inv_d = 1.0 / safe
+    return lambda r: inv_d * r
+
+
 def _make_sharded_run(plan, device_mesh, precondition, tol, maxiter):
     """shard_map'ed program: per-shard local element matrices -> values ->
     preconditioner slices -> row-sharded PCG. Returns
@@ -277,18 +430,8 @@ def _make_sharded_run(plan, device_mesh, precondition, tol, maxiter):
     ``local_sh`` is (n_shards*T_max, n_loc, n_loc) (sharded) and ``b_pad``
     the permuted padded rhs (n_pad,) (sharded by rows)."""
     axis = device_mesh.axis_names[0]
-    st = plan.st
-    k = st.block
-    kk = k * k
-    B = st.bcols.shape[1]
-    B2 = st.bcols2.shape[1]
-    rps, nh_max = plan.rps, plan.nh_max
-    g, gs, nc, nc_local = plan.g, plan.gs, plan.nc, plan.nc_local
-    bpg = g // k
-    bpa = gs // k
-    nb_pad = plan.nb_pad
     if maxiter is None:
-        maxiter = max(10 * nb_pad * k, 100)
+        maxiter = max(10 * plan.nb_pad * plan.st.block, 100)
     if precondition not in ("auto", "two_level", "jacobi"):
         raise ValueError(f"unknown precondition: {precondition!r}")
 
@@ -303,105 +446,16 @@ def _make_sharded_run(plan, device_mesh, precondition, tol, maxiter):
         check_vma=False,
     )
     def run(local_s, slots_s, bcols2_s, hrows_s, agg_s, b_local, bcols_s):
-        # ---- local value scatter (no collectives) ----
-        vals = (
-            jnp.zeros((plan.n_values_local,), dtype=local_s.dtype)
-            .at[slots_s]
-            .add(local_s.reshape(-1), mode="drop")
-        )
-        v1 = vals[: rps * B * kk].reshape(rps, B, k, k)
-        v2 = vals[rps * B * kk :].reshape(nh_max, B2, k, k)
-        diag_local = jnp.diagonal(v1[:, 0], axis1=-2, axis2=-1).reshape(-1)
-
-        def matvec(x_local):
-            x_full = jax.lax.all_gather(x_local, axis, tiled=True)
-            x2 = x_full.reshape(nb_pad, k)
-            xo = x_local.reshape(rps, k)
-            y = jnp.einsum(
-                "rij,rj->ri", v1[:, 0], xo,
-                preferred_element_type=x_local.dtype,
-            )
-            if B > 1:
-                y = y + jnp.einsum(
-                    "rbij,rbj->ri", v1[:, 1:], x2[bcols_s[:, 1:]],
-                    preferred_element_type=x_local.dtype,
-                )
-            if nh_max:
-                y2 = jnp.einsum(
-                    "rbij,rbj->ri", v2, x2[bcols2_s],
-                    preferred_element_type=x_local.dtype,
-                )
-                y = y.at[hrows_s].add(
-                    y2, mode="drop", indices_are_sorted=True,
-                    unique_indices=True,
-                )
-            return y.reshape(-1)
-
+        v1, v2, diag_local = _scatter_local_values(plan, local_s, slots_s)
+        matvec = _shard_matvec(plan, axis, v1, v2, bcols_s, bcols2_s, hrows_s)
         pdot = lambda u, v: jax.lax.psum(jnp.sum(u * v), axis)
 
         if precondition in ("auto", "two_level"):
-            # per-shard smoother: (gs, gs) aggregate diagonal blocks from
-            # LOCAL values only (aggregates never straddle shards)
-            flat = jnp.concatenate(
-                [
-                    v1.reshape(-1, kk),
-                    v2.reshape(-1, kk),
-                    jnp.zeros((1, kk), dtype=v1.dtype),
-                ]
+            precond = _shard_two_level_precond(
+                plan, axis, v1, v2, agg_s, bcols_s, bcols2_s, hrows_s
             )
-            rows = flat[agg_s]  # (ns_local, bpa, bpa, kk)
-            D = rows.reshape(-1, bpa, bpa, k, k).transpose(
-                0, 1, 3, 2, 4
-            ).reshape(-1, gs, gs)
-            zero_d = jnp.diagonal(D, axis1=-2, axis2=-1) == 0
-            D = D + jnp.eye(gs, dtype=D.dtype) * zero_d[:, None, :]
-            inv_agg = batched_small_inv(D)
-
-            # coarse Galerkin: per-shard partials + one (nc, nc) psum per
-            # solve; the dense inverse is redundant compute (nc <= 4096)
-            # but its per-iteration APPLY is row-sharded
-            my = jax.lax.axis_index(axis)
-            rows_c = (my * rps + jnp.arange(rps, dtype=jnp.int32)) // bpg
-            bins1 = (rows_c[:, None] * nc + bcols_s // bpg).reshape(-1)
-            part = jax.ops.segment_sum(
-                v1.sum(axis=(-1, -2)).reshape(-1), bins1,
-                num_segments=nc * nc,
-            )
-            if nh_max:
-                # sentinel rows (hrows == rps) land in a foreign bin with
-                # zero values — harmless
-                hg = (my * rps + hrows_s) // bpg
-                bins2 = (hg[:, None] * nc + bcols2_s // bpg).reshape(-1)
-                part = part + jax.ops.segment_sum(
-                    v2.sum(axis=(-1, -2)).reshape(-1), bins2,
-                    num_segments=nc * nc,
-                )
-            coarse = jax.lax.psum(part, axis).reshape(nc, nc)
-            coarse = 0.5 * (coarse + coarse.T)
-            shift = jnp.maximum(jnp.trace(coarse) / nc, 1.0)
-            coarse_inv = jnp.linalg.inv(
-                coarse + 1e-7 * shift * jnp.eye(nc, dtype=coarse.dtype)
-            )
-            start = (my * nc_local).astype(jnp.int32)
-            coarse_rows = jax.lax.dynamic_slice(
-                coarse_inv, (start, jnp.zeros((), jnp.int32)),
-                (nc_local, nc),
-            )
-
-            def precond(r_local):
-                fine = jnp.einsum(
-                    "rij,rj->ri", inv_agg, r_local.reshape(-1, gs),
-                    preferred_element_type=r_local.dtype,
-                ).reshape(-1)
-                rc_l = r_local.reshape(-1, g).sum(-1)
-                rc = jax.lax.all_gather(rc_l, axis, tiled=True)
-                zc_l = coarse_rows @ rc
-                return fine + _prolong(zc_l, g, rps * k)
-
         else:  # jacobi
-            safe = jnp.where(diag_local != 0, diag_local, 1.0)
-            inv_d = 1.0 / safe
-            precond = lambda r: inv_d * r
+            precond = _shard_jacobi_precond(diag_local)
 
         x, info = pcg(
             matvec, b_local, precond=precond, tol=tol,

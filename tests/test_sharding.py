@@ -387,3 +387,109 @@ def test_benchmark_network_stress_100k(eight_devices):
     np.testing.assert_allclose(
         np.asarray(u_sb), np.asarray(u_ref), atol=1e-5 * scale
     )
+
+
+def _nonlinear_residual(b_, u, ug):
+    """-div((1+u^2) grad u) = f with the manufactured sin*sin solution."""
+    import math
+
+    pi = math.pi
+    x = b_.integration_points[..., 0:1]
+    y = b_.integration_points[..., 1:2]
+    us = jnp.sin(pi * x) * jnp.sin(pi * y)
+    ux = pi * jnp.cos(pi * x) * jnp.sin(pi * y)
+    uy = pi * jnp.sin(pi * x) * jnp.cos(pi * y)
+    f = -(2 * us * (ux**2 + uy**2) + (1 + us**2) * (-2 * pi**2 * us))
+    return (1 + u**2) * (b_.v_grad * ug).sum(-1, keepdims=True) - f * b_.v
+
+
+def test_sharded_newton_matches_compiled(eight_devices):
+    """sharded_newton_solver lands on the compiled_newton solution with
+    the SAME Newton iteration count, through both the Jacobi and the
+    per-shard two-level preconditioner."""
+    from pytorch_fem_solver_tpu.parallel import sharded_newton_solver
+
+    mesh = fem.MeshTri(fem.rectangle(40, 40))
+    V = fem.Basis(mesh, fem.ElementTri(1, 3))
+    u_c, (k_c, _, conv_c) = V.compiled_newton(
+        _nonlinear_residual, tol=1e-12, solve_tol=1e-10
+    )()
+    assert bool(conv_c)
+    for pc in ("jacobi", "two_level"):
+        u_s, (k_s, _, conv_s) = sharded_newton_solver(
+            V, _nonlinear_residual, device_mesh=eight_devices,
+            tol=1e-12, solve_tol=1e-10, precondition=pc,
+        )()
+        assert bool(conv_s), pc
+        assert int(k_s) == int(k_c), (pc, int(k_s), int(k_c))
+        np.testing.assert_allclose(
+            np.asarray(u_s), np.asarray(u_c), atol=1e-9
+        )
+    with pytest.raises(ValueError, match="precondition"):
+        sharded_newton_solver(
+            V, _nonlinear_residual, device_mesh=eight_devices,
+            precondition="ilu",
+        )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("FEM_TEST_SCALE"),
+    reason="heavy CPU Newton at 50k DOFs; set FEM_TEST_SCALE=1",
+)
+def test_sharded_newton_stress_50k(eight_devices):
+    """Sharded Newton at >=50k DOFs (VERDICT-r3 item 2): same Newton count
+    as the single-device compiled path and matching solutions, with the
+    per-shard two-level preconditioner driving the inner solves."""
+    from pytorch_fem_solver_tpu.parallel import sharded_newton_solver
+
+    mesh = fem.MeshTri(fem.rectangle(224, 224))
+    V = fem.Basis(mesh, fem.ElementTri(1, 3))
+    assert V.n_dofs >= 50_000
+    u_c, (k_c, _, conv_c) = V.compiled_newton(
+        _nonlinear_residual, tol=1e-10, solve_tol=1e-9,
+        precondition="auto",
+    )()
+    assert bool(conv_c)
+    u_s, (k_s, _, conv_s) = sharded_newton_solver(
+        V, _nonlinear_residual, device_mesh=eight_devices,
+        tol=1e-10, solve_tol=1e-9, precondition="two_level",
+    )()
+    assert bool(conv_s)
+    assert abs(int(k_s) - int(k_c)) <= 1, (int(k_s), int(k_c))
+    scale = float(np.abs(np.asarray(u_c)).max())
+    np.testing.assert_allclose(
+        np.asarray(u_s), np.asarray(u_c), atol=1e-6 * scale
+    )
+
+
+def test_sharded_eigsh_matches_compiled(eight_devices):
+    """sharded_eigsh_solver (row-sharded LOBPCG: psum'd Grams, sharded
+    matvecs/preconditioner) reproduces the compiled single-device solve —
+    same seed gives an identical starting block, so the ROUND COUNT must
+    match exactly and eigenvalues to roundoff."""
+    from pytorch_fem_solver_tpu.parallel import sharded_eigsh_solver
+
+    mesh = fem.MeshTri(fem.unit_square(max_area=0.5**8))
+    V = fem.Basis(mesh, fem.ElementTri(1, 3))
+    a = stiffness
+    m = lambda b_: b_.v @ jnp.matrix_transpose(b_.v)
+    vals_c, vecs_c, (r_c, _, cv_c) = V.compiled_eigsh(a, m, k=4, tol=1e-9)()
+    assert bool(cv_c)
+    vals_s, vecs_s, (r_s, _, cv_s) = sharded_eigsh_solver(
+        V, a, m, k=4, tol=1e-9, device_mesh=eight_devices
+    )()
+    assert bool(cv_s)
+    assert int(r_s) == int(r_c), (int(r_s), int(r_c))
+    np.testing.assert_allclose(
+        np.asarray(vals_s), np.asarray(vals_c), rtol=1e-10
+    )
+    assert vecs_s.shape == (V.n_dofs, 4)
+    # jacobi variant converges to the same spectrum
+    vals_j, _, (_, _, cv_j) = sharded_eigsh_solver(
+        V, a, m, k=4, tol=1e-9, device_mesh=eight_devices,
+        precondition="jacobi",
+    )()
+    assert bool(cv_j)
+    np.testing.assert_allclose(
+        np.asarray(vals_j), np.asarray(vals_c), rtol=1e-6
+    )
