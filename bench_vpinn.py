@@ -31,6 +31,16 @@ EPOCHS = int(os.environ.get("VPINN_EPOCHS", "50"))
 WIDTH = int(os.environ.get("VPINN_WIDTH", "15"))
 DEPTH = int(os.environ.get("VPINN_DEPTH", "4"))
 THREADS = int(os.environ.get("VPINN_CPU_THREADS", str(os.cpu_count() or 8)))
+# Fail-fast deadlines (s), same doctrine as bench.py: a tunnel outage hangs
+# every device touch in a silent sleep-retry loop; the watchdog converts
+# that to a structured error JSON + rc=3 instead of rc=124 with no output.
+PROBE_S = float(os.environ.get("VPINN_PROBE_S", "240"))
+WARMUP_S = float(os.environ.get("VPINN_WARMUP_S", "600"))
+EPOCH_S = float(os.environ.get("VPINN_EPOCH_S", "300"))
+
+from pytorch_fem_solver_tpu.utils.watchdog import Watchdog, probe_device
+
+WD = Watchdog(metric="rvpinn_epoch_wallclock")
 
 
 def log(*a):
@@ -118,18 +128,52 @@ def tpu_epoch_time():
             h1_err / exact_norm,
         )
 
+    if WARMUP_S:
+        WD.arm(WARMUP_S, "tpu warmup (compile + first epoch)")
     nn, opt_state, loss, rel, acc = step(nn, opt_state)
     _ = float(loss)  # sync
+    if EPOCH_S:
+        WD.arm(EPOCH_S * EPOCHS, "tpu per-dispatch epochs")
     t0 = time.perf_counter()
     for _ in range(EPOCHS):
         nn, opt_state, loss, rel, acc = step(nn, opt_state)
     final = float(loss)  # forces the host sync axon needs
     dt = (time.perf_counter() - t0) / EPOCHS
     log(
-        f"tpu: {dt*1e3:.2f} ms/epoch  loss {final:.4e} "
+        f"tpu (per-dispatch): {dt*1e3:.2f} ms/epoch  loss {final:.4e} "
         f"acc {float(acc):.4f}  cells {mesh.n_cells}"
     )
-    return dt, mesh.n_cells
+
+    # the TPU-native protocol (Model.train_compiled): lax.scan over the
+    # epoch block inside ONE jit — removes the ~31 ms per-dispatch tunnel
+    # round-trip that dominates the eager loop at this problem size
+    def epoch_body(carry, _):
+        net, opt = carry
+        net, opt, loss, rel, acc = step(net, opt)  # nested jit inlines
+        return (net, opt), (loss, rel, acc)
+
+    import jax.lax as lax
+
+    @jax.jit
+    def run_block(net, opt):
+        return lax.scan(epoch_body, (net, opt), None, length=EPOCHS)
+
+    if WARMUP_S:
+        WD.arm(WARMUP_S, "tpu scanned-block warmup")
+    (nn_s, opt_s), (losses, _, accs) = run_block(nn, opt_state)
+    _ = np.asarray(losses)  # sync
+    if EPOCH_S:
+        WD.arm(EPOCH_S * EPOCHS, "tpu scanned-block epochs")
+    t0 = time.perf_counter()
+    (nn_s, opt_s), (losses, _, accs) = run_block(nn, opt_state)
+    losses = np.asarray(losses)  # sync
+    WD.disarm()
+    dt_scan = (time.perf_counter() - t0) / EPOCHS
+    log(
+        f"tpu (scanned block): {dt_scan*1e3:.2f} ms/epoch  "
+        f"loss {losses[-1]:.4e}"
+    )
+    return dt, dt_scan, mesh.n_cells
 
 
 def _reference_mesh_dict():
@@ -262,21 +306,28 @@ def reference_epoch_time(n_cells_expected):
 
 
 def main():
-    tpu_dt, n_cells = tpu_epoch_time()
+    if PROBE_S:
+        rtt = probe_device(WD, PROBE_S)
+        log(f"tunnel probe: first device op round-trip {rtt:.1f}s")
+    tpu_dt, tpu_scan_dt, n_cells = tpu_epoch_time()
     cpu_dt = reference_epoch_time(n_cells)
     print(
         json.dumps(
             {
                 "metric": "rvpinn_epoch_wallclock",
-                "value": tpu_dt,
+                # headline: the TPU-native protocol (scanned epoch block,
+                # Model.train_compiled); the per-dispatch eager loop is in
+                # detail for round-over-round comparability
+                "value": tpu_scan_dt,
                 "unit": "s",
-                "vs_baseline": cpu_dt / tpu_dt,
+                "vs_baseline": cpu_dt / tpu_scan_dt,
                 "detail": {
                     "mesh_n": N,
                     "cells": n_cells,
                     "epochs": EPOCHS,
                     "width": WIDTH,
                     "depth": DEPTH,
+                    "tpu_s_per_epoch_eager": tpu_dt,
                     "cpu_s_per_epoch": cpu_dt,
                     "cpu_threads": THREADS,
                     "baseline": "actual reference package Model.train "

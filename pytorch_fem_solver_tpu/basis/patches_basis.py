@@ -24,7 +24,7 @@ from .abstract_basis import AbstractBasis, register_basis_pytree
 
 @register_basis_pytree
 class PatchesBasis(AbstractBasis):
-    """P1/P2 basis over a batch of patch meshes (the reference's patches
+    """P1/P2/P3 basis over a batch of patch meshes (the reference's patches
     are P1-only, torch_fem/basis/patches_basis.py)."""
 
     def __init__(self, mesh, element):
@@ -72,6 +72,60 @@ class PatchesBasis(AbstractBasis):
 
             edge_mark = p2_edge_dirichlet_markers(edges0, emark0, vmark0)
             marks0 = np.concatenate([vmark0, edge_mark]).reshape(-1, 1)
+            nodes_4_boundary_dofs = jnp.asarray(
+                np.broadcast_to(marks0, (B,) + marks0.shape),
+                dtype=config.index_dtype(),
+            )
+        elif element.polynomial_order == 3:
+            # P3 on the shared patch template (closes the last order-matrix
+            # cell, docs/parity.md): topology from batch entry 0 like P2 —
+            # two DOFs per unique edge at 1/3 and 2/3, oriented toward the
+            # smaller-endpoint vertex, plus one barycenter bubble per cell;
+            # only the node coordinates are per patch. Local slot order
+            # matches element_tri.py (per local edge: near-i then near-j,
+            # bubble last).
+            from ..mesh.topology import (
+                p2_edge_dirichlet_markers,
+                unique_edge_ids,
+            )
+
+            verts = mesh["vertices", "coordinates"]  # (B, n_v, d)
+            cells0 = np.asarray(mesh["cells", "vertices"])[0]
+            edges0 = np.asarray(mesh["edges", "vertices"])[0]
+            vmark0 = np.asarray(mesh["vertices", "markers"])[0].reshape(-1)
+            emark0 = np.asarray(mesh["edges", "markers"])[0]
+            n_v = int(verts.shape[-2])
+            n_e = int(edges0.shape[0])
+            n_c = int(cells0.shape[0])
+            B = self.nb_patches
+
+            cell_edges = unique_edge_ids(cells0, edges0, n_v)
+            directed = cells0[:, [[0, 1], [1, 2], [2, 0]]]
+            forward = directed[..., 0] < directed[..., 1]  # (T, 3)
+            near_i = n_v + 2 * cell_edges + np.where(forward, 0, 1)
+            near_j = n_v + 2 * cell_edges + np.where(forward, 1, 0)
+            edge_dofs = np.stack([near_i, near_j], axis=-1).reshape(n_c, -1)
+            bubble_dofs = (n_v + 2 * n_e + np.arange(n_c))[:, None]
+            dofs0 = np.concatenate([cells0, edge_dofs, bubble_dofs], axis=1)
+            global_dofs_4_elements = jnp.asarray(
+                np.broadcast_to(dofs0, (B,) + dofs0.shape),
+                dtype=config.index_dtype(),
+            )
+
+            emin = verts[:, jnp.asarray(edges0.min(axis=1))]  # (B, n_e, d)
+            emax = verts[:, jnp.asarray(edges0.max(axis=1))]
+            edge_nodes = jnp.stack(
+                [(2 * emin + emax) / 3.0, (emin + 2 * emax) / 3.0], axis=2
+            ).reshape(B, 2 * n_e, -1)
+            bubble_coords = verts[:, jnp.asarray(cells0)].mean(axis=2)
+            coords_4_global_dofs = jnp.concatenate(
+                [verts, edge_nodes, bubble_coords], axis=-2
+            )
+
+            edge_mark = p2_edge_dirichlet_markers(edges0, emark0, vmark0)
+            marks0 = np.concatenate(
+                [vmark0, np.repeat(edge_mark, 2), np.zeros(n_c, np.int64)]
+            ).reshape(-1, 1)
             nodes_4_boundary_dofs = jnp.asarray(
                 np.broadcast_to(marks0, (B,) + marks0.shape),
                 dtype=config.index_dtype(),

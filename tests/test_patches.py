@@ -161,3 +161,54 @@ def test_batched_patch_p2_matches_standalone():
         np.testing.assert_allclose(
             np.asarray(u)[i, :, 0], u_i[perm, 0], atol=1e-12
         )
+
+
+def test_batched_patch_p3_matches_standalone():
+    """P3 PatchesBasis (the last order-matrix cell): batched cubic local
+    solves equal their standalone Basis P3 solves, matched through the DOF
+    coordinates (edge numbering and orientation differ between the patch
+    template and MeshTri's edge table — the coordinate match also pins the
+    1/3-2/3 edge-node orientation)."""
+    rng = np.random.default_rng(4)
+    B = 4
+    centers = rng.uniform(0.3, 0.7, size=(B, 2))
+    radius = rng.uniform(0.05, 0.2, size=(B, 1))
+    patches = fem.Patches(centers, radius)
+    VP = fem.PatchesBasis(patches, fem.ElementTri(3, 5))
+
+    # partition of unity on the cubic tables
+    assert np.abs(np.asarray(VP.v).sum(-2) - 1.0).max() < 1e-12
+
+    A = VP.integrate_bilinear_form(stiffness)
+    b = VP.integrate_linear_form(load)
+    u = VP.solve(A, VP.solution_tensor(), b)
+    n_dofs = 5 + 2 * 8 + 4  # vertices + 2 per edge + cell bubbles
+    assert u.shape == (B, n_dofs, 1)
+
+    coords_b = np.asarray(VP._coords4global_dofs)
+    for i in range(B):
+        mesh_i = fem.MeshTri(
+            {
+                "vertices": np.asarray(patches["vertices", "coordinates"])[i],
+                "triangles": VERTICES_4_CELLS_4_PATCH,
+                "vertex_markers": MARKERS_4_VERTICES,
+            }
+        )
+        V_i = fem.Basis(mesh_i, fem.ElementTri(3, 5))
+        u_i = np.asarray(
+            V_i.solve(
+                V_i.integrate_bilinear_form(stiffness),
+                V_i.solution_tensor(),
+                V_i.integrate_linear_form(load),
+            )
+        )
+        coords_i = np.asarray(V_i._coords4global_dofs)
+        dist = np.linalg.norm(
+            coords_b[i][:, None, :] - coords_i[None, :, :], axis=-1
+        )
+        perm = dist.argmin(axis=1)
+        assert dist.min(axis=1).max() < 1e-12
+        assert len(set(perm.tolist())) == n_dofs
+        np.testing.assert_allclose(
+            np.asarray(u)[i, :, 0], u_i[perm, 0], atol=1e-11
+        )

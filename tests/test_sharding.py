@@ -493,3 +493,132 @@ def test_sharded_eigsh_matches_compiled(eight_devices):
     np.testing.assert_allclose(
         np.asarray(vals_j), np.asarray(vals_c), rtol=1e-6
     )
+
+
+def test_sharded_training_matches_single_device(eight_devices):
+    """Multi-epoch VPINN training over a cell-sharded basis (VERDICT-r3
+    item 3): Model.train_compiled with the training step closed over a
+    shard_basis_cells basis reproduces the single-device loss trajectory at
+    the bench_vpinn scale (n=64 -> 8192 cells, ~49k quadrature points).
+    The scan body computes integrals on local cells per device; XLA inserts
+    one psum per assembled residual vector."""
+    import math
+
+    n = 64
+    mesh = fem.MeshTri(fem.unit_square(n=n))
+    V = fem.Basis(mesh, fem.ElementTri(1, 4))
+    assert V.integration_points.shape[-4] * V.integration_points.shape[-3] >= 49_000
+    V_sh = shard_basis_cells(V, eight_devices)
+
+    def bc(inputs):
+        x, y = inputs[..., 0:1], inputs[..., 1:2]
+        return x * (x - 1) * y * (y - 1)
+
+    gram_inv = jnp.linalg.inv(V.reduce(V.integrate_bilinear_form(stiffness)))
+
+    def residual(basis, gradient):
+        pts = basis.integration_points
+        x, y = pts[..., 0:1], pts[..., 1:2]
+        rhs = 2.0 * math.pi**2 * jnp.sin(math.pi * x) * jnp.sin(math.pi * y)
+        return rhs * basis.v - (basis.v_grad @ jnp.matrix_transpose(gradient(pts)))
+
+    def make_step(basis):
+        def training_step(net):
+            r = basis.reduce(basis.integrate_linear_form(residual, net.gradient))
+            loss = (r.T @ (gram_inv @ r))[0, 0]
+            return loss, loss, loss
+
+        return training_step
+
+    epochs = 6
+    models = []
+    for basis in (V, V_sh):
+        nn = fem.FeedForwardNeuralNetwork(
+            2, 1, 4, 15, boundary_condition_modifier=bc, seed=11
+        )
+        m = fem.Model(nn, make_step(basis), epochs=epochs, progress_bar=False)
+        m.train_compiled(block_size=3)
+        models.append(m)
+
+    l_single = np.asarray(models[0].get_training_history()[0])
+    l_shard = np.asarray(models[1].get_training_history()[0])
+    assert l_single.shape == l_shard.shape == (epochs,)
+    # collectives reorder the quadrature reduction -> roundoff-level drift
+    np.testing.assert_allclose(l_shard, l_single, rtol=1e-7)
+    assert l_shard[-1] < l_shard[0]  # it actually trains
+    for p, q in zip(
+        jax.tree_util.tree_leaves(models[0].neural_network),
+        jax.tree_util.tree_leaves(models[1].neural_network),
+    ):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=1e-8)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("FEM_TEST_SCALE"),
+    reason="heavy CPU 3D solve at ~118k DOFs; set FEM_TEST_SCALE=1",
+)
+def test_tet_stress_100k(eight_devices):
+    """3D sharded stress at >=100k DOFs (VERDICT-r3 item 4): unit_cube(48)
+    (664k tets) through solve_pcg_sharded_bsr AND the one-jit
+    sharded_bsr_solver — iteration parity ±2 vs the single-device two-level
+    solve, matching solutions, and the per-shard plan-memory invariants at
+    a scale where the 3D max_b=24 tier-2 partition actually pads."""
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+    from pytorch_fem_solver_tpu.parallel import (
+        sharded_bsr_solver,
+        solve_pcg_sharded_bsr,
+    )
+    from pytorch_fem_solver_tpu.parallel.sharded_bsr import (
+        build_bsr_shard_plan,
+    )
+
+    mesh = MeshTet(unit_cube(48))
+    V = fem.Basis(mesh, ElementTet(1, 2))
+    assert V.n_dofs >= 100_000
+
+    # per-shard plan memory: every O(n) table is ~1/8 per shard even with
+    # the 3D spill tier (interior tet vertices have ~15 block neighbors)
+    plan = build_bsr_shard_plan(V, 8)
+    st = plan.st
+    assert plan.rps * 8 == plan.nb_pad
+    assert plan.nc_local * 8 == plan.nc
+    n_blocks_global = st.bcols.shape[0] * st.bcols.shape[1] + (
+        st.bcols2.shape[0] * st.bcols2.shape[1]
+    )
+    assert plan.n_values_local <= 1.35 * n_blocks_global * st.block**2 / 8
+    T = int(np.asarray(V._dx).shape[0])
+    assert plan.T_max <= 1.35 * T / 8
+
+    local = V.integrate_bilinear_form_local(stiffness)
+
+    def load3(b):
+        p = b.integration_points
+        return (1.0 + p[..., 0:1] + p[..., 1:2] + p[..., 2:3]) * b.v
+
+    b = V.integrate_linear_form(load3)
+    u_ref, info_ref = V.solve_iterative(
+        local, b, tol=1e-6, precondition="two_level", return_info=True
+    )
+    u_sb, info_sb = solve_pcg_sharded_bsr(
+        V, local, b, eight_devices, tol=1e-6, return_info=True
+    )
+    assert abs(int(info_sb.iterations) - int(info_ref.iterations)) <= 2, (
+        int(info_sb.iterations),
+        int(info_ref.iterations),
+    )
+    scale = float(np.abs(np.asarray(u_ref)).max())
+    np.testing.assert_allclose(
+        np.asarray(u_sb), np.asarray(u_ref), atol=1e-5 * scale
+    )
+
+    # the one-jit sharded assemble+solve lands on the same solution
+    solver = sharded_bsr_solver(
+        V, stiffness, load3, device_mesh=eight_devices, tol=1e-6
+    )
+    u_oj, (it_oj, _, conv_oj) = solver()
+    assert bool(conv_oj)
+    assert abs(int(it_oj) - int(info_ref.iterations)) <= 2
+    np.testing.assert_allclose(
+        np.asarray(u_oj), np.asarray(u_ref), atol=1e-5 * scale
+    )

@@ -331,3 +331,94 @@ def test_checkpoint_signature_survives_process_restart(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored(pts)), np.asarray(model.neural_network(pts))
     )
+
+
+def _tiny_rvpinn_model(seed=7, **model_kwargs):
+    """Small example_weak-style Model for train()/train_compiled parity."""
+    mesh = fem.MeshTri(fem.unit_square(n=6))
+    V = fem.Basis(mesh, fem.ElementTri(1, 3))
+    gram_inv = jnp.linalg.inv(
+        V.reduce(
+            V.integrate_bilinear_form(
+                lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+            )
+        )
+    )
+
+    def residual(basis, gradient):
+        pts = basis.integration_points
+        x, y = pts[..., 0:1], pts[..., 1:2]
+        return 2.0 * math.pi**2 * exact(x, y) * basis.v - (
+            basis.v_grad @ jnp.matrix_transpose(gradient(pts))
+        )
+
+    def training_step(net):
+        r = V.reduce(V.integrate_linear_form(residual, net.gradient))
+        loss = (r.T @ (gram_inv @ r))[0, 0]
+        return loss, loss, loss
+
+    nn = fem.FeedForwardNeuralNetwork(
+        2, 1, 2, 8, boundary_condition_modifier=bc, seed=seed
+    )
+    return fem.Model(
+        nn, training_step, progress_bar=False, **model_kwargs
+    ), training_step
+
+
+def test_train_compiled_matches_eager():
+    """train_compiled (lax.scan epoch blocks, donated carry) reproduces the
+    eager per-epoch train() bitwise: identical loss history, final
+    parameters and best snapshot — including a block size that does not
+    divide the epoch count."""
+    import jax
+
+    m_eager, _ = _tiny_rvpinn_model(epochs=23)
+    m_scan, _ = _tiny_rvpinn_model(epochs=23)
+    m_eager.train()
+    m_scan.train_compiled(block_size=10)
+
+    l1, v1, a1 = m_eager.get_training_history()
+    l2, v2, a2 = m_scan.get_training_history()
+    assert len(l1) == len(l2) == 23
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    for p, q in zip(
+        jax.tree_util.tree_leaves(m_eager.neural_network),
+        jax.tree_util.tree_leaves(m_scan.neural_network),
+    ):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=1e-14)
+
+
+def test_train_compiled_early_stopping_parity():
+    """Early stopping fires at the SAME epoch as the eager loop (the
+    patience rule replays per-epoch on the downloaded block), and the best
+    snapshot matches."""
+    import jax
+
+    kw = dict(
+        epochs=200,
+        use_early_stopping=True,
+        early_stopping_patience=4,
+        min_delta=5e-1,
+    )
+    m_eager, step = _tiny_rvpinn_model(seed=3, **kw)
+    m_scan, _ = _tiny_rvpinn_model(seed=3, **kw)
+    m_eager.train()
+    m_scan.train_compiled(block_size=17)
+
+    l1 = m_eager.get_training_history()[0]
+    l2 = m_scan.get_training_history()[0]
+    assert len(l1) == len(l2)
+    assert len(l1) < 200  # early stopping actually fired
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    for p, q in zip(
+        jax.tree_util.tree_leaves(m_eager.optimal_parameters),
+        jax.tree_util.tree_leaves(m_scan.optimal_parameters),
+    ):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(q))
+    # the scanned path hands back the best snapshot on early stop (under
+    # the min_delta margin rule the snapshot is the first epoch here, NOT
+    # min(l2) — improvements below the margin never update it, matching
+    # the eager rule)
+    loss_best, _, _ = step(m_scan.neural_network)
+    np.testing.assert_allclose(float(loss_best), l2[0], rtol=1e-12)
