@@ -7,6 +7,7 @@ from .sharded_bsr import (
 )
 from .sharded_eigen import sharded_eigsh_solver
 from .sharded_newton import sharded_newton_solver
+from .sharded_stokes import sharded_stokes_solver
 from .sharding import (
     CELL_AXIS,
     make_device_mesh,
@@ -22,6 +23,7 @@ __all__ = [
     "make_device_mesh",
     "sharded_eigsh_solver",
     "sharded_newton_solver",
+    "sharded_stokes_solver",
     "shard_basis_cells",
     "solve_pcg_sharded",
     "solve_pcg_sharded_bsr",

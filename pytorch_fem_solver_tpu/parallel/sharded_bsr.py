@@ -96,6 +96,10 @@ class BSRShardPlan(NamedTuple):
     vec_slots_sh: jnp.ndarray = None  # (n_shards*T_max*n_loc,) local reduced
     #   row per (halo cell, i_loc) entry; foreign/Dirichlet/pad -> rps*k
     #   (out of range, dropped) — the per-shard residual-vector scatter
+    owned_cells_sh: jnp.ndarray = None  # (n_shards*T_max,) bool: disjoint
+    #   exactly-once cell ownership (shard of the cell's first inner row;
+    #   always inside that shard's halo) — per-cell quantities (mixed B
+    #   blocks, functionals) sum exactly once across shards
 
 
 def _local_block_ids(plan_args, blk):
@@ -230,6 +234,18 @@ def build_bsr_shard_plan(
     real_cell = (np.arange(T_max)[None, :] < counts_c[:, None])[..., None]
     vec_slots = np.where(own_v & real_cell, pos_v - shard_col * lrows, lrows)
 
+    # ---- exactly-once cell ownership ---------------------------------------
+    # owner(cell) = shard of the cell's first inner row — that shard's halo
+    # contains the cell (its diagonal entry put it there), so per-cell sums
+    # masked by this flag cover every real cell exactly once. Cells with no
+    # inner DOF contribute nothing to reduced quantities and get no owner.
+    pos_all = inv_pos[dofs.reshape(-1, n_loc)]  # (T, n_loc)
+    first = pos_all.min(axis=1)
+    cell_owner = np.where(first < lrows * n_shards, first // lrows, n_shards)
+    owned_cells = (
+        cell_owner[cells_sh] == np.arange(n_shards)[:, None]
+    ) & real_cell[..., 0]
+
     # ---- per-shard aggregate-block smoother tables -------------------------
     table_g = build_agg_block_table(st._replace(n_pad=n_pad, nb=nb_pad), gs)
     sentinel_g = nb * B + nh * B2
@@ -273,6 +289,7 @@ def build_bsr_shard_plan(
             agg_sh.reshape(n_shards * ns_local, bpa, bpa), dtype=i_t
         ),
         vec_slots_sh=jnp.asarray(vec_slots.reshape(-1), dtype=np.int32),
+        owned_cells_sh=jnp.asarray(owned_cells.reshape(-1)),
     )
 
 

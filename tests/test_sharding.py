@@ -622,3 +622,66 @@ def test_tet_stress_100k(eight_devices):
     np.testing.assert_allclose(
         np.asarray(u_oj), np.asarray(u_ref), atol=1e-5 * scale
     )
+
+
+def test_sharded_stokes_matches_compiled(eight_devices):
+    """sharded_stokes_solver (row-sharded inner A-solves, exactly-once
+    B/B^T via vec_slots + owned-cell masks) reproduces the compiled
+    single-device Schur solve: same outer iteration count and matching
+    velocity/pressure, through both the Jacobi and the per-shard two-level
+    A preconditioner, and a second rhs reuses the compiled program."""
+    import math
+
+    from pytorch_fem_solver_tpu.ops import compiled_stokes_solver
+    from pytorch_fem_solver_tpu.parallel import sharded_stokes_solver
+
+    def a_form(b):
+        g = b.v_grad
+        return jnp.einsum("...icd,...jcd->...ij", g, g)
+
+    def div_form(test_p, trial_u):
+        div = jnp.trace(trial_u.v_grad, axis1=-2, axis2=-1)
+        return -(test_p.v[..., 0][..., :, None] * div[..., None, :])
+
+    def load_f(b):
+        pts = b.integration_points[..., 0, :]
+        f = jnp.stack(
+            [jnp.sin(math.pi * pts[..., 0]), pts[..., 1] ** 2], axis=-1
+        )
+        return (b.v * f[..., None, :]).sum(-1, keepdims=True)
+
+    mesh = fem.MeshTri(fem.rectangle(9, 7))
+    Vu = fem.VectorBasis(mesh, fem.ElementTri(2, 4))
+    Vp = fem.Basis(mesh, fem.ElementTri(1, 4))
+    f = Vu.integrate_linear_form(load_f)
+
+    solve_c = compiled_stokes_solver(
+        Vu, Vp, a_form, div_form, tol=1e-10, inner_tol=1e-12,
+        precondition="jacobi",
+    )
+    u_c, p_c, info_c = solve_c(f)
+    assert bool(info_c.converged)
+
+    for pc in ("jacobi", "two_level"):
+        solve_s = sharded_stokes_solver(
+            Vu, Vp, a_form, div_form, device_mesh=eight_devices,
+            tol=1e-10, inner_tol=1e-12, precondition=pc,
+        )
+        u_s, p_s, info_s = solve_s(f)
+        assert bool(info_s.converged), pc
+        assert int(info_s.outer_iterations) == int(info_c.outer_iterations)
+        np.testing.assert_allclose(
+            np.asarray(u_s), np.asarray(u_c), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_s), np.asarray(p_c), atol=1e-9
+        )
+    u2_s, p2_s, _ = solve_s(2.0 * f)
+    np.testing.assert_allclose(
+        np.asarray(u2_s), 2.0 * np.asarray(u_c), atol=1e-9
+    )
+    with pytest.raises(ValueError, match="precondition"):
+        sharded_stokes_solver(
+            Vu, Vp, a_form, div_form, device_mesh=eight_devices,
+            precondition="ilu",
+        )
