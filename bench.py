@@ -42,6 +42,12 @@ PRECOND = os.environ.get("BENCH_PRECOND", "aggblock")
 # coarse correction's accuracy floor must track 1/cond(A). f32 default.
 PRECOND_DTYPE = os.environ.get("BENCH_PRECOND_DTYPE", "f32")
 FORMAT = os.environ.get("BENCH_FORMAT", "bsr")  # bsr | ell
+# SoA P1-stiffness assembly (default on): compute the 6 canonical-pair
+# entries in (6, T) layout — trailing dim T tiles perfectly, where the
+# generic (T, q, 3, 3) integrand pads its tiny trailing dims ~14x.
+# Measured 5.5 -> 1.4 ms at h=0.03 (tools/ probe 2026-08-19); exact for
+# P1 (constant gradients), falls back to the generic closure path when 0.
+SOA = bool(int(os.environ.get("BENCH_SOA", "1")))
 OMEGA = float(os.environ.get("BENCH_OMEGA", "0.8"))
 AGG = int(os.environ.get("BENCH_AGG", "0")) or None  # None = adaptive
 AGG_SMOOTH = int(os.environ.get("BENCH_AGG_SMOOTH", "0")) or None  # aggblock gs
@@ -158,6 +164,14 @@ def tpu_run_bsr(mesh):
         "bcols2": st.bcols2,
         "heavy_rows": st.heavy_rows,
         "tpartner": st.tpartner,
+        # transposed canonical-pair slots for the SoA (6, T) assembly
+        "slots_T": jnp.asarray(
+            np.asarray(st.entry_slot_sym).reshape(-1, 6).T.reshape(-1)
+        ),
+        # transposed per-cell DOF ids for the SoA (3, T) rhs scatter
+        "dofs_T": jnp.asarray(
+            np.asarray(V._global_dofs4elements).T.reshape(-1)
+        ),
     }
     agg_table = None
     if PRECOND == "aggblock":
@@ -214,11 +228,49 @@ def tpu_run_bsr(mesh):
 
     @jax.jit
     def assemble_and_solve(V, tables, agg_table, chunk_xs):
-        st_d = st._replace(**tables)
-        b = V.integrate_linear_form(l_form)
+        st_d = st._replace(
+            **{
+                k: v
+                for k, v in tables.items()
+                if k not in ("slots_T", "dofs_T")
+            }
+        )
+        if SOA:
+            # rhs in SoA: r (3, T) = v^T (3, q) @ dx^T (q, T) — one tiny
+            # transposed matmul with the cell axis trailing (perfectly
+            # tiled), then the same 645k-element scatter as before
+            r3 = V.v[..., 0].T @ V._dx[:, :, 0, 0].T
+            b = (
+                jnp.zeros((V.n_dofs,), dtype=r3.dtype)
+                .at[tables["dofs_T"]]
+                .add(r3.reshape(-1))
+            )[:, None]
+        else:
+            b = V.integrate_linear_form(l_form)
         # the stiffness form is symmetric: canonical-pair assembly scatters
         # 6 entries per element instead of 9 (scatters charge per element)
-        if chunk_xs is None:
+        if chunk_xs is None and SOA:
+            from pytorch_fem_solver_tpu.ops.bsr import (
+                bsr_complete_symmetric,
+            )
+
+            # (6, T) canonical-pair entries: one transpose pass of the
+            # constant P1 gradients, then a perfectly-tiled elementwise
+            # product — the scatter consumes the transposed slot table
+            # (same entries, reordered indices, zero extra cost)
+            vgT = V.v_grad[:, 0].transpose(1, 2, 0)  # (3, d, T)
+            dxs = V._dx.sum(axis=1)[:, 0, 0]  # (T,)
+            w6 = jnp.asarray(
+                np.where(iu == ju, 0.5, 1.0), dtype=dxs.dtype
+            )
+            e6 = (vgT[iu] * vgT[ju]).sum(1) * dxs * w6[:, None]
+            vals = (
+                jnp.zeros((st.n_values,), dtype=e6.dtype)
+                .at[tables["slots_T"]]
+                .add(e6.reshape(-1), mode="drop")
+            )
+            values = bsr_complete_symmetric(st_d, vals)
+        elif chunk_xs is None:
             local = V.integrate_bilinear_form_local(a_form)
             values = bsr_values_from_local_symmetric(st_d, local)
         else:

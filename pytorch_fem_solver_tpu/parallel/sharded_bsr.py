@@ -53,6 +53,7 @@ from ..ops.precondition import (
     batched_small_inv,
     build_agg_block_table,
     default_aggregate_size,
+    spd_inverse,
 )
 from ..ops.solvers import pcg
 from .sharding import make_device_mesh, shard_map
@@ -412,7 +413,7 @@ def _shard_two_level_precond(
     coarse = jax.lax.psum(part, axis).reshape(nc, nc)
     coarse = 0.5 * (coarse + coarse.T)
     shift = jnp.maximum(jnp.trace(coarse) / nc, 1.0)
-    coarse_inv = jnp.linalg.inv(
+    coarse_inv = spd_inverse(
         coarse + 1e-7 * shift * jnp.eye(nc, dtype=coarse.dtype)
     )
     start = (my * nc_local).astype(jnp.int32)

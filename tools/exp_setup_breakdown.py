@@ -82,8 +82,8 @@ def main():
     def scatter(Vb, tables, agg):
         st_d = st._replace(**tables)
         local = Vb.integrate_bilinear_form_local(a_form)
-        values = bsr_values_from_local_symmetric(st_d, local)
-        return values.sum()
+        v1, v2 = bsr_values_from_local_symmetric(st_d, local)
+        return v1.sum() + v2.sum()
 
     def smoother(Vb, tables, agg):
         st_d = st._replace(**tables)
