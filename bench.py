@@ -238,8 +238,17 @@ def tpu_run_bsr(mesh):
         if SOA:
             # rhs in SoA: r (3, T) = v^T (3, q) @ dx^T (q, T) — one tiny
             # transposed matmul with the cell axis trailing (perfectly
-            # tiled), then the same 645k-element scatter as before
-            r3 = V.v[..., 0].T @ V._dx[:, :, 0, 0].T
+            # tiled), then the same 645k-element scatter as before.
+            # precision=HIGHEST: TPU matmuls default to bf16 multiplies,
+            # which perturbs b by ~4e-3 relative and showed up as a
+            # tolerance-INDEPENDENT 3.06e-3 solution parity defect vs the
+            # f64 CPU baseline (A/B 2026-08-19; the known bf16-matmul
+            # failure class of docs/performance.md)
+            r3 = jnp.matmul(
+                V.v[..., 0].T,
+                V._dx[:, :, 0, 0].T,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             b = (
                 jnp.zeros((V.n_dofs,), dtype=r3.dtype)
                 .at[tables["dofs_T"]]

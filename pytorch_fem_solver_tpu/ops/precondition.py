@@ -282,13 +282,23 @@ def block_two_level_from_values(
     block = structure.block
     if g is None:
         g = default_aggregate_size(structure)
-    if g % block or structure.n_pad % g:
+    if g < block or g % block or structure.n_pad % g:
         raise ValueError(
-            f"aggregate size {g} must be a multiple of block {block} and "
-            f"divide n_pad {structure.n_pad}"
+            f"aggregate size {g} must be a multiple of block {block} "
+            f"(>= {block}) and divide n_pad {structure.n_pad}"
         )
     bpa = g // block
     nc = structure.n_pad // g
+    if nc > 8192:
+        # the dense (nc, nc) coarse Cholesky needs O(nc^2) HBM temps: at
+        # nc=12992 XLA's blocked triangular solve demanded 33.5 GB on a
+        # 16 GB chip (measured OOM, 2026-08-19). Fail with guidance
+        # instead of a compile-time OOM wall.
+        raise ValueError(
+            f"coarse dimension n_pad/g = {nc} too large for the dense "
+            f"two-level coarse solve (> 8192); use a larger aggregate "
+            f"size g or the sparse three-level preconditioner"
+        )
     nb, B = structure.bcols.shape
 
     v1, v2 = values
@@ -358,6 +368,11 @@ def build_agg_block_table(structure, g: int) -> np.ndarray:
     block pair (sentinel = one past the last block -> a zero block appended
     by the consumer). Uses the builder's stored block-pair tables."""
     k = structure.block
+    if g < k or g % k or structure.n_pad % g:
+        raise ValueError(
+            f"aggregate size {g} must be a multiple of block {k} (>= {k}) "
+            f"and divide n_pad {structure.n_pad}"
+        )
     bpa = g // k
     nc = structure.n_pad // g
     nb, B = structure.bcols.shape

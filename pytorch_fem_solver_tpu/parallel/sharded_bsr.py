@@ -453,6 +453,11 @@ def _make_sharded_run(plan, device_mesh, precondition, tol, maxiter):
     if precondition not in ("auto", "two_level", "jacobi"):
         raise ValueError(f"unknown precondition: {precondition!r}")
 
+    # jit on top of shard_map is essential: an eager shard_map call
+    # dispatches per-op across the mesh (measured 47 s for a 289-DOF solve
+    # on the 8-virtual-device CPU mesh vs 4.4 s traced+compiled+run, and
+    # it re-executes at full cost every call)
+    @jax.jit
     @partial(
         shard_map,
         mesh=device_mesh,
@@ -494,6 +499,28 @@ def _make_sharded_run(plan, device_mesh, precondition, tol, maxiter):
         )
 
     return run_with_tables
+
+
+def _get_sharded_run(
+    basis, plan, device_mesh, precondition, tol, maxiter, max_b
+):
+    """Per-basis cache of the jitted sharded-run program: repeat solves on
+    the same basis/mesh/settings hit the jit cache instead of re-tracing
+    (the shard_map closure identity must be stable for that)."""
+    cache = getattr(basis, "_bsr_sharded_runs", None)
+    if cache is None:
+        cache = {}
+        basis._bsr_sharded_runs = cache
+    mesh_key = (
+        tuple(device_mesh.axis_names),
+        tuple(d.id for d in device_mesh.devices.flat),
+    )
+    key = (mesh_key, precondition, float(tol), maxiter, max_b)
+    run = cache.get(key)
+    if run is None:
+        run = _make_sharded_run(plan, device_mesh, precondition, tol, maxiter)
+        cache[key] = run
+    return run
 
 
 def sharded_bsr_solver(
@@ -600,7 +627,9 @@ def solve_pcg_sharded_bsr(
     local = jnp.asarray(local_matrices).reshape(-1, n_loc, n_loc)
     local_sh = local[jnp.asarray(plan.cells_sh.reshape(-1))]
 
-    run = _make_sharded_run(plan, device_mesh, precondition, tol, maxiter)
+    run = _get_sharded_run(
+        basis, plan, device_mesh, precondition, tol, maxiter, max_b
+    )
     b_pad = jnp.pad(bsr_reduce(st, vector), (0, n_pad - st.n_pad))
     x_full, it, res, conv = run(local_sh, b_pad)
     u = basis.solution_tensor() + bsr_expand(

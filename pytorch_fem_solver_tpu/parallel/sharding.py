@@ -101,6 +101,9 @@ def solve_pcg_sharded(
     if maxiter is None:
         maxiter = max(10 * int(b_reduced.shape[-1]), 100)
 
+    # jit on top of shard_map: eager shard_map dispatches per-op across
+    # the mesh, ~10x the traced+compiled cost (see sharded_bsr)
+    @jax.jit
     @partial(
         shard_map,
         mesh=device_mesh,
@@ -188,6 +191,9 @@ def solve_pcg_sharded_ell(
     has_spill = bool(spill_rows.shape[0])
     rows_per_shard = n_pad // n_shards
 
+    # jit on top of shard_map: eager shard_map dispatches per-op across
+    # the mesh, ~10x the traced+compiled cost (see sharded_bsr)
+    @jax.jit
     @partial(
         shard_map,
         mesh=device_mesh,
