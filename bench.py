@@ -106,6 +106,15 @@ def timed_solve(assemble_and_solve):
     return tpu_time, float(res), int(iters), x_host, spread
 
 
+def _pad_scatter_map(st, n_dofs):
+    """Host map dof -> position in the padded reduced vector (boundary and
+    eliminated DOFs -> n_pad, one past the end, for OOB-drop scatters)."""
+    inner_perm = np.asarray(st.inner_perm)
+    inv = np.full((n_dofs,), st.n_pad, dtype=inner_perm.dtype)
+    inv[inner_perm] = np.arange(inner_perm.shape[0], dtype=inner_perm.dtype)
+    return inv
+
+
 def tpu_run_bsr(mesh):
     """BSR path: hybrid block row-gather SpMV + block-Jacobi/aggregate M.
 
@@ -168,9 +177,15 @@ def tpu_run_bsr(mesh):
         "slots_T": jnp.asarray(
             np.asarray(st.entry_slot_sym).reshape(-1, 6).T.reshape(-1)
         ),
-        # transposed per-cell DOF ids for the SoA (3, T) rhs scatter
-        "dofs_T": jnp.asarray(
-            np.asarray(V._global_dofs4elements).T.reshape(-1)
+        # transposed per-cell DOF ids for the SoA (3, T) rhs scatter,
+        # pre-mapped through the inverse inner permutation so the scatter
+        # lands directly in the padded reduced layout (boundary DOFs ->
+        # n_pad, dropped by the OOB scatter mode) — skips the separate
+        # (n_dofs,) materialization + inner_perm gather of bsr_reduce
+        "dofs_pad_T": jnp.asarray(
+            _pad_scatter_map(st, V.n_dofs)[
+                np.asarray(V._global_dofs4elements).T.reshape(-1)
+            ]
         ),
     }
     agg_table = None
@@ -232,13 +247,16 @@ def tpu_run_bsr(mesh):
             **{
                 k: v
                 for k, v in tables.items()
-                if k not in ("slots_T", "dofs_T")
+                if k not in ("slots_T", "dofs_pad_T")
             }
         )
+        b = None
         if SOA:
             # rhs in SoA: r (3, T) = v^T (3, q) @ dx^T (q, T) — one tiny
             # transposed matmul with the cell axis trailing (perfectly
-            # tiled), then the same 645k-element scatter as before.
+            # tiled), then one 645k-element scatter straight into the
+            # padded reduced layout (dofs_pad_T, boundary rows dropped
+            # OOB) — no (n_dofs,) intermediate, no bsr_reduce gather.
             # precision=HIGHEST: TPU matmuls default to bf16 multiplies,
             # which perturbs b by ~4e-3 relative and showed up as a
             # tolerance-INDEPENDENT 3.06e-3 solution parity defect vs the
@@ -249,11 +267,11 @@ def tpu_run_bsr(mesh):
                 V._dx[:, :, 0, 0].T,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            b = (
-                jnp.zeros((V.n_dofs,), dtype=r3.dtype)
-                .at[tables["dofs_T"]]
-                .add(r3.reshape(-1))
-            )[:, None]
+            b_pad = (
+                jnp.zeros((st.n_pad,), dtype=r3.dtype)
+                .at[tables["dofs_pad_T"]]
+                .add(r3.reshape(-1), mode="drop")
+            )
         else:
             b = V.integrate_linear_form(l_form)
         # the stiffness form is symmetric: canonical-pair assembly scatters
@@ -287,18 +305,20 @@ def tpu_run_bsr(mesh):
                 bsr_complete_symmetric,
             )
 
-            w = jnp.asarray(np.where(iu == ju, 0.5, 1.0), dtype=b.dtype)
+            f_dt = b_pad.dtype if b is None else b.dtype
+            w = jnp.asarray(np.where(iu == ju, 0.5, 1.0), dtype=f_dt)
 
             def chunk_body(vals, xs):
                 g, dxs_c, slots = xs["vg"], xs["dxs"], xs["slots"]
                 e = (g[:, iu, :] * g[:, ju, :]).sum(-1) * dxs_c[:, None] * w
                 return vals.at[slots].add(e.reshape(-1), mode="drop"), None
 
-            vals0 = jnp.zeros((st.n_values,), dtype=b.dtype)
+            vals0 = jnp.zeros((st.n_values,), dtype=f_dt)
             vals, _ = jax.lax.scan(chunk_body, vals0, chunk_xs)
             values = bsr_complete_symmetric(st_d, vals)
         diag = bsr_diagonal(st_d, values)
-        b_pad = bsr_reduce(st_d, b)
+        if b is not None:
+            b_pad = bsr_reduce(st_d, b)
         if PRECOND in ("two_level", "smoothed", "three_level", "auto", "mult", "mult3", "affine", "aggblock"):
             if PRECOND == "aggblock":
                 # aggregate-sized (g x g) diagonal-block smoother: resolves
