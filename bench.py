@@ -109,10 +109,9 @@ def timed_solve(assemble_and_solve):
 def _pad_scatter_map(st, n_dofs):
     """Host map dof -> position in the padded reduced vector (boundary and
     eliminated DOFs -> n_pad, one past the end, for OOB-drop scatters)."""
-    inner_perm = np.asarray(st.inner_perm)
-    inv = np.full((n_dofs,), st.n_pad, dtype=inner_perm.dtype)
-    inv[inner_perm] = np.arange(inner_perm.shape[0], dtype=inner_perm.dtype)
-    return inv
+    from pytorch_fem_solver_tpu.ops.bsr import inverse_inner_perm
+
+    return inverse_inner_perm(st, n_dofs)
 
 
 def tpu_run_bsr(mesh):

@@ -1004,6 +1004,7 @@ _CACHE_ATTRS = (
     "_agg_block_tables",
     "_affine_two_level_structures",
     "_chunk_tables",
+    "_bsr_shard_plans",
     "_bsr_sharded_runs",
 )
 

@@ -238,8 +238,13 @@ class Model:
           block edge,
         * early stopping replays the exact per-epoch patience rule on the
           block's downloaded losses and truncates the histories at the
-          epoch the eager loop would have stopped at; the live network is
-          then restored to the best snapshot.
+          epoch the eager loop would have stopped at; on a mid-block stop
+          the block is re-run from its retained start state for exactly
+          the epochs the eager loop ran (the scan body is one fixed
+          compiled sub-computation, so the shorter scan reproduces the
+          stop-point parameters and best snapshot bitwise — nothing
+          drifts past the stopping point); the live network is then
+          restored to the best snapshot.
 
         Works unchanged when ``training_step`` closes over a basis sharded
         with :func:`parallel.shard_basis_cells`: the scan body's integrals
@@ -276,17 +281,29 @@ class Model:
         def run_block(carry, length):
             return jax.lax.scan(epoch_body, carry, None, length=length)
 
-        nn = self._neural_network
         loss0 = jnp.asarray(self._best_loss)
-        # materialized copy: nn appears twice in the donated carry, and
-        # donation must not alias the same buffer into two outputs
-        best0 = jax.tree_util.tree_map(jnp.array, nn)
-        carry = (nn, self._opt_state, loss0, best0, jnp.zeros((), jnp.int32))
+        # materialized copies: the carry is donated, so nothing the Model
+        # (or the user) still holds may alias into it — the live
+        # ``self._neural_network`` / ``self._opt_state`` buffers must
+        # survive an interrupt mid-loop, and ``nn`` appears twice in the
+        # carry (donation must not alias one buffer into two outputs)
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        carry = (
+            copy(self._neural_network),
+            copy(self._opt_state),
+            loss0,
+            copy(self._neural_network),
+            jnp.zeros((), jnp.int32),
+        )
 
         done = 0
         stopped = False
         while done < self._epochs and not stopped:
             length = min(block_size, self._epochs - done)
+            if use_es:
+                # retained block-start state: run_block donates its input,
+                # and a mid-block stop re-enters the block below
+                carry_in = copy(carry)
             t0 = time.perf_counter()
             carry, (losses, validations, accuracies) = run_block(carry, length)
             losses = np.asarray(losses)  # host sync, once per block
@@ -295,6 +312,7 @@ class Model:
             done += length
 
             # replay the eager per-epoch bookkeeping on the block's scalars
+            stop_epoch = None
             for e in range(length):
                 self._epoch_times.append(block_dt)
                 self._loss_history.append(float(losses[e]))
@@ -317,9 +335,19 @@ class Model:
                             # breaking here leaves them exactly where the
                             # eager loop would have stopped
                             stopped = True
+                            stop_epoch = e
                             break
                 elif lv < self._best_loss:
                     self._best_loss = lv
+            if stop_epoch is not None and stop_epoch + 1 < length:
+                # the scan computed the whole block, so the carried
+                # parameters and best snapshot include epochs AFTER the
+                # stopping point — epochs the eager loop never runs. The
+                # scan body is one fixed compiled sub-computation (length
+                # only sets how many times it is applied), so re-running
+                # the block for exactly stop_epoch+1 epochs reproduces the
+                # eager loop's stop-point state bitwise.
+                carry, _ = run_block(carry_in, stop_epoch + 1)
             if int(carry[4]) > 10:
                 stopped = True
 

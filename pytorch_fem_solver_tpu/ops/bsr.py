@@ -477,6 +477,28 @@ def bsr_reduce(structure: BSRStructure, b):
     return jnp.pad(red, (0, structure.n_pad - structure.n_inner))
 
 
+def inverse_inner_perm(
+    structure: BSRStructure, n_dofs: int, sentinel: int | None = None
+):
+    """Host map dof -> position in the permuted padded reduced vector.
+
+    The single place the reduced layout's inverse permutation is built:
+    DOFs not in ``inner_perm`` (boundary/eliminated) map to ``sentinel``
+    (default ``n_pad``, one past the end, so jnp ``.at[...]`` scatters in
+    ``drop`` mode discard them). Row-sharded callers pass the global padded
+    length (``lrows * n_shards``) instead. Keeping this in one helper pins
+    the layout invariant for the direct-to-padded rhs scatter
+    (ops/compiled.py), the benchmark twin (bench.py) and the shard plan
+    (parallel/sharded_bsr.py).
+    """
+    inner_perm = np.asarray(structure.inner_perm)
+    if sentinel is None:
+        sentinel = structure.n_pad
+    inv = np.full((int(n_dofs),), sentinel, dtype=np.int64)
+    inv[inner_perm] = np.arange(inner_perm.shape[0], dtype=np.int64)
+    return inv
+
+
 def bsr_expand(structure: BSRStructure, x, n_dofs: int):
     """Permuted padded solution (n_pad,) -> full DOF vector (n_dofs, 1)."""
     full = jnp.zeros((n_dofs,), dtype=x.dtype)

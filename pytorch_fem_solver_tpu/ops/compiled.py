@@ -129,6 +129,7 @@ def compiled_bsr_solver(
         bsr_values_from_local_symmetric,
         default_max_b,
         get_bsr_structure,
+        inverse_inner_perm,
     )
     from .precondition import (
         affine_two_level_from_values,
@@ -233,11 +234,7 @@ def compiled_bsr_solver(
     # the bsr_reduce gather (~1 ms/solve at 107k DOFs, bench.py twin)
     lf_idx = basis._basis_parameters.get("linear_form_idx")
     if linear_form is not None and lf_idx is not None and len(lf_idx) == 1:
-        inner_perm = np.asarray(st.inner_perm)
-        inv = np.full((int(basis.n_dofs),), st.n_pad, dtype=inner_perm.dtype)
-        inv[inner_perm] = np.arange(
-            inner_perm.shape[0], dtype=inner_perm.dtype
-        )
+        inv = inverse_inner_perm(st, int(basis.n_dofs))
         big_tables["rhs_pad_idx"] = jnp.asarray(inv[np.asarray(lf_idx[0])])
 
     # chunked symmetric assembly tables (see the chunk_cells arg doc)
@@ -906,7 +903,7 @@ def compiled_stokes_solver(
         default_aggregate_size,
         get_affine_two_level_structure,
     )
-    from .saddle import StokesInfo
+    from .saddle import StokesInfo, schur_flexible_cg
     from .solvers import minres, pcg
 
     if precondition not in ("auto", "jacobi"):
@@ -1100,76 +1097,30 @@ def compiled_stokes_solver(
         rhs_p = project_mean(rhs_p)
 
         precond_p = lambda r: project_mean((inv_lump * r)[:, None])[:, 0]
-        tiny = jnp.finfo(f.dtype).tiny
 
-        # Flexible outer CG on the Schur complement with the two classic
-        # inner-solve economies (the fixed-inner-tol version spent 17 outer
-        # x full 1e-6 inner solves = 2.04 s at 107k velocity DOFs on chip):
-        #  1. WARM START: each inner solve starts from the previous inner
-        #     solution scaled by the 2-norm-optimal coefficient
-        #     gamma = <w_k, w_{k-1}> / <w_{k-1}, w_{k-1}> (A y_{k-1} ~
-        #     w_{k-1} to solver precision, so gamma y_{k-1} minimizes the
-        #     starting residual over the single direction y_{k-1}; gamma ~ 0
-        #     when the new rhs is uncorrelated, recovering the zero start).
-        #  2. RELAXED TOLERANCE (van den Eshof & Sleijpen / Simoncini-Szyld
-        #     inexact-Krylov): the inner tolerance may grow inversely with
-        #     the outer residual, tol_k = eta * tol * ||r_0|| / ||r_k||,
-        #     because late perturbations enter the true residual weighted by
-        #     the (small) current outer residual. Clamped to
-        #     [inner_tol, inner_tol_max]. The outer beta is Polak-Ribiere
-        #     (flexible CG), which tolerates the resulting non-stationarity.
-        b_norm = jnp.sqrt(jnp.sum(rhs_p[:, 0] ** 2))
-        atol = tol * jnp.maximum(b_norm, tiny)
+        # Flexible outer CG with warm-started, tolerance-relaxed inner
+        # A-solves — the one implementation shared with the row-sharded
+        # twin lives in ops/saddle.py (schur_flexible_cg); see its
+        # docstring for the warm-start/relaxed-tolerance derivation and
+        # the measured 2.04 s -> sub-second cut it bought on chip.
         outer_cap = maxiter if maxiter is not None else 10 * Vp.n_dofs
-
-        def schur_apply(d_flat, y_prev, w_prev, tol_k):
-            w = bsr_reduce(st_d, apply_bt(d_flat[:, None]))
-            gamma = jnp.sum(w * w_prev) / jnp.maximum(
-                jnp.sum(w_prev * w_prev), tiny
-            )
-            y, _ = solve_a_reduced(w, gamma * y_prev, tol_k)
-            sd = project_mean(apply_b(bsr_expand(st_d, y, n_u)))[:, 0]
-            return sd, y, w
-
-        # initial residual: one Schur apply against the user's x0 (zero by
-        # default, where the inner PCG exits after 0 iterations on ||b||=0)
-        zeros_red = jnp.zeros((st.n_pad,), dtype=f.dtype)
-        sx0, y0, w0 = schur_apply(x0, zeros_red, zeros_red, inner_tol)
-        r0 = rhs_p[:, 0] - sx0
-        z0 = precond_p(r0)
-        r0_norm = jnp.sqrt(jnp.sum(r0 * r0))
-
-        def cond(state):
-            _, r, _, _, _, _, _, k = state
-            return jnp.logical_and(
-                k < outer_cap, jnp.sqrt(jnp.sum(r * r)) > atol
-            )
-
-        def body(state):
-            xp, r, z, d, rz, y_prev, w_prev, k = state
-            r_norm = jnp.sqrt(jnp.sum(r * r))
-            tol_k = jnp.clip(
-                inner_eta * tol * r0_norm / jnp.maximum(r_norm, tiny),
-                inner_tol,
-                inner_tol_max,
-            )
-            sd, y_new, w_new = schur_apply(d, y_prev, w_prev, tol_k)
-            alpha = rz / jnp.sum(d * sd)
-            xp = xp + alpha * d
-            r_new = r - alpha * sd
-            z_new = precond_p(r_new)
-            # Polak-Ribiere (flexible) beta: exact-CG-equivalent when the
-            # operator is stationary, robust when the inner tol varies
-            beta = jnp.sum((r_new - r) * z_new) / rz
-            rz_new = jnp.sum(r_new * z_new)
-            d_new = z_new + beta * d
-            return (xp, r_new, z_new, d_new, rz_new, y_new, w_new, k + 1)
-
-        state = (x0, r0, z0, z0, jnp.sum(r0 * z0), y0, w0, 0)
-        p_flat, r_fin, _, _, _, y_last, _, k_out = jax.lax.while_loop(
-            cond, body, state
+        p_flat, res_fin, k_out, atol = schur_flexible_cg(
+            rhs_p[:, 0],
+            x0,
+            apply_bt_w=lambda d: bsr_reduce(st_d, apply_bt(d[:, None])),
+            solve_a=solve_a_reduced,
+            schur_out=lambda y: project_mean(
+                apply_b(bsr_expand(st_d, y, n_u))
+            )[:, 0],
+            precond_p=precond_p,
+            dot_w=lambda a, b: jnp.sum(a * b),
+            zeros_red=jnp.zeros((st.n_pad,), dtype=f.dtype),
+            tol=tol,
+            inner_tol=inner_tol,
+            inner_eta=inner_eta,
+            inner_tol_max=inner_tol_max,
+            outer_cap=outer_cap,
         )
-        res_fin = jnp.sqrt(jnp.sum(r_fin * r_fin))
         p = project_mean(p_flat[:, None])
         # velocity recovery at full inner_tol, warm-started from the f-solve
         # (r0 = -B^T p, typically far smaller than ||f - B^T p||)

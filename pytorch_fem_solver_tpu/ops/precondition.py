@@ -58,15 +58,33 @@ def spd_inverse(a):
     per-solve preconditioner setup (tools/exp_setup_breakdown.py). Callers
     pass the already-regularized coarse Galerkin matrix (the 1e-7 trace
     shift keeps all-padding aggregates positive definite), so the factor
-    always exists; preconditioner quality is unchanged (identical
-    iteration counts in the on-chip A/B, docs/performance.md).
+    exists on every SPD path; preconditioner quality is unchanged
+    (identical iteration counts in the on-chip A/B, docs/performance.md).
+
+    Non-SPD inputs do occur: ``compiled_newton_solver`` symmetrizes the
+    per-step Jacobian's coarse Galerkin matrix, and 0.5*(C+C^T) of a
+    strongly non-symmetric Jacobian can be indefinite despite the trace
+    shift. ``jnp.linalg.cholesky`` does not raise there — it fills the
+    factor with NaN — so a finite-factor guard falls back to the LU-based
+    inverse (the pre-round-4 behavior: a usable, if weaker,
+    preconditioner instead of an all-NaN one that poisons every Krylov
+    iterate).
     """
     from jax.scipy.linalg import solve_triangular
 
     n = a.shape[-1]
     chol = jnp.linalg.cholesky(a)
-    l_inv = solve_triangular(chol, jnp.eye(n, dtype=a.dtype), lower=True)
-    return l_inv.T @ l_inv
+
+    def via_cholesky(_):
+        l_inv = solve_triangular(chol, jnp.eye(n, dtype=a.dtype), lower=True)
+        return l_inv.T @ l_inv
+
+    return jax.lax.cond(
+        jnp.all(jnp.isfinite(chol)),
+        via_cholesky,
+        lambda _: jnp.linalg.inv(a),
+        None,
+    )
 
 
 def _prolong(z_c, g: int, n: int):

@@ -26,11 +26,12 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from .solvers import PCGInfo, pcg
 
-__all__ = ["StokesInfo", "stokes_solver"]
+__all__ = ["StokesInfo", "schur_flexible_cg", "stokes_solver"]
 
 
 class StokesInfo(NamedTuple):
@@ -38,6 +39,110 @@ class StokesInfo(NamedTuple):
     schur_residual: jnp.ndarray
     converged: jnp.ndarray
     inner_info: PCGInfo  # from the final velocity solve
+
+
+def schur_flexible_cg(
+    rhs_p,
+    x0,
+    *,
+    apply_bt_w: Callable,
+    solve_a: Callable,
+    schur_out: Callable,
+    precond_p: Callable,
+    dot_w: Callable,
+    zeros_red,
+    tol: float,
+    inner_tol: float,
+    inner_eta: float,
+    inner_tol_max: float,
+    outer_cap: int,
+):
+    """Flexible outer CG on the Schur complement with warm-started,
+    tolerance-relaxed inner A-solves — the one implementation behind both
+    ``ops.compiled.compiled_stokes_solver`` (method="schur") and
+    ``parallel.sharded_stokes_solver``.
+
+    The two classic inner-solve economies (the fixed-inner-tol version
+    spent 17 outer x full 1e-6 inner solves = 2.04 s at 107k velocity DOFs
+    on chip):
+
+    1. WARM START: each inner solve starts from the previous inner
+       solution scaled by the 2-norm-optimal coefficient
+       ``gamma = <w_k, w_{k-1}> / <w_{k-1}, w_{k-1}>`` (A y_{k-1} ~ w_{k-1}
+       to solver precision, so gamma y_{k-1} minimizes the starting
+       residual over the single direction y_{k-1}; gamma ~ 0 when the new
+       rhs is uncorrelated, recovering the zero start).
+    2. RELAXED TOLERANCE (van den Eshof & Sleijpen / Simoncini-Szyld
+       inexact-Krylov): the inner tolerance may grow inversely with the
+       outer residual, ``tol_k = eta * tol * ||r_0|| / ||r_k||``, because
+       late perturbations enter the true residual weighted by the (small)
+       current outer residual. Clamped to [inner_tol, inner_tol_max]. The
+       outer beta is Polak-Ribiere (flexible CG), which tolerates the
+       resulting non-stationarity.
+
+    Hooks (the only places the single-chip and row-sharded variants
+    differ):
+
+    - ``apply_bt_w(d)``: pressure direction (n_p,) -> B^T d in the reduced
+      velocity layout (padded full rows single-chip; this shard's owned
+      rows sharded).
+    - ``solve_a(rhs_red, x0_red, tol_k) -> (y, info)``: inner A-solve in
+      that layout.
+    - ``schur_out(y)``: reduced velocity -> mean-projected B y, replicated
+      (n_p,).
+    - ``precond_p(r)``: lumped-pressure-mass preconditioner, (n_p,).
+    - ``dot_w(a, b)``: dot in the reduced layout (``jnp.sum`` single-chip,
+      a psum'd sum sharded). Pressure-space dots are always plain
+      ``jnp.sum`` — (n_p,) vectors are replicated in both variants.
+
+    Returns ``(p_flat, res_fin, k_out, atol)``; the caller judges
+    convergence as ``res_fin <= atol`` and runs its own velocity recovery.
+    """
+    tiny = jnp.finfo(rhs_p.dtype).tiny
+    b_norm = jnp.sqrt(jnp.sum(rhs_p * rhs_p))
+    atol = tol * jnp.maximum(b_norm, tiny)
+
+    def schur_apply(d_flat, y_prev, w_prev, tol_k):
+        w = apply_bt_w(d_flat)
+        gamma = dot_w(w, w_prev) / jnp.maximum(dot_w(w_prev, w_prev), tiny)
+        y, _ = solve_a(w, gamma * y_prev, tol_k)
+        return schur_out(y), y, w
+
+    # initial residual: one Schur apply against the caller's x0 (zero by
+    # default, where the inner PCG exits after 0 iterations on ||b||=0)
+    sx0, y0, w0 = schur_apply(x0, zeros_red, zeros_red, inner_tol)
+    r0 = rhs_p - sx0
+    z0 = precond_p(r0)
+    r0_norm = jnp.sqrt(jnp.sum(r0 * r0))
+
+    def cond(state):
+        _, r, _, _, _, _, _, k = state
+        return jnp.logical_and(k < outer_cap, jnp.sqrt(jnp.sum(r * r)) > atol)
+
+    def body(state):
+        xp, r, z, d, rz, y_prev, w_prev, k = state
+        r_norm = jnp.sqrt(jnp.sum(r * r))
+        tol_k = jnp.clip(
+            inner_eta * tol * r0_norm / jnp.maximum(r_norm, tiny),
+            inner_tol,
+            inner_tol_max,
+        )
+        sd, y_new, w_new = schur_apply(d, y_prev, w_prev, tol_k)
+        alpha = rz / jnp.sum(d * sd)
+        xp = xp + alpha * d
+        r_new = r - alpha * sd
+        z_new = precond_p(r_new)
+        # Polak-Ribiere (flexible) beta: exact-CG-equivalent when the
+        # operator is stationary, robust when the inner tol varies
+        beta = jnp.sum((r_new - r) * z_new) / rz
+        rz_new = jnp.sum(r_new * z_new)
+        d_new = z_new + beta * d
+        return (xp, r_new, z_new, d_new, rz_new, y_new, w_new, k + 1)
+
+    state = (x0, r0, z0, z0, jnp.sum(r0 * z0), y0, w0, 0)
+    p_flat, r_fin, _, _, _, _, _, k_out = jax.lax.while_loop(cond, body, state)
+    res_fin = jnp.sqrt(jnp.sum(r_fin * r_fin))
+    return p_flat, res_fin, k_out, atol
 
 
 def stokes_solver(

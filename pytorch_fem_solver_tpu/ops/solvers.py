@@ -148,6 +148,10 @@ def minres(
     arithmetic) with converged judged by the tracked residual.
     """
     n = b.shape[-1]
+    if restart is not None and int(restart) < 1:
+        # a traced (k + 1) % 0 is undefined in XLA — fail loudly instead;
+        # "no restarts" is spelled restart=None
+        raise ValueError(f"restart must be >= 1 (or None), got {restart}")
     if maxiter is None:
         maxiter = max(10 * n, 100)
     if dot is None:

@@ -47,6 +47,7 @@ from ..ops.bsr import (
     bsr_reduce,
     default_max_b,
     get_bsr_structure,
+    inverse_inner_perm,
 )
 from ..ops.precondition import (
     _prolong,
@@ -226,8 +227,7 @@ def build_bsr_shard_plan(
     # so scatter-adding per shard assembles the reduced residual exactly
     # once with zero collectives.
     lrows = rps * k
-    inv_pos = np.full(int(basis.n_dofs), lrows * n_shards, dtype=np.int64)
-    inv_pos[np.asarray(st.inner_perm)] = np.arange(st.inner_perm.size)
+    inv_pos = inverse_inner_perm(st, int(basis.n_dofs), sentinel=lrows * n_shards)
     d_sh = dofs.reshape(-1, n_loc)[cells_sh]  # (n_shards, T_max, n_loc)
     pos_v = inv_pos[d_sh]
     shard_col = np.arange(n_shards)[:, None, None]

@@ -131,7 +131,9 @@ def sharded_eigsh_solver(
             x0_local,
             k,
             tol=tol,
-            max_rounds=max_rounds,
+            # same LOBPCG floor as compiled_eigsh_solver (ops/compiled.py):
+            # an explicit small max_rounds must mean the same thing on both
+            max_rounds=max(max_rounds, 200),
             precond=precond,
             lock_tol=lock_tol,
             psum=lambda x: jax.lax.psum(x, axis),

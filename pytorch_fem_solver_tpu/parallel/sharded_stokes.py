@@ -46,7 +46,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..ops.compiled import _CellChunkView, _mm_precision
-from ..ops.saddle import StokesInfo
+from ..ops.saddle import StokesInfo, schur_flexible_cg
 from ..ops.solvers import pcg
 from .sharded_bsr import (
     _scatter_local_values,
@@ -156,7 +156,6 @@ def sharded_stokes_solver(
             owned_s, bcols_s, bcols2_s, hrows_s, agg_s, iperm, mp, f, g,
             x0):
         dtype = f.dtype
-        tiny = jnp.finfo(dtype).tiny
         v1, v2, diag_local = _scatter_local_values(plan, local_a, slots_s)
         matvec = _shard_matvec(plan, axis, v1, v2, bcols_s, bcols2_s, hrows_s)
         pdot = lambda a, b: jax.lax.psum(jnp.sum(a * b), axis)
@@ -235,50 +234,23 @@ def sharded_stokes_solver(
         u_f_local, _ = solve_a_local(reduce_rows(f), zeros_local, inner_tol)
         rhs_p = project_mean(apply_b(expand(u_f_local)) - g)
 
-        b_norm = jnp.sqrt(jnp.sum(rhs_p**2))
-        atol = tol * jnp.maximum(b_norm, tiny)
-
-        def schur_apply(d_flat, y_prev, w_prev, tol_k):
-            w = apply_bt_local(d_flat)
-            gamma = pdot(w, w_prev) / jnp.maximum(pdot(w_prev, w_prev), tiny)
-            y, _ = solve_a_local(w, gamma * y_prev, tol_k)
-            sd = project_mean(apply_b(expand(y)))
-            return sd, y, w
-
-        sx0, y0, w0 = schur_apply(x0, zeros_local, zeros_local, inner_tol)
-        r0 = rhs_p - sx0
-        z0 = precond_p(r0)
-        r0_norm = jnp.sqrt(jnp.sum(r0 * r0))
-
-        def cond(state):
-            _, r, _, _, _, _, _, kk_ = state
-            return jnp.logical_and(
-                kk_ < outer_cap, jnp.sqrt(jnp.sum(r * r)) > atol
-            )
-
-        def body(state):
-            xp, r, z, d, rz, y_prev, w_prev, kk_ = state
-            r_norm = jnp.sqrt(jnp.sum(r * r))
-            tol_k = jnp.clip(
-                inner_eta * tol * r0_norm / jnp.maximum(r_norm, tiny),
-                inner_tol,
-                inner_tol_max,
-            )
-            sd, y_new, w_new = schur_apply(d, y_prev, w_prev, tol_k)
-            alpha = rz / jnp.sum(d * sd)
-            xp = xp + alpha * d
-            r_new = r - alpha * sd
-            z_new = precond_p(r_new)
-            beta = jnp.sum((r_new - r) * z_new) / rz
-            rz_new = jnp.sum(r_new * z_new)
-            d_new = z_new + beta * d
-            return (xp, r_new, z_new, d_new, rz_new, y_new, w_new, kk_ + 1)
-
-        state = (x0, r0, z0, z0, jnp.sum(r0 * z0), y0, w0, 0)
-        p_flat, r_fin, _, _, _, _, _, k_out = jax.lax.while_loop(
-            cond, body, state
+        # shared flexible-CG Schur outer loop (ops/saddle.py): only the
+        # layout hooks differ from the single-chip compiled solver
+        p_flat, res_fin, k_out, atol = schur_flexible_cg(
+            rhs_p,
+            x0,
+            apply_bt_w=apply_bt_local,
+            solve_a=solve_a_local,
+            schur_out=lambda y: project_mean(apply_b(expand(y))),
+            precond_p=precond_p,
+            dot_w=pdot,
+            zeros_red=zeros_local,
+            tol=tol,
+            inner_tol=inner_tol,
+            inner_eta=inner_eta,
+            inner_tol_max=inner_tol_max,
+            outer_cap=outer_cap,
         )
-        res_fin = jnp.sqrt(jnp.sum(r_fin * r_fin))
         p_out = project_mean(p_flat)
         # velocity recovery at full inner_tol, warm-started from the f-solve
         u_local, info_u = solve_a_local(

@@ -422,3 +422,42 @@ def test_train_compiled_early_stopping_parity():
     # the eager rule)
     loss_best, _, _ = step(m_scan.neural_network)
     np.testing.assert_allclose(float(loss_best), l2[0], rtol=1e-12)
+
+
+def test_train_compiled_early_stopping_tight_margin_no_contamination():
+    """With the DEFAULT (tiny) min_delta and a noisy (large-learning-rate)
+    loss, the scan computes the whole block past the stopping point — a
+    post-stop epoch that happens to improve the loss must NOT contaminate
+    the returned best snapshot (it did before the mid-block stop started
+    re-running the block for exactly the epochs the eager loop ran).
+
+    Checked self-consistently rather than against the eager loop: under
+    the 8-virtual-device CPU runtime the eager step and the scanned step
+    can differ by an ULP per epoch (different XLA fusion of the same
+    graph), and with a tiny min_delta an ULP can flip the stop epoch.
+    """
+    kw = dict(
+        epochs=200,
+        use_early_stopping=True,
+        early_stopping_patience=4,
+        optimizer_kwargs={"learning_rate": 0.3},  # oscillating loss
+    )
+    m_scan, step = _tiny_rvpinn_model(seed=11, **kw)
+    # block_size chosen so the stopping block (stop fires at epoch 10 with
+    # this seed) also contains epoch 18, whose loss dips BELOW the
+    # pre-stop minimum — the exact contamination scenario
+    m_scan.train_compiled(block_size=25)
+
+    l2 = m_scan.get_training_history()[0]
+    assert len(l2) < 200  # early stopping actually fired
+    assert len(l2) % 25 != 0  # ... mid-block (the case under test)
+    # the loss history rose for `patience` epochs before the stop, so the
+    # scan kept computing past it inside the block — any post-stop
+    # improvement must not have leaked into the snapshot or best loss
+    best = float(np.min(l2))
+    assert m_scan._best_loss == best
+    loss_best, _, _ = step(m_scan.optimal_parameters)
+    np.testing.assert_allclose(float(loss_best), best, rtol=1e-12)
+    # and the live network was restored to that same snapshot
+    loss_live, _, _ = step(m_scan.neural_network)
+    np.testing.assert_allclose(float(loss_live), best, rtol=1e-12)
