@@ -194,3 +194,32 @@ def test_solve_iterative_preserves_basis_pytree_structure():
         assert before == after, (
             f"basis pytree changed after solve_iterative({method}, {precond})"
         )
+
+
+def test_spd_inverse_spd_and_indefinite_fallback():
+    """spd_inverse matches the true inverse on SPD input (Cholesky route)
+    AND on a symmetric-indefinite input, where the Cholesky factor is NaN
+    and the guarded LU fallback must kick in — compiled_newton symmetrizes
+    non-symmetric Jacobian coarse matrices, and 0.5*(C+C^T) can be
+    indefinite (an all-NaN coarse inverse poisons every Krylov iterate)."""
+    import jax
+
+    from pytorch_fem_solver_tpu.ops.precondition import spd_inverse
+
+    rng = np.random.default_rng(5)
+    q, _ = np.linalg.qr(rng.normal(size=(12, 12)))
+
+    spd = q @ np.diag(rng.uniform(0.5, 2.0, size=12)) @ q.T
+    out = np.asarray(spd_inverse(jnp.asarray(spd)))
+    np.testing.assert_allclose(out, np.linalg.inv(spd), rtol=0, atol=1e-10)
+
+    eigs = rng.uniform(0.5, 2.0, size=12)
+    eigs[::3] *= -1.0  # indefinite: Cholesky fills the factor with NaN
+    indef = q @ np.diag(eigs) @ q.T
+    out = np.asarray(spd_inverse(jnp.asarray(indef)))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, np.linalg.inv(indef), rtol=0, atol=1e-10)
+
+    # and under jit (the lax.cond path inside a traced program)
+    out_jit = np.asarray(jax.jit(spd_inverse)(jnp.asarray(indef)))
+    np.testing.assert_allclose(out_jit, out, rtol=0, atol=1e-12)

@@ -349,3 +349,19 @@ def test_compiled_stokes_matches_eager():
     )(f)
     assert bool(info3.converged)
     np.testing.assert_allclose(np.asarray(u3), np.asarray(u_ref), atol=1e-8)
+
+
+def test_minres_restart_zero_rejected():
+    """restart=0 would lower a traced (k+1) % 0 into XLA (undefined);
+    the solver rejects it up front — 'no restarts' is spelled None."""
+    import pytest
+
+    from pytorch_fem_solver_tpu.ops.solvers import minres
+
+    b = jnp.ones((4,))
+    with pytest.raises(ValueError, match="restart"):
+        minres(lambda x: 2.0 * x, b, restart=0)
+    # restart=None and restart>=1 both run fine on a trivial SPD operator
+    for r in (None, 2):
+        x, info = minres(lambda x: 2.0 * x, b, tol=1e-12, restart=r)
+        np.testing.assert_allclose(np.asarray(x), 0.5 * np.asarray(b), atol=1e-10)
