@@ -685,3 +685,105 @@ def test_sharded_stokes_matches_compiled(eight_devices):
             Vu, Vp, a_form, div_form, device_mesh=eight_devices,
             precondition="ilu",
         )
+
+
+def _nonlinear_residual_3d(b_, u, ug):
+    """-div((1+u^2) grad u) = f, manufactured sin*sin*sin solution (3D)."""
+    import math
+
+    pi = math.pi
+    p = b_.integration_points
+    x, y, z = p[..., 0:1], p[..., 1:2], p[..., 2:3]
+    us = jnp.sin(pi * x) * jnp.sin(pi * y) * jnp.sin(pi * z)
+    ux = pi * jnp.cos(pi * x) * jnp.sin(pi * y) * jnp.sin(pi * z)
+    uy = pi * jnp.sin(pi * x) * jnp.cos(pi * y) * jnp.sin(pi * z)
+    uz = pi * jnp.sin(pi * x) * jnp.sin(pi * y) * jnp.cos(pi * z)
+    f = -(2 * us * (ux**2 + uy**2 + uz**2) + (1 + us**2) * (-3 * pi**2 * us))
+    return (1 + u**2) * (b_.v_grad * ug).sum(-1, keepdims=True) - f * b_.v
+
+
+def test_sharded_newton_and_eigsh_on_tet_mesh(eight_devices):
+    """The sharded Newton and LOBPCG solvers are dimension-agnostic: on a
+    3D tet basis they reproduce the compiled single-device iteration/round
+    counts and solutions (the linear-solve twin is pinned above in
+    test_sharded_solvers_on_tet_mesh)."""
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+    from pytorch_fem_solver_tpu.parallel import (
+        sharded_eigsh_solver,
+        sharded_newton_solver,
+    )
+
+    mesh = MeshTet(unit_cube(5))
+    V = fem.Basis(mesh, ElementTet(1, 2))
+
+    u_c, (k_c, _, conv_c) = V.compiled_newton(
+        _nonlinear_residual_3d, tol=1e-12, solve_tol=1e-10
+    )()
+    assert bool(conv_c)
+    u_s, (k_s, _, conv_s) = sharded_newton_solver(
+        V, _nonlinear_residual_3d, device_mesh=eight_devices,
+        tol=1e-12, solve_tol=1e-10, precondition="two_level",
+    )()
+    assert bool(conv_s)
+    assert int(k_s) == int(k_c), (int(k_s), int(k_c))
+    np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_c), atol=1e-9)
+
+    a = stiffness
+    m = lambda b_: b_.v @ jnp.matrix_transpose(b_.v)
+    vals_c, _, (r_c, _, cv_c) = V.compiled_eigsh(a, m, k=3, tol=1e-9)()
+    assert bool(cv_c)
+    vals_s, vecs_s, (r_s, _, cv_s) = sharded_eigsh_solver(
+        V, a, m, k=3, tol=1e-9, device_mesh=eight_devices
+    )()
+    assert bool(cv_s)
+    assert int(r_s) == int(r_c), (int(r_s), int(r_c))
+    np.testing.assert_allclose(np.asarray(vals_s), np.asarray(vals_c), rtol=1e-10)
+    assert vecs_s.shape == (V.n_dofs, 3)
+
+
+def test_sharded_stokes_on_tet_mesh(eight_devices):
+    """The sharded Stokes solver on a 3D Taylor-Hood pair reproduces the
+    compiled single-device Schur solve (outer count and fields) — the
+    exactly-once B/B^T ownership tables never look at the dimension."""
+    from pytorch_fem_solver_tpu.element import ElementTet
+    from pytorch_fem_solver_tpu.mesh import MeshTet, unit_cube
+    from pytorch_fem_solver_tpu.ops import compiled_stokes_solver
+    from pytorch_fem_solver_tpu.parallel import sharded_stokes_solver
+
+    def a_form(b):
+        g = b.v_grad
+        return jnp.einsum("...icd,...jcd->...ij", g, g)
+
+    def div_form(test_p, trial_u):
+        div = jnp.trace(trial_u.v_grad, axis1=-2, axis2=-1)
+        return -(test_p.v[..., 0][..., :, None] * div[..., None, :])
+
+    def load(b):
+        f = jnp.asarray([1.0, 0.0, -0.5])
+        return (f * b.v).sum(-1, keepdims=True)
+
+    mesh = MeshTet(unit_cube(3))
+    Vu = fem.VectorBasis(mesh, ElementTet(2, 3))
+    Vp = fem.Basis(mesh, ElementTet(1, 3))
+    f = Vu.integrate_linear_form(load)
+
+    solve_c = compiled_stokes_solver(
+        Vu, Vp, a_form, div_form, tol=1e-9, inner_tol=1e-11,
+        precondition="jacobi",
+    )
+    u_c, p_c, info_c = solve_c(f)
+    assert bool(info_c.converged)
+
+    solve_s = sharded_stokes_solver(
+        Vu, Vp, a_form, div_form, device_mesh=eight_devices,
+        tol=1e-9, inner_tol=1e-11, precondition="jacobi",
+    )
+    u_s, p_s, info_s = solve_s(f)
+    assert bool(info_s.converged)
+    assert int(info_s.outer_iterations) == int(info_c.outer_iterations)
+    scale = float(np.abs(np.asarray(u_c)).max())
+    np.testing.assert_allclose(
+        np.asarray(u_s), np.asarray(u_c), atol=1e-8 * max(scale, 1.0)
+    )
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_c), atol=1e-7)
