@@ -787,3 +787,20 @@ def test_sharded_stokes_on_tet_mesh(eight_devices):
         np.asarray(u_s), np.asarray(u_c), atol=1e-8 * max(scale, 1.0)
     )
     np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_c), atol=1e-7)
+
+
+def test_shard_plan_cache_stays_out_of_basis_pytree():
+    """get_bsr_shard_plan caches BSRShardPlan tables on the basis; like
+    every other solver-layout cache they must be dropped by the pytree
+    flatten, or the first sharded solve changes the basis treedef (silent
+    recompiles for any jitted function taking the basis as an argument)."""
+    import jax
+
+    from pytorch_fem_solver_tpu.parallel.sharded_bsr import get_bsr_shard_plan
+
+    mesh = fem.MeshTri(fem.unit_square(n=8))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+    before = jax.tree_util.tree_structure(V)
+    plan = get_bsr_shard_plan(V, 8)
+    assert plan is get_bsr_shard_plan(V, 8)  # cached
+    assert jax.tree_util.tree_structure(V) == before
