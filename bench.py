@@ -679,4 +679,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1" or not int(
+        os.environ.get("BENCH_SUPERVISE", "1")
+    ):
+        main()
+    else:
+        # retry-with-backoff supervisor (VERDICT r04 item 1): transient
+        # tunnel outages inside BENCH_RETRY_WINDOW_S no longer null the
+        # round's headline number — each attempt runs this script as a
+        # subprocess whose watchdog converts a hang into rc=3
+        from pytorch_fem_solver_tpu.utils.watchdog import supervise
+
+        sys.exit(supervise("seven_fractures_dfn_assembly_pcg_wallclock"))

@@ -339,4 +339,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("VPINN_CHILD") == "1" or not int(
+        os.environ.get("VPINN_SUPERVISE", "1")
+    ):
+        main()
+    else:
+        # same retry-with-backoff supervisor as bench.py (VERDICT r04 item 1)
+        from pytorch_fem_solver_tpu.utils.watchdog import supervise
+
+        sys.exit(
+            supervise(
+                "rvpinn_epoch_wallclock",
+                child_flag="VPINN_CHILD",
+                env_prefix="VPINN",
+            )
+        )
