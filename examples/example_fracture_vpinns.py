@@ -104,3 +104,29 @@ y_mid = np.asarray(mesh["interior_edges", "coordinates_3d"]).mean(axis=1)[
 analytic = 2.0 * y_mid * (1.0 - y_mid)
 dev = np.abs(np.abs(jump[trace_mask]) - analytic)
 print(f"NN trace jump vs analytic: mean dev {dev.mean():.4f} max {dev.max():.4f}")
+
+# ---- per-element relative H1 error map (reference :424-655 figure) ----
+
+num = np.asarray(V.integrate_functional(h1_error_nn, nn)).reshape(-1)
+den = np.asarray(V.integrate_functional(common.dfn_h1_exact)).reshape(-1)
+cell_err = np.sqrt(num / np.where(np.abs(den) < 1e-10, 1.0, den))
+print(f"per-element relative H1 error: max {cell_err.max():.4f} "
+      f"mean {cell_err.mean():.4f}")
+
+if common.SHOW_PLOTS:
+    from pytorch_fem_solver_tpu.utils.plotting import (
+        plot_error_maps_per_fracture,
+        plot_trace_profile,
+    )
+
+    plot_error_maps_per_fracture(
+        mesh, cell_err, title="Relative error for NN solution"
+    )
+    ax = plot_trace_profile(mesh, jump, label="NN jump")
+    ax.plot(
+        np.sort(y_mid), 2.0 * np.sort(y_mid) * (1.0 - np.sort(y_mid)),
+        "k--", label="analytic",
+    )
+    import matplotlib.pyplot as plt
+
+    common.maybe_show(plt)

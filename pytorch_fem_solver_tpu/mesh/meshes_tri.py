@@ -68,11 +68,22 @@ class MeshesTri(MeshTri):
         which only works because every batch entry selects the same count.
         Here the same contract is expressed as a static batched gather when
         the mask is integer indices, or a vmapped boolean compress otherwise.
+
+        HOST-ONLY for boolean masks: the selected count is data-dependent
+        (``int(counts)`` below), so the boolean branch cannot run under jit
+        tracing — call it at construction time, like the reference does.
+        The integer-index branch is trace-safe.
         """
         if isinstance(mask, (list, tuple)):
             mask = mask[0]
         mask = jnp.asarray(mask)
         if mask.dtype == jnp.bool_:
+            if isinstance(jnp.sum(mask[0]), jax.core.Tracer):
+                raise TypeError(
+                    "MeshesTri.apply_mask with a boolean mask is host-only: "
+                    "the output size is data-dependent. Precompute integer "
+                    "indices (jnp.nonzero on host) to use it under jit."
+                )
             counts = jnp.sum(mask[0])
             idx = jnp.argsort(~mask, axis=-1, stable=True)[..., : int(counts)]
             return jax.vmap(lambda t, i: t[i])(tensor, idx)

@@ -28,6 +28,15 @@ Collectives per PCG iteration: one tiled ``all_gather`` of the iterate
 (n_pad floats), one tiled ``all_gather`` of the restricted residual (nc
 floats), and three scalar ``psum`` dots — all riding the ICI ring.
 
+NOTE (modeled, not measured): the collective-cost claims above are derived
+from the scaling-book ring model (all_gather time ≈ bytes / ICI bandwidth,
+latency-bound below ~1 MB per hop) and validated only for CORRECTNESS on a
+virtual 8-device CPU mesh (tests/test_sharding.py, __graft_entry__.py).
+No multi-chip ICI hardware is reachable from this host, so the constant
+factors — and the claim that one iterate all_gather per iteration beats a
+halo-exchange ppermute scheme at any given n/devices ratio — are unvalidated
+on hardware.
+
 No reference counterpart: the reference is strictly single-device
 (SURVEY.md §2; no torch.distributed anywhere in /root/reference/torch_fem/).
 """

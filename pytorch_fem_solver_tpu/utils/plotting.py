@@ -139,3 +139,59 @@ def plot_trace_profile(mesh, edge_values, label: str = "", ax=None):
     if label:
         ax.legend()
     return ax
+
+
+def plot_error_maps_per_fracture(mesh, cell_errors, title: str = "", axes=None):
+    """Per-fracture per-element error maps with one shared colorbar.
+
+    Matplotlib parity for the reference's relative-error figure
+    (/root/reference/examples/example_fracture_vpinns.py:611-655): one
+    PolyCollection per fracture in LOCAL 2D coordinates, face colors from a
+    single Normalize over all fractures, shared vertical colorbar.
+
+    Works for flat :class:`FractureNetworkMesh` (per-cell fracture ids) and,
+    trivially, single-fracture 2D meshes.
+    """
+    from matplotlib import cm, colors
+    from matplotlib.collections import PolyCollection
+
+    plt = _plt()
+    errs = np.asarray(cell_errors).reshape(-1)
+    coords = np.asarray(mesh["cells", "coordinates"])  # (T, 3, 2) local
+    try:
+        frac = np.asarray(mesh["cells", "fracture"]).reshape(-1)
+    except Exception:
+        frac = np.zeros(coords.shape[0], dtype=int)
+    frac_ids = np.unique(frac)
+
+    norm = colors.Normalize(vmin=float(errs.min()), vmax=float(errs.max()))
+    cmap = plt.get_cmap("viridis")
+    if axes is None:
+        fig, axes = plt.subplots(
+            1, len(frac_ids), figsize=(6 * len(frac_ids), 3), dpi=200,
+            squeeze=False,
+        )
+        axes = axes[0]
+    else:
+        fig = axes[0].figure
+    if title:
+        fig.suptitle(title, fontsize=14)
+    for ax, fid in zip(axes, frac_ids):
+        sel = frac == fid
+        ax.add_collection(
+            PolyCollection(
+                coords[sel],
+                facecolors=cmap(norm(errs[sel])),
+                edgecolors="black",
+                linewidths=0.2,
+            )
+        )
+        ax.autoscale()
+        ax.set_aspect("equal")
+        ax.set_title(f"Fracture {int(fid) + 1}")
+    sm = cm.ScalarMappable(cmap=cmap, norm=norm)
+    sm.set_array(errs)
+    fig.colorbar(
+        sm, ax=list(axes), orientation="vertical", label="error"
+    )
+    return axes
