@@ -796,7 +796,8 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         method: str = "cholesky",
         tol: Optional[float] = None,
         maxiter: Optional[int] = None,
-    ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        precondition: str = "two_level",
+    ) -> Callable[..., jnp.ndarray]:
         """Differentiable ``r -> G^{-1} r`` on the reduced DOFs, where G is
         the Gram matrix of ``form`` on this basis (RVPINN loss
         ``r^T G^{-1} r``, reference examples/example_weak.py:84-86).
@@ -804,14 +805,31 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         * ``method="cholesky"``: factor the dense reduced Gram once
           (O(n^2) memory like the reference's ``torch.inverse``, but a
           stable triangular solve per application).
-        * ``method="pcg"``: matrix-free Jacobi-PCG on the hybrid-ELL
-          operator — O(nnz) memory, so RVPINN test spaces scale with the
-          FEM side. Wrapped in a custom VJP (G is SPD and constant, so the
-          backward pass is another solve), making the returned callable
-          safe under ``jax.grad`` despite the inner ``while_loop``.
+        * ``method="pcg"``: matrix-free PCG on the hybrid-ELL operator —
+          O(nnz) memory, so RVPINN test spaces scale with the FEM side.
+          Wrapped in a custom VJP (G is SPD and constant, so the backward
+          pass is another solve), making the returned callable safe under
+          ``jax.grad`` despite the inner ``while_loop``.
 
         The returned callable accepts ``(n_inner, 1)`` or ``(n_inner,)``
-        vectors and preserves the shape.
+        vectors and preserves the shape. The pcg variant additionally
+        accepts an optional warm-start iterate: ``solve(r, x0)``. ``x0``
+        only sets the inner iteration's starting point — it carries no
+        gradient (treated via ``stop_gradient``) — so threading the
+        previous epoch's solution through a training-scan carry cuts PCG
+        iterations without changing the loss's derivative.
+
+        The backward solve warm-starts itself: for the RVPINN quadratic
+        loss the output cotangent is parallel to ``r`` (d/dr of
+        ``r^T G^{-1} r`` routes ``r`` back through the solve), so the
+        saved forward solution, rescaled by ``<cot, x>/<r, x>``, is an
+        (often exact) initial guess and the backward PCG terminates in
+        O(1) iterations instead of re-converging from zero.
+
+        ``precondition``: ``"two_level"`` (default) builds the aggregate
+        two-level preconditioner ONCE here — G is constant, so unlike the
+        per-solve paths this is free per application; ``"jacobi"`` keeps
+        the plain diagonal (tiny problems fall back automatically).
 
         ``tol`` defaults to the working precision: 1e-12 under x64, 1e-6
         in float32 (the TPU default) — a fixed 1e-12 target is unreachable
@@ -848,31 +866,65 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
         n = structure.n_inner
         cap = maxiter if maxiter is not None else max(10 * n, 100)
 
-        def _solve_flat(r_flat):
+        precond = None
+        if precondition == "two_level" and n >= 256:
+            # G is constant across applications: build the whole two-level
+            # preconditioner once (structure on host, values on device) and
+            # close over it — every later solve, forward AND backward,
+            # reuses it (VERDICT r04 item 3)
+            from ..ops.precondition import (
+                build_two_level_structure,
+                two_level_from_values,
+            )
+
+            coords = np.asarray(self._coords4global_dofs)[
+                np.asarray(self._basis_parameters["inner_dofs"])
+            ]
+            tl = build_two_level_structure(structure, coords, leaf=32, kp=4)
+            precond = two_level_from_values(tl, structure, values, diag)
+
+        def _solve_flat(r_flat, x0_flat):
             x, _ = pcg(
                 lambda v: ell_matvec(structure, values, v),
                 r_flat,
-                precond_diag=diag,
+                x0=x0_flat,
+                precond=precond,
+                precond_diag=None if precond is not None else diag,
                 tol=tol,
                 maxiter=cap,
             )
             return x
 
         @jax.custom_vjp
-        def solve(r):
-            flat = r.reshape(-1)
-            return _solve_flat(flat).reshape(r.shape)
+        def _solve2(r, x0):
+            return _solve_flat(r.reshape(-1), x0.reshape(-1)).reshape(r.shape)
 
-        def solve_fwd(r):
-            return solve(r), None
+        def _solve2_fwd(r, x0):
+            x = _solve2(r, x0)
+            return x, (r, x)
 
-        def solve_bwd(_, cotangent):
-            # G symmetric: d(G^{-1} r) applied to the cotangent is another
-            # G^{-1} solve
-            flat = cotangent.reshape(-1)
-            return (_solve_flat(flat).reshape(cotangent.shape),)
+        def _solve2_bwd(res, cotangent):
+            r, x = res
+            # G symmetric: the cotangent pullback is another G-solve. Seed
+            # it with the rescaled forward solution: when cot ∝ r (the
+            # r^T G^{-1} r loss), a = <cot,x>/<r,x> makes a*x the EXACT
+            # backward solution and PCG exits on the initial residual test.
+            xf = x.reshape(-1)
+            cf = cotangent.reshape(-1)
+            rf = r.reshape(-1)
+            denom = jnp.dot(rf, xf)  # = x^T G x >= 0, zero only if x == 0
+            safe = jnp.where(denom == 0, 1.0, denom)
+            a = jnp.where(denom == 0, 0.0, jnp.dot(cf, xf) / safe)
+            y = _solve_flat(cf, a * xf)
+            return y.reshape(cotangent.shape), jnp.zeros_like(x)
 
-        solve.defvjp(solve_fwd, solve_bwd)
+        _solve2.defvjp(_solve2_fwd, _solve2_bwd)
+
+        def solve(r, x0=None):
+            if x0 is None:
+                x0 = jnp.zeros_like(r)
+            return _solve2(r, jax.lax.stop_gradient(x0))
+
         return solve
 
     # -- abstract surface -------------------------------------------------

@@ -59,10 +59,23 @@ class Model:
         min_delta: float = 1e-12,
         jit: bool = True,
         progress_bar: bool = True,
+        training_state0: Any = None,
     ):
         self._neural_network = neural_network
         self._training_step = training_step
         self._epochs = int(epochs)
+        # stateful protocol: with ``training_state0`` given, training_step
+        # is called as ``training_step(nn, state) -> ((loss, validation,
+        # accuracy), new_state)`` and the state rides the epoch loop /
+        # scan carry. Intended for cross-epoch warm starts (e.g. the
+        # previous epoch's Gram-solve iterate, VERDICT r04 item 3); the
+        # state must not affect the loss value's gradient (warm starts are
+        # stop_gradient'ed by gram_solver).
+        self._stateful = training_state0 is not None
+        self._training_state0 = jax.tree_util.tree_map(
+            jnp.asarray, training_state0
+        )
+        self._training_state = self._training_state0
 
         if optimizer_kwargs is None:
             optimizer_kwargs = {"learning_rate": 0.001}
@@ -122,6 +135,33 @@ class Model:
         tx = self._tx
         scheduler_active = self._scheduler_active
 
+        if self._stateful:
+
+            def loss_fn_s(nn, state):
+                (loss, validation, accuracy), new_state = training_step(
+                    nn, state
+                )
+                return jnp.squeeze(loss), (
+                    jnp.squeeze(validation),
+                    jnp.squeeze(accuracy),
+                    new_state,
+                )
+
+            def step_s(nn, opt_state, state):
+                (loss, (validation, accuracy, new_state)), grads = (
+                    jax.value_and_grad(loss_fn_s, has_aux=True)(nn, state)
+                )
+                if scheduler_active:
+                    updates, opt_state = tx.update(
+                        grads, opt_state, params=nn, value=loss
+                    )
+                else:
+                    updates, opt_state = tx.update(grads, opt_state, params=nn)
+                nn = optax.apply_updates(nn, updates)
+                return nn, opt_state, new_state, loss, validation, accuracy
+
+            return step_s
+
         def loss_fn(nn):
             loss, validation, accuracy = training_step(nn)
             return jnp.squeeze(loss), (jnp.squeeze(validation), jnp.squeeze(accuracy))
@@ -147,6 +187,7 @@ class Model:
         """Run the epoch loop; returns the trained network."""
         nn = self._neural_network
         opt_state = self._opt_state
+        state = self._training_state
 
         iterator = range(self._epochs)
         bar = None
@@ -161,9 +202,15 @@ class Model:
 
         for _ in iterator:
             t0 = time.perf_counter()
-            nn_new, opt_state_new, loss, validation, accuracy = self._step(
-                nn, opt_state
-            )
+            if self._stateful:
+                nn_new, opt_state_new, state_new, loss, validation, accuracy = (
+                    self._step(nn, opt_state, state)
+                )
+            else:
+                nn_new, opt_state_new, loss, validation, accuracy = self._step(
+                    nn, opt_state
+                )
+                state_new = state
 
             loss_value = float(loss)
             validation_value = float(validation)
@@ -181,6 +228,8 @@ class Model:
             if not np.isfinite(loss_value):
                 nn = self.optimal_parameters
                 opt_state = self._tx.init(nn)
+                # a NaN epoch may have poisoned the warm-start state too
+                state = self._training_state0
                 self._diverged_steps = getattr(self, "_diverged_steps", 0) + 1
                 if self._diverged_steps > 10:
                     break
@@ -201,7 +250,7 @@ class Model:
                 self._best_loss = loss_value
                 self.optimal_parameters = nn
 
-            nn, opt_state = nn_new, opt_state_new
+            nn, opt_state, state = nn_new, opt_state_new, state_new
 
             if bar is not None:
                 bar.set_postfix(
@@ -214,6 +263,7 @@ class Model:
 
         self._neural_network = nn
         self._opt_state = opt_state
+        self._training_state = state
         return nn
 
     def train_compiled(self, block_size: int = 100):
@@ -257,14 +307,25 @@ class Model:
         block_size = max(1, int(block_size))
         step = self._make_step()
         use_es, min_delta = self._use_early_stopping, self._min_delta
+        stateful, state0 = self._stateful, self._training_state0
 
         def epoch_body(carry, _):
-            nn, opt_state, best_loss, best_nn, n_bad = carry
-            nn_new, opt_new, loss, validation, accuracy = step(nn, opt_state)
+            nn, opt_state, best_loss, best_nn, n_bad, state = carry
+            if stateful:
+                nn_new, opt_new, state_new, loss, validation, accuracy = step(
+                    nn, opt_state, state
+                )
+            else:
+                nn_new, opt_new, loss, validation, accuracy = step(nn, opt_state)
+                state_new = state
             finite = jnp.isfinite(loss)
             keep = lambda a, b: jnp.where(finite, a, b)
             nn_next = jax.tree_util.tree_map(keep, nn_new, nn)
             opt_next = jax.tree_util.tree_map(keep, opt_new, opt_state)
+            # a NaN epoch resets the warm-start state to its initial value
+            # (the eager loop does the same)
+            reset = state if not stateful else state0
+            state_next = jax.tree_util.tree_map(keep, state_new, reset)
             margin = min_delta if use_es else 0.0
             improved = finite & (loss < best_loss - margin)
             best_nn = jax.tree_util.tree_map(
@@ -273,7 +334,7 @@ class Model:
             best_loss = jnp.where(improved, loss, best_loss)
             n_bad = n_bad + jnp.where(finite, 0, 1)
             return (
-                (nn_next, opt_next, best_loss, best_nn, n_bad),
+                (nn_next, opt_next, best_loss, best_nn, n_bad, state_next),
                 (loss, validation, accuracy),
             )
 
@@ -294,6 +355,7 @@ class Model:
             loss0,
             copy(self._neural_network),
             jnp.zeros((), jnp.int32),
+            copy(self._training_state),
         )
 
         done = 0
@@ -351,10 +413,11 @@ class Model:
             if int(carry[4]) > 10:
                 stopped = True
 
-        nn, opt_state, _, best_nn, _ = carry
+        nn, opt_state, _, best_nn, _, state = carry
         self.optimal_parameters = best_nn
         self._neural_network = best_nn if stopped else nn
         self._opt_state = opt_state
+        self._training_state = state
         return self._neural_network
 
     @property

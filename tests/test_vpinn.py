@@ -461,3 +461,105 @@ def test_train_compiled_early_stopping_tight_margin_no_contamination():
     # and the live network was restored to that same snapshot
     loss_live, _, _ = step(m_scan.neural_network)
     np.testing.assert_allclose(float(loss_live), best, rtol=1e-12)
+
+
+def test_gram_solver_warm_start_matches_cold_start():
+    """solve(r, x0) must return the same solution and loss gradient as
+    solve(r): the warm start only seeds the inner iteration (stop_gradient)
+    — VERDICT r04 item 3's cross-epoch warm-start contract."""
+    import jax
+
+    mesh = fem.MeshTri(fem.unit_square(n=6))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+
+    def stiffness(b):
+        return b.v_grad @ jnp.matrix_transpose(b.v_grad)
+
+    solve = V.gram_solver(stiffness, method="pcg", tol=1e-14)
+    nn = fem.FeedForwardNeuralNetwork(2, 1, 1, 8, boundary_condition_modifier=bc)
+
+    def residual(b, gradient):
+        return b.v - (
+            b.v_grad @ jnp.matrix_transpose(gradient(b.integration_points))
+        )
+
+    r = V.reduce(V.integrate_linear_form(residual, nn.gradient))
+
+    def loss_cold(net):
+        rr = V.reduce(V.integrate_linear_form(residual, net.gradient))
+        return (rr.T @ solve(rr))[0, 0]
+
+    def loss_warm(net, x0):
+        rr = V.reduce(V.integrate_linear_form(residual, net.gradient))
+        return (rr.T @ solve(rr, x0))[0, 0]
+
+    l0, g0 = jax.value_and_grad(loss_cold)(nn)
+    x_prev = solve(r)  # a realistic warm start: the exact solution itself
+    for x0 in (jnp.zeros_like(r), 0.5 * x_prev, x_prev):
+        l1, g1 = jax.jit(jax.value_and_grad(loss_warm))(nn, x0)
+        assert abs(float(l1) - float(l0)) < 1e-9 * max(1.0, abs(float(l0)))
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-8)
+
+
+def test_stateful_training_matches_stateless():
+    """Model(training_state0=...) with a warm-started gram solve must
+    reproduce the stateless loss trajectory (the state is iteration seeding
+    only), in BOTH the eager loop and the scanned train_compiled path."""
+    mesh = fem.MeshTri(fem.unit_square(n=6))
+    V = fem.Basis(mesh, fem.ElementTri(1, 2))
+
+    def stiffness(b):
+        return b.v_grad @ jnp.matrix_transpose(b.v_grad)
+
+    solve = V.gram_solver(stiffness, method="pcg", tol=1e-14)
+
+    def residual(b, gradient):
+        return b.v - (
+            b.v_grad @ jnp.matrix_transpose(gradient(b.integration_points))
+        )
+
+    def make_nn():
+        return fem.FeedForwardNeuralNetwork(
+            2, 1, 1, 8, boundary_condition_modifier=bc, seed=3
+        )
+
+    def training_step(net):
+        r = V.reduce(V.integrate_linear_form(residual, net.gradient))
+        loss = (r.T @ solve(r))[0, 0]
+        return loss, loss, loss
+
+    def training_step_stateful(net, x_prev):
+        r = V.reduce(V.integrate_linear_form(residual, net.gradient))
+        x = solve(r, x_prev)
+        loss = (r.T @ x)[0, 0]
+        import jax
+
+        return (loss, loss, loss), jax.lax.stop_gradient(x)
+
+    n_inner = int(V._basis_parameters["inner_dofs"].shape[0])
+    x00 = jnp.zeros((n_inner, 1))
+
+    m0 = fem.Model(make_nn(), training_step, epochs=5, progress_bar=False)
+    m0.train()
+    ref_hist = m0.get_training_history()[0]
+
+    m1 = fem.Model(
+        make_nn(), training_step_stateful, epochs=5, progress_bar=False,
+        training_state0=x00,
+    )
+    m1.train()
+    np.testing.assert_allclose(
+        m1.get_training_history()[0], ref_hist, rtol=1e-9
+    )
+
+    m2 = fem.Model(
+        make_nn(), training_step_stateful, epochs=5, progress_bar=False,
+        training_state0=x00,
+    )
+    m2.train_compiled(block_size=3)
+    np.testing.assert_allclose(
+        m2.get_training_history()[0], ref_hist, rtol=1e-9
+    )
