@@ -834,6 +834,7 @@ def compiled_stokes_solver(
     minres_restart: Optional[int] = 50,
     inner_eta: float = 0.1,
     inner_tol_max: float = 1e-2,
+    f_solve_tol: Optional[float] = None,
 ):
     """One-jit Stokes solve: the compiled counterpart of
     :func:`ops.saddle.stokes_solver` (same math, same contracts).
@@ -881,6 +882,11 @@ def compiled_stokes_solver(
         vector bases, the compiled_bsr_solver defaults) or ``"jacobi"``.
       inner_maxiter: cap for the nested/recovery A-solves (default: PCG's
         10n bound; set ~a few hundred to bound the worst case).
+      f_solve_tol: tolerance for the ONE initial f-solve (schur method
+        only; default ``inner_tol``). Its relative error enters the Schur
+        rhs directly, so ~``tol`` suffices — the tight default is
+        conservative; the final velocity recovery still runs at
+        ``inner_tol``.
 
     Returns ``solve(f, g=None, x0=None) -> (u, p, StokesInfo)``; the
     pressure has zero lumped-mass mean. No reference counterpart (the
@@ -1086,10 +1092,10 @@ def compiled_stokes_solver(
                 maxiter=inner_maxiter,
             )
 
-        u_f_red, _ = solve_a_reduced(
+        u_f_red, info_f = solve_a_reduced(
             bsr_reduce(st_d, f),
             jnp.zeros((st.n_pad,), dtype=f.dtype),
-            inner_tol,
+            f_solve_tol if f_solve_tol is not None else inner_tol,
         )
         u_f = bsr_expand(st_d, u_f_red, n_u)
         rhs_p = apply_b(u_f)
@@ -1104,7 +1110,7 @@ def compiled_stokes_solver(
         # docstring for the warm-start/relaxed-tolerance derivation and
         # the measured 2.04 s -> sub-second cut it bought on chip.
         outer_cap = maxiter if maxiter is not None else 10 * Vp.n_dofs
-        p_flat, res_fin, k_out, atol = schur_flexible_cg(
+        p_flat, res_fin, k_out, atol, inner_schur = schur_flexible_cg(
             rhs_p[:, 0],
             x0,
             apply_bt_w=lambda d: bsr_reduce(st_d, apply_bt(d[:, None])),
@@ -1133,6 +1139,7 @@ def compiled_stokes_solver(
             schur_residual=res_fin,
             converged=res_fin <= atol,
             inner_info=info_u,
+            inner_total=info_f.iterations + inner_schur + info_u.iterations,
         )
         return u, p, info
 

@@ -39,6 +39,10 @@ class StokesInfo(NamedTuple):
     schur_residual: jnp.ndarray
     converged: jnp.ndarray
     inner_info: PCGInfo  # from the final velocity solve
+    # total inner A-solve PCG iterations across the whole solve (initial
+    # f-solve + every Schur application + the velocity recovery); None on
+    # paths that do not account them (eager solver, minres)
+    inner_total: Optional[jnp.ndarray] = None
 
 
 def schur_flexible_cg(
@@ -95,8 +99,11 @@ def schur_flexible_cg(
       a psum'd sum sharded). Pressure-space dots are always plain
       ``jnp.sum`` — (n_p,) vectors are replicated in both variants.
 
-    Returns ``(p_flat, res_fin, k_out, atol)``; the caller judges
-    convergence as ``res_fin <= atol`` and runs its own velocity recovery.
+    Returns ``(p_flat, res_fin, k_out, atol, inner_iters)``; the caller
+    judges convergence as ``res_fin <= atol`` and runs its own velocity
+    recovery. ``inner_iters`` is the total inner-PCG iteration count across
+    the initial Schur apply and every outer step (the recovery solve is the
+    caller's to add).
     """
     tiny = jnp.finfo(rhs_p.dtype).tiny
     b_norm = jnp.sqrt(jnp.sum(rhs_p * rhs_p))
@@ -105,29 +112,29 @@ def schur_flexible_cg(
     def schur_apply(d_flat, y_prev, w_prev, tol_k):
         w = apply_bt_w(d_flat)
         gamma = dot_w(w, w_prev) / jnp.maximum(dot_w(w_prev, w_prev), tiny)
-        y, _ = solve_a(w, gamma * y_prev, tol_k)
-        return schur_out(y), y, w
+        y, info = solve_a(w, gamma * y_prev, tol_k)
+        return schur_out(y), y, w, info.iterations
 
     # initial residual: one Schur apply against the caller's x0 (zero by
     # default, where the inner PCG exits after 0 iterations on ||b||=0)
-    sx0, y0, w0 = schur_apply(x0, zeros_red, zeros_red, inner_tol)
+    sx0, y0, w0, it0 = schur_apply(x0, zeros_red, zeros_red, inner_tol)
     r0 = rhs_p - sx0
     z0 = precond_p(r0)
     r0_norm = jnp.sqrt(jnp.sum(r0 * r0))
 
     def cond(state):
-        _, r, _, _, _, _, _, k = state
+        _, r, _, _, _, _, _, k, _ = state
         return jnp.logical_and(k < outer_cap, jnp.sqrt(jnp.sum(r * r)) > atol)
 
     def body(state):
-        xp, r, z, d, rz, y_prev, w_prev, k = state
+        xp, r, z, d, rz, y_prev, w_prev, k, it_tot = state
         r_norm = jnp.sqrt(jnp.sum(r * r))
         tol_k = jnp.clip(
             inner_eta * tol * r0_norm / jnp.maximum(r_norm, tiny),
             inner_tol,
             inner_tol_max,
         )
-        sd, y_new, w_new = schur_apply(d, y_prev, w_prev, tol_k)
+        sd, y_new, w_new, it_k = schur_apply(d, y_prev, w_prev, tol_k)
         alpha = rz / jnp.sum(d * sd)
         xp = xp + alpha * d
         r_new = r - alpha * sd
@@ -137,12 +144,15 @@ def schur_flexible_cg(
         beta = jnp.sum((r_new - r) * z_new) / rz
         rz_new = jnp.sum(r_new * z_new)
         d_new = z_new + beta * d
-        return (xp, r_new, z_new, d_new, rz_new, y_new, w_new, k + 1)
+        return (xp, r_new, z_new, d_new, rz_new, y_new, w_new, k + 1,
+                it_tot + it_k)
 
-    state = (x0, r0, z0, z0, jnp.sum(r0 * z0), y0, w0, 0)
-    p_flat, r_fin, _, _, _, _, _, k_out = jax.lax.while_loop(cond, body, state)
+    state = (x0, r0, z0, z0, jnp.sum(r0 * z0), y0, w0, 0, it0)
+    p_flat, r_fin, _, _, _, _, _, k_out, it_tot = jax.lax.while_loop(
+        cond, body, state
+    )
     res_fin = jnp.sqrt(jnp.sum(r_fin * r_fin))
-    return p_flat, res_fin, k_out, atol
+    return p_flat, res_fin, k_out, atol, it_tot
 
 
 def stokes_solver(

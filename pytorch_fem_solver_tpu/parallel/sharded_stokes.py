@@ -149,7 +149,7 @@ def sharded_stokes_solver(
             P(axis), P(axis), P(axis), P(axis),  # bcols, bcols2, hrows, agg
             P(), P(), P(), P(), P(),  # iperm, mp, f, g, x0
         ),
-        out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
     def run(local_a, local_b_s, u_dofs_s, p_dofs_s, slots_s, vslots_s,
@@ -231,12 +231,13 @@ def sharded_stokes_solver(
             )
 
         zeros_local = jnp.zeros((lrows,), dtype=dtype)
-        u_f_local, _ = solve_a_local(reduce_rows(f), zeros_local, inner_tol)
+        u_f_local, info_f = solve_a_local(reduce_rows(f), zeros_local,
+                                          inner_tol)
         rhs_p = project_mean(apply_b(expand(u_f_local)) - g)
 
         # shared flexible-CG Schur outer loop (ops/saddle.py): only the
         # layout hooks differ from the single-chip compiled solver
-        p_flat, res_fin, k_out, atol = schur_flexible_cg(
+        p_flat, res_fin, k_out, atol, inner_schur = schur_flexible_cg(
             rhs_p,
             x0,
             apply_bt_w=apply_bt_local,
@@ -257,14 +258,17 @@ def sharded_stokes_solver(
             reduce_rows(f) - apply_bt_local(p_out), u_f_local, inner_tol
         )
         u_full = expand(u_local)
+        inner_total = info_f.iterations + inner_schur + info_u.iterations
         return (u_full, p_out, k_out, res_fin, res_fin <= atol,
-                info_u.iterations, info_u.residual_norm, info_u.converged)
+                info_u.iterations, info_u.residual_norm, info_u.converged,
+                inner_total)
 
     @jax.jit
     def _solve(vg, dx, pts, f, g, x0):
         view = _CellChunkView(v_all, vg, pts, dx, element)
         local_a = (evaluate(a_form, view) * dx).sum(-3)
-        u_full, p_out, k_out, res_fin, conv, it_u, res_u, conv_u = run(
+        (u_full, p_out, k_out, res_fin, conv, it_u, res_u, conv_u,
+         inner_total) = run(
             local_a, local_b_sh, u_dofs_sh, p_dofs_sh,
             plan.slots_sh, plan.vec_slots_sh, plan.owned_cells_sh,
             plan.bcols_sh, plan.bcols2_sh, plan.hrows_sh, plan.agg_sh,
@@ -277,6 +281,7 @@ def sharded_stokes_solver(
             schur_residual=res_fin,
             converged=conv,
             inner_info=PCGInfo(it_u, res_u, conv_u),
+            inner_total=inner_total,
         )
         return u_full[:, None], p_out[:, None], info
 
