@@ -835,6 +835,7 @@ def compiled_stokes_solver(
     inner_eta: float = 0.1,
     inner_tol_max: float = 1e-2,
     f_solve_tol: Optional[float] = None,
+    recovery_tol: Optional[float] = None,
 ):
     """One-jit Stokes solve: the compiled counterpart of
     :func:`ops.saddle.stokes_solver` (same math, same contracts).
@@ -886,7 +887,12 @@ def compiled_stokes_solver(
         only; default ``inner_tol``). Its relative error enters the Schur
         rhs directly, so ~``tol`` suffices — the tight default is
         conservative; the final velocity recovery still runs at
-        ``inner_tol``.
+        ``recovery_tol``.
+      recovery_tol: tolerance for the ONE final velocity recovery solve
+        (default ``inner_tol``). Relative to ``||f - B^T p||`` — on
+        pressure-dominated problems that norm is far below ``||f||``, so
+        the default is effectively absolute-tight; ~``tol`` matches the
+        velocity error already admitted by the outer Schur tolerance.
 
     Returns ``solve(f, g=None, x0=None) -> (u, p, StokesInfo)``; the
     pressure has zero lumped-mass mean. No reference counterpart (the
@@ -1128,10 +1134,12 @@ def compiled_stokes_solver(
             outer_cap=outer_cap,
         )
         p = project_mean(p_flat[:, None])
-        # velocity recovery at full inner_tol, warm-started from the f-solve
+        # velocity recovery warm-started from the f-solve
         # (r0 = -B^T p, typically far smaller than ||f - B^T p||)
         u_red, info_u = solve_a_reduced(
-            bsr_reduce(st_d, f - apply_bt(p)), u_f_red, inner_tol
+            bsr_reduce(st_d, f - apply_bt(p)),
+            u_f_red,
+            recovery_tol if recovery_tol is not None else inner_tol,
         )
         u = bsr_expand(st_d, u_red, n_u)
         info = StokesInfo(

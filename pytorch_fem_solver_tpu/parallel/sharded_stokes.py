@@ -77,6 +77,8 @@ def sharded_stokes_solver(
     matmul_precision: Optional[str] = "highest",
     inner_eta: float = 0.1,
     inner_tol_max: float = 1e-2,
+    f_solve_tol: Optional[float] = None,
+    recovery_tol: Optional[float] = None,
 ):
     """Build a jitted sharded ``solve(f, g=None, x0=None) -> (u, p,
     StokesInfo)`` for the Stokes saddle system.
@@ -231,8 +233,10 @@ def sharded_stokes_solver(
             )
 
         zeros_local = jnp.zeros((lrows,), dtype=dtype)
-        u_f_local, info_f = solve_a_local(reduce_rows(f), zeros_local,
-                                          inner_tol)
+        u_f_local, info_f = solve_a_local(
+            reduce_rows(f), zeros_local,
+            f_solve_tol if f_solve_tol is not None else inner_tol,
+        )
         rhs_p = project_mean(apply_b(expand(u_f_local)) - g)
 
         # shared flexible-CG Schur outer loop (ops/saddle.py): only the
@@ -253,9 +257,11 @@ def sharded_stokes_solver(
             outer_cap=outer_cap,
         )
         p_out = project_mean(p_flat)
-        # velocity recovery at full inner_tol, warm-started from the f-solve
+        # velocity recovery warm-started from the f-solve
         u_local, info_u = solve_a_local(
-            reduce_rows(f) - apply_bt_local(p_out), u_f_local, inner_tol
+            reduce_rows(f) - apply_bt_local(p_out),
+            u_f_local,
+            recovery_tol if recovery_tol is not None else inner_tol,
         )
         u_full = expand(u_local)
         inner_total = info_f.iterations + inner_schur + info_u.iterations

@@ -98,13 +98,14 @@ def epoch_times(h: float):
             -1, keepdims=True
         )
 
-    def training_step(net):
+    def training_step(net, x_prev=None):
         r = V.reduce(V.integrate_linear_form(residual, net))
-        weak = (r.T @ gram_solve(r))[0, 0]
+        x = gram_solve(r) if x_prev is None else gram_solve(r, x_prev)
+        weak = (r.T @ x)[0, 0]
         bc = jnp.mean(net(boundary_nodes) ** 2)
         loss = weak + 50.0 * bc
         h1 = jnp.sqrt(V.integrate_functional(h1_error_vs_fem, net).sum())
-        return loss, jnp.sqrt(weak) / fem_norm, h1 / fem_norm
+        return loss, (jnp.sqrt(weak) / fem_norm, h1 / fem_norm, x)
 
     tx = optax.adam(1e-3)
     opt0 = tx.init(nn)
@@ -112,11 +113,24 @@ def epoch_times(h: float):
     @jax.jit
     def step(net, opt):
         (loss, aux), grads = jax.value_and_grad(
-            lambda m: (lambda l, v, a: (l, (v, a)))(*training_step(m)),
-            has_aux=True,
+            training_step, has_aux=True
         )(net)
         updates, opt = tx.update(grads, opt)
-        return optax.apply_updates(net, updates), opt, loss, *aux
+        return optax.apply_updates(net, updates), opt, loss, aux[0], aux[1]
+
+    # warm variant: the previous epoch's Gram solution seeds the inner PCG
+    # (gradient-free via stop_gradient inside gram_solve) — the round-5
+    # VERDICT item-3 A/B against the cold-started step above
+    @jax.jit
+    def step_warm(net, opt, x_prev):
+        (loss, aux), grads = jax.value_and_grad(
+            training_step, has_aux=True
+        )(net, x_prev)
+        updates, opt = tx.update(grads, opt)
+        return (
+            optax.apply_updates(net, updates), opt, loss, aux[0], aux[1],
+            aux[2],
+        )
 
     WD.arm(600, f"eager warmup h={h}")
     net, opt, loss, rel, acc = step(nn, opt0)
@@ -145,10 +159,56 @@ def epoch_times(h: float):
     t0 = time.perf_counter()
     _, losses = block(nn, opt0)
     losses = np.asarray(losses)
-    WD.disarm()
     dt_scan = (time.perf_counter() - t0) / EPOCHS
     log(f"  scanned: {dt_scan*1e3:.2f} ms/epoch  loss {losses[-1]:.4e}")
     assert np.isfinite(losses).all()
+
+    dt_eager_warm = dt_scan_warm = None
+    loss_warm = None
+    if gram == "pcg":
+        x_init = jnp.zeros_like(
+            V.reduce(V.integrate_linear_form(residual, nn))
+        )
+
+        WD.arm(600, f"eager warm warmup h={h}")
+        net, opt, loss, rel, acc, x = step_warm(nn, opt0, x_init)
+        _ = float(loss)
+        WD.arm(120 * EPOCHS, f"eager warm epochs h={h}")
+        t0 = time.perf_counter()
+        net, opt, x = nn, opt0, x_init
+        for _ in range(EPOCHS):
+            net, opt, loss, rel, acc, x = step_warm(net, opt, x)
+        final_warm = float(loss)
+        dt_eager_warm = (time.perf_counter() - t0) / EPOCHS
+        log(f"  eager warm: {dt_eager_warm*1e3:.2f} ms/epoch  "
+            f"loss {final_warm:.4e}")
+
+        def body_warm(carry, _):
+            net, opt, x = carry
+            net, opt, loss, rel, acc, x = step_warm(net, opt, x)
+            return (net, opt, x), loss
+
+        @jax.jit
+        def block_warm(net, opt):
+            return jax.lax.scan(
+                body_warm, (net, opt, x_init), None, length=EPOCHS
+            )
+
+        WD.arm(600, f"scan warm warmup h={h}")
+        _, losses_w = block_warm(nn, opt0)
+        _ = np.asarray(losses_w)
+        WD.arm(120 * EPOCHS, f"scan warm epochs h={h}")
+        t0 = time.perf_counter()
+        _, losses_w = block_warm(nn, opt0)
+        losses_w = np.asarray(losses_w)
+        dt_scan_warm = (time.perf_counter() - t0) / EPOCHS
+        loss_warm = float(losses_w[-1])
+        log(f"  scanned warm: {dt_scan_warm*1e3:.2f} ms/epoch  "
+            f"loss {loss_warm:.4e}  "
+            f"dloss {abs(loss_warm - losses[-1]):.2e}")
+        assert np.isfinite(losses_w).all()
+
+    WD.disarm()
     return {
         "h": h,
         "cells": int(mesh.n_cells),
@@ -156,7 +216,10 @@ def epoch_times(h: float):
         "epochs": EPOCHS,
         "s_per_epoch_eager": dt_eager,
         "s_per_epoch_scanned": dt_scan,
+        "s_per_epoch_eager_warm": dt_eager_warm,
+        "s_per_epoch_scanned_warm": dt_scan_warm,
         "final_loss": float(losses[-1]),
+        "final_loss_warm": loss_warm,
     }
 
 

@@ -1,22 +1,32 @@
-"""On-chip Stokes cost breakdown + config A/B (round-5 VERDICT item 2).
+"""On-chip Stokes cost breakdown + tolerance-architecture A/B (round-5
+VERDICT item 2: cut the 107k-velocity-DOF Stokes solve from 1.47 s to
+<0.5 s).
 
-Measures, on the real TPU, where the compiled Schur-CG Stokes solve spends
-its inner-PCG iterations (initial f-solve + Schur applications + velocity
-recovery — the new ``StokesInfo.inner_total``) and A/Bs the candidate
-economies against the round-4 default (1.47 s at 107k velocity DOFs):
+Round-5 first pass measured where the compiled Schur-CG solve spends its
+inner-PCG iterations (``StokesInfo.inner_total``): 1558 iterations at
+~0.94 ms each — ~120 in the initial f-solve at inner_tol=1e-6, ~1230 in
+18 Schur applies (the van den Eshof relaxation starts at eta*tol=1e-6 and
+only reaches the 1e-2 cap late), and 209 in the velocity recovery whose
+1e-6 tolerance is relative to ||f - B^T p|| (absolute-tight on
+pressure-dominated problems). MINRES on the full saddle system was already
+measured dead in round 4 (3.685 s honest, docs/performance.md) — the
+attack here is making the schur route's inner solves earn their
+tolerances:
 
-  base     round-4 default: tol 1e-5, inner_tol 1e-6, eta 0.1, max 1e-2
-  frelax   f_solve_tol=tol — the initial f-solve only feeds the Schur rhs
-  eta      inner_eta=1.0 — looser relaxed inner tolerances throughout
-  cap      inner_maxiter small (EXP_CAP, default 60) — hard-capped inner
-           solves; the flexible outer CG absorbs the inexactness
-  all      frelax + eta + cap combined
+  base       round-4 default: tol 1e-5, inner_tol 1e-6, eta 0.1, max 1e-2
+  rec        + f_solve_tol=1e-5, recovery_tol=1e-5 (the two one-shot
+             solves only need ~tol accuracy)
+  floor4     rec + inner_tol=1e-4 (raise the Schur-apply floor)
+  floor3     rec + inner_tol=1e-3
+  floor3max1 floor3 + inner_tol_max=1e-1 (let late applies go very loose)
 
-Each variant reports wall time, outer iterations, total inner iterations,
-and solution error vs the tightest run (base at tol 1e-6 / inner 1e-8).
+Solution quality is judged against the x64 CPU solve of the SAME discrete
+system (tol 1e-9), computed once in a subprocess (f64 does not compile on
+TPU) and cached in /tmp. A candidate passes if its velocity/pressure error
+vs that truth stays within ~1.5x of base's.
 
-Usage: python tools/exp_stokes_breakdown.py [base frelax eta cap all]
-Knobs: EXP_N_STOKES (115), EXP_REPEATS (3), EXP_CAP (60).
+Usage: python tools/exp_stokes_breakdown.py [base rec floor4 floor3 floor3max1]
+Knobs: EXP_N_STOKES (115), EXP_REPEATS (3).
 """
 
 from __future__ import annotations
@@ -24,18 +34,18 @@ from __future__ import annotations
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from pytorch_fem_solver_tpu.utils.watchdog import Watchdog, probe_device
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 N_S = int(os.environ.get("EXP_N_STOKES", "115"))
 REPEATS = int(os.environ.get("EXP_REPEATS", "3"))
-CAP = int(os.environ.get("EXP_CAP", "60"))
+TRUTH_NPZ = f"/tmp/stokes_truth_{N_S}.npz"
 PI = math.pi
 
 
@@ -43,22 +53,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    which = sys.argv[1:] or ["base", "frelax", "eta", "cap", "all"]
-    wd = Watchdog(metric="stokes_breakdown")
-    rtt = probe_device(wd, 240.0)
-    log(f"tunnel probe: {rtt:.1f}s")
-
+def build_problem(fem, jnp):
     mesh = fem.MeshTri(fem.rectangle(N_S, N_S))
     Vu = fem.VectorBasis(mesh, fem.ElementTri(2, 4))
     Vp = fem.Basis(mesh, fem.ElementTri(1, 4))
-    log(f"mesh: {mesh.n_cells} cells, {Vu.n_dofs}u + {Vp.n_dofs}p dofs")
 
-    def visc(b):
+    def a_form(b):
         gr = b.v_grad
         return jnp.einsum("...icd,...jcd->...ij", gr, gr)
 
-    def div_form(test_p, trial_u):
+    def b_form(test_p, trial_u):
         div = jnp.trace(trial_u.v_grad, axis1=-2, axis2=-1)
         return -(test_p.v[..., 0][..., :, None] * div[..., None, :])
 
@@ -67,38 +71,80 @@ def main():
         f = jnp.stack([jnp.sin(PI * pts[..., 0]), pts[..., 1] ** 2], axis=-1)
         return (b.v * f[..., None, :]).sum(-1, keepdims=True)
 
-    f_vec = Vu.integrate_linear_form(load)
+    return mesh, Vu, Vp, a_form, b_form, Vu.integrate_linear_form(load)
 
-    configs = {
-        "base": dict(tol=1e-5, inner_tol=1e-6, inner_maxiter=400),
-        "frelax": dict(tol=1e-5, inner_tol=1e-6, inner_maxiter=400,
-                       f_solve_tol=1e-5),
-        "eta": dict(tol=1e-5, inner_tol=1e-6, inner_maxiter=400,
-                    inner_eta=1.0),
-        "cap": dict(tol=1e-5, inner_tol=1e-6, inner_maxiter=CAP),
-        "all": dict(tol=1e-5, inner_tol=1e-6, inner_maxiter=CAP,
-                    f_solve_tol=1e-5, inner_eta=1.0),
-    }
 
-    # truth: the tightest configuration (slow; one run)
-    wd.arm(1200.0, "truth solve (compile + run)")
-    # f32 on chip floors around ~1e-7 relative; 1e-6/1e-7 is as "true" as
-    # the chip gets without burning maxiter at the float floor
-    solve_t = compiled_stokes_solver(
-        Vu, Vp, visc, div_form, tol=1e-6, inner_tol=1e-7, inner_maxiter=600
+def truth_main():
+    """x64 CPU solve of the same discrete saddle system, cached to npz."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    import pytorch_fem_solver_tpu as fem
+    from pytorch_fem_solver_tpu.ops import compiled_stokes_solver
+
+    mesh, Vu, Vp, a_form, b_form, f = build_problem(fem, jnp)
+    log(f"truth: {Vu.n_dofs}u + {Vp.n_dofs}p dofs (x64 cpu)")
+    t0 = time.perf_counter()
+    solve = compiled_stokes_solver(
+        Vu, Vp, a_form, b_form, tol=1e-9, inner_tol=1e-11,
+        f_solve_tol=1e-10, recovery_tol=1e-10,
     )
-    u_t, p_t, info_t = solve_t(f_vec)
-    u_t, p_t = np.asarray(u_t), np.asarray(p_t)
-    u_scale = float(np.abs(u_t).max())
-    p_scale = float(np.abs(p_t).max())
-    log(f"truth: outer={int(info_t.outer_iterations)} "
-        f"inner_total={int(info_t.inner_total)}")
-    wd.disarm()
+    u, p, info = solve(f)
+    u, p = np.asarray(u), np.asarray(p)
+    log(f"truth: outer={int(info.outer_iterations)} "
+        f"inner_total={int(info.inner_total)} "
+        f"converged={bool(info.converged)} "
+        f"({time.perf_counter() - t0:.0f}s)")
+    np.savez(TRUTH_NPZ, u=u, p=p)
+
+
+def main():
+    which = sys.argv[1:] or ["base", "rec", "floor4", "floor3", "floor3max1"]
+
+    if not os.path.exists(TRUTH_NPZ):
+        log("computing x64 CPU truth in subprocess...")
+        env = dict(os.environ, STOKES_TRUTH="1")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, check=True
+        )
+    tr = np.load(TRUTH_NPZ)
+    u_t, p_t = tr["u"], tr["p"]
+    u_scale = float(np.linalg.norm(u_t))
+    p_scale = float(np.linalg.norm(p_t))
+
+    import jax.numpy as jnp  # noqa: F401
+
+    import pytorch_fem_solver_tpu as fem
+    from pytorch_fem_solver_tpu.ops import compiled_stokes_solver
+    from pytorch_fem_solver_tpu.utils.watchdog import Watchdog, probe_device
+
+    wd = Watchdog(metric="stokes_breakdown")
+    rtt = probe_device(wd, 240.0)
+    log(f"tunnel probe: {rtt:.1f}s")
+
+    mesh, Vu, Vp, a_form, b_form, f_vec = build_problem(fem, jnp)
+    log(f"mesh: {mesh.n_cells} cells, {Vu.n_dofs}u + {Vp.n_dofs}p dofs")
+
+    rec = dict(f_solve_tol=1e-5, recovery_tol=1e-5)
+    configs = {
+        "base": dict(tol=1e-5, inner_tol=1e-6),
+        "rec": dict(tol=1e-5, inner_tol=1e-6, **rec),
+        "floor4": dict(tol=1e-5, inner_tol=1e-4, **rec),
+        "floor3": dict(tol=1e-5, inner_tol=1e-3, **rec),
+        "floor3max1": dict(
+            tol=1e-5, inner_tol=1e-3, inner_tol_max=1e-1, **rec
+        ),
+    }
 
     results = {}
     for name in which:
         kw = configs[name]
-        solve = compiled_stokes_solver(Vu, Vp, visc, div_form, **kw)
+        solve = compiled_stokes_solver(
+            Vu, Vp, a_form, b_form, inner_maxiter=400, **kw
+        )
         wd.arm(900.0, f"{name} warmup")
         t0 = time.perf_counter()
         u, p, sinfo = solve(f_vec)
@@ -119,8 +165,12 @@ def main():
             "inner_total": int(sinfo.inner_total),
             "inner_recovery": int(sinfo.inner_info.iterations),
             "s_per_inner": med / max(int(sinfo.inner_total), 1),
-            "du_rel": float(np.abs(np.asarray(u) - u_t).max() / u_scale),
-            "dp_rel": float(np.abs(np.asarray(p) - p_t).max() / p_scale),
+            "du_rel_l2": float(
+                np.linalg.norm(np.asarray(u)[:, 0] - u_t[:, 0]) / u_scale
+            ),
+            "dp_rel_l2": float(
+                np.linalg.norm(np.asarray(p)[:, 0] - p_t[:, 0]) / p_scale
+            ),
             "converged": bool(sinfo.converged),
         }
         log(f"{name}: {json.dumps(entry)}")
@@ -130,9 +180,7 @@ def main():
 
 
 if __name__ == "__main__":
-    import jax.numpy as jnp  # noqa: E402
-
-    import pytorch_fem_solver_tpu as fem
-    from pytorch_fem_solver_tpu.ops import compiled_stokes_solver
-
-    main()
+    if os.environ.get("STOKES_TRUTH"):
+        truth_main()
+    else:
+        main()
