@@ -465,6 +465,45 @@ def bsr_matvec(structure: BSRStructure, values, x):
     return y.reshape(-1)
 
 
+def bsr_matvec_cols(structure: BSRStructure, values, X):
+    """Y = A @ X for a MULTI-COLUMN operand X (n_pad, m).
+
+    The economics that make this worth a dedicated op (vs m scalar
+    matvecs): gathers are charged per row descriptor, not per float
+    (module docstring), so gathering (k, m)-shaped x-rows serves all m
+    columns for the SAME descriptor count as one column. The hot use is
+    the component-decoupled Stokes A block, where the vector Laplacian is
+    the scalar operator applied to n_components simultaneous right-hand
+    sides — halving both the streamed operator values (the interleaved
+    vector BSR stores every block twice with zero cross-component entries)
+    and the per-component gather cost.
+    """
+    v1, v2 = values
+    m = X.shape[-1]
+    x2 = X.reshape(structure.nb, structure.block, m)
+    xg = x2 if v1.dtype == x2.dtype else x2.astype(v1.dtype)
+    y = jnp.einsum(
+        "rij,rjm->rim", v1[:, 0], xg, preferred_element_type=X.dtype
+    )
+    y = y + jnp.einsum(
+        "rbij,rbjm->rim",
+        v1[:, 1:],
+        xg[structure.bcols[:, 1:]],
+        preferred_element_type=X.dtype,
+    )
+    if structure.heavy_rows.shape[0]:
+        y2 = jnp.einsum(
+            "rbij,rbjm->rim",
+            v2,
+            xg[structure.bcols2],
+            preferred_element_type=X.dtype,
+        )
+        y = y.at[structure.heavy_rows].add(
+            y2, indices_are_sorted=True, unique_indices=True
+        )
+    return y.reshape(-1, m)
+
+
 def bsr_diagonal(structure: BSRStructure, values):
     """Operator diagonal (own block is always at b=0); padded rows -> 0."""
     return jnp.diagonal(values[0][:, 0], axis1=-2, axis2=-1).reshape(-1)
@@ -475,6 +514,20 @@ def bsr_reduce(structure: BSRStructure, b):
     b = b.reshape(-1)
     red = b[jnp.asarray(structure.inner_perm)]
     return jnp.pad(red, (0, structure.n_pad - structure.n_inner))
+
+
+def bsr_reduce_cols(structure: BSRStructure, B):
+    """Multi-column twin of :func:`bsr_reduce`: (n_dofs, m) -> (n_pad, m)."""
+    red = B[jnp.asarray(structure.inner_perm)]
+    return jnp.pad(red, ((0, structure.n_pad - structure.n_inner), (0, 0)))
+
+
+def bsr_expand_cols(structure: BSRStructure, X, n_dofs: int):
+    """Multi-column twin of :func:`bsr_expand`: (n_pad, m) -> (n_dofs, m)."""
+    full = jnp.zeros((n_dofs, X.shape[-1]), dtype=X.dtype)
+    return full.at[jnp.asarray(structure.inner_perm)].set(
+        X[: structure.n_inner]
+    )
 
 
 def inverse_inner_perm(

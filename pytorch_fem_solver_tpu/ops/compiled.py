@@ -836,6 +836,7 @@ def compiled_stokes_solver(
     inner_tol_max: float = 1e-2,
     f_solve_tol: Optional[float] = None,
     recovery_tol: Optional[float] = None,
+    a_scalar_form: Optional[Callable] = None,
 ):
     """One-jit Stokes solve: the compiled counterpart of
     :func:`ops.saddle.stokes_solver` (same math, same contracts).
@@ -893,6 +894,22 @@ def compiled_stokes_solver(
         pressure-dominated problems that norm is far below ``||f||``, so
         the default is effectively absolute-tight; ~``tol`` matches the
         velocity error already admitted by the outer Schur tolerance.
+      a_scalar_form: declares the viscous block COMPONENT-DECOUPLED: the
+        scalar bilinear form whose operator, applied per velocity
+        component, equals ``a_form`` (true for the full-gradient
+        contraction ``einsum('...icd,...jcd->...ij', grad, grad)`` with
+        scalar twin ``v_grad @ v_grad^T``; NOT true for symmetric-gradient
+        /strain forms, which couple components). When given (schur method
+        only), every inner A-solve runs on the SCALAR operator with the
+        ``n_components`` component vectors as simultaneous right-hand
+        sides (``ops.bsr.bsr_matvec_cols`` + ``ops.solvers.pcg_cols``):
+        half the streamed operator values (the interleaved vector BSR
+        stores zero cross-component entries), per-component gather cost
+        cut ``n_components``-fold (descriptor-charged row gathers carry
+        all components), and the scalar aggregate-block two-level
+        preconditioner (measurably stronger than the vector RBM path on
+        decoupled blocks). The caller owns the decoupling claim — it is
+        not checked against ``a_form`` (which is then unused).
 
     Returns ``solve(f, g=None, x0=None) -> (u, p, StokesInfo)``; the
     pressure has zero lumped-mass mean. No reference counterpart (the
@@ -918,14 +935,36 @@ def compiled_stokes_solver(
     from .saddle import StokesInfo, schur_flexible_cg
     from .solvers import minres, pcg
 
-    if precondition not in ("auto", "jacobi"):
+    if precondition not in ("auto", "jacobi", "agg_rbm"):
         raise ValueError(
             f"unknown precondition: {precondition!r} "
-            "(expected 'auto' or 'jacobi')"
+            "(expected 'auto', 'agg_rbm' or 'jacobi')"
         )
     if method not in ("minres", "schur"):
         raise ValueError(
             f"unknown method: {method!r} (expected 'minres' or 'schur')"
+        )
+    if a_scalar_form is not None:
+        if method != "schur":
+            raise ValueError("a_scalar_form requires method='schur'")
+        return _compiled_stokes_scalar_a(
+            velocity_basis,
+            pressure_basis,
+            a_scalar_form,
+            b_form,
+            tol=tol,
+            maxiter=maxiter,
+            inner_tol=inner_tol,
+            inner_maxiter=inner_maxiter,
+            precondition=precondition,
+            mass_form=mass_form,
+            max_b=max_b,
+            operand_dtype=operand_dtype,
+            matmul_precision=matmul_precision,
+            inner_eta=inner_eta,
+            inner_tol_max=inner_tol_max,
+            f_solve_tol=f_solve_tol,
+            recovery_tol=recovery_tol,
         )
     Vu, Vp = velocity_basis, pressure_basis
     if mass_form is None:
@@ -939,9 +978,16 @@ def compiled_stokes_solver(
     ast = None
     agg_table = None
     g_agg = gs = None
-    if precondition == "auto":
+    if precondition in ("auto", "agg_rbm"):
         if is_vector:
             ast = get_affine_two_level_structure(Vu, st, rbm=True)
+            if precondition == "agg_rbm":
+                # RBM coarse space + aggregate-block smoother: the 8x8
+                # block-Jacobi fine smoother converges at only ~0.89/iter
+                # on the P2 vector Laplacian (ops/precondition.py,
+                # affine_two_level_from_values docstring)
+                gs = min(default_aggregate_size(st), 128)
+                agg_table = jnp.asarray(build_agg_block_table(st, gs))
         else:
             g_agg = default_aggregate_size(st)
             gs = min(g_agg, 128)
@@ -987,7 +1033,7 @@ def compiled_stokes_solver(
         values = bsr_values_from_local_symmetric(st_d, local_a)
         diag = bsr_diagonal(st_d, values)
         precond = None
-        if precondition == "auto":
+        if precondition in ("auto", "agg_rbm"):
             if is_vector:
                 precond = affine_two_level_from_values(
                     ast._replace(
@@ -998,6 +1044,13 @@ def compiled_stokes_solver(
                     values,
                     diag,
                     operand_dtype=operand_dtype,
+                    fine=(
+                        "agg_block"
+                        if precondition == "agg_rbm"
+                        else "block_jacobi"
+                    ),
+                    gs=gs,
+                    agg_table=agg_tbl,
                 )
             else:
                 precond = agg_block_two_level_from_values(
@@ -1166,6 +1219,239 @@ def compiled_stokes_solver(
                 ast_d,
                 local_b_d,
                 mp_d,
+                f,
+                zero_g if g is None else g,
+                zero_x0 if x0 is None else x0[:, 0],
+            )
+
+    return solve
+
+
+def _compiled_stokes_scalar_a(
+    Vu,
+    Vp,
+    a_scalar_form: Callable,
+    b_form: Callable,
+    *,
+    tol: float,
+    maxiter: Optional[int],
+    inner_tol: float,
+    inner_maxiter: Optional[int],
+    precondition: str,
+    mass_form: Optional[Callable],
+    max_b: Optional[int],
+    operand_dtype,
+    matmul_precision: Optional[str],
+    inner_eta: float,
+    inner_tol_max: float,
+    f_solve_tol: Optional[float],
+    recovery_tol: Optional[float],
+):
+    """Component-decoupled Stokes schur solve (``a_scalar_form`` path).
+
+    The A block is ``blkdiag(A_s, ..., A_s)`` with A_s the scalar operator
+    of ``a_scalar_form`` on the companion scalar basis; every inner solve
+    runs ``pcg_cols`` on A_s with the ``nc`` component columns as
+    simultaneous right-hand sides. Interleaved vector DOF layout
+    ((node i, comp c) -> i*nc + c, ``basis.VectorBasis``) makes the
+    vector<->columns mapping a reshape. See ``compiled_stokes_solver``'s
+    ``a_scalar_form`` docs for the measured economics.
+    """
+    from ..basis.basis import Basis
+    from .bsr import (
+        bsr_diagonal,
+        bsr_expand_cols,
+        bsr_matvec_cols,
+        bsr_reduce_cols,
+        bsr_values_from_local_symmetric,
+        default_max_b,
+        get_bsr_structure,
+    )
+    from .precondition import (
+        agg_block_two_level_from_values,
+        build_agg_block_table,
+        default_aggregate_size,
+    )
+    from .saddle import StokesInfo, schur_flexible_cg
+    from .solvers import pcg_cols
+
+    nc = int(getattr(Vu, "n_components", 1))
+    if nc < 2:
+        raise ValueError("a_scalar_form requires a vector velocity basis")
+    if getattr(Vu, "_dirichlet_components", None) is not None:
+        raise ValueError(
+            "a_scalar_form requires all components Dirichlet-clamped "
+            "together (dirichlet_components=None): per-component "
+            "constraints break the shared scalar reduction"
+        )
+    if mass_form is None:
+        mass_form = lambda b_: b_.v @ jnp.matrix_transpose(b_.v)
+
+    Vs = Basis(Vu.mesh, Vu._element)
+    n_s, n_u, n_p = int(Vs.n_dofs), int(Vu.n_dofs), int(Vp.n_dofs)
+    if n_s * nc != n_u:
+        raise ValueError(
+            f"scalar companion basis has {n_s} DOFs but the vector basis "
+            f"has {n_u} != {nc} * {n_s} — non-interleaved layout?"
+        )
+    if max_b is None:
+        max_b = default_max_b(Vs)
+    st = get_bsr_structure(Vs, max_b=max_b, want_entry_slot=False)
+
+    g_agg = gs = None
+    agg_table = None
+    if precondition != "jacobi":
+        g_agg = default_aggregate_size(st)
+        gs = min(g_agg, 128)
+        agg_table = jnp.asarray(build_agg_block_table(st, gs))
+
+    big_tables = {
+        "bcols": st.bcols,
+        "entry_slot": st.entry_slot[:0],
+        "entry_slot_sym": st.entry_slot_sym,
+        "bcols2": st.bcols2,
+        "heavy_rows": st.heavy_rows,
+        "tpartner": st.tpartner,
+    }
+    local_b_host = Vp.integrate_mixed_bilinear_form_local(Vu, b_form)
+    mp_lumped_host = Vp._assemble_linear_from_local(
+        Vp.integrate_bilinear_form_local(mass_form).sum(-1, keepdims=True)
+    )
+    device = jax.devices()[0]
+    # the vector DOF table rides as a jit ARGUMENT (like the BSR tables):
+    # as a closure constant it would re-upload with the program and push
+    # the axon remote-compile payload toward the HTTP-413 wall at scale
+    (Vs_d, Vp_d, tables_d, agg_table_d, local_b_d, mp_d, u_dofs_d) = (
+        jax.device_put(
+            (
+                Vs,
+                Vp,
+                big_tables,
+                agg_table,
+                local_b_host,
+                mp_lumped_host,
+                np.asarray(Vu._global_dofs4elements),
+            ),
+            device,
+        )
+    )
+
+    @jax.jit
+    def _run(Vsb, Vpb, tables, agg_tbl, local_b, mp_lumped, u_dofs_t,
+             f, g, x0):
+        st_d = st._replace(**tables)
+        local_a = Vsb.integrate_bilinear_form_local(a_scalar_form)
+        values = bsr_values_from_local_symmetric(st_d, local_a)
+        diag = bsr_diagonal(st_d, values)
+        if precondition != "jacobi":
+            precond1 = agg_block_two_level_from_values(
+                st_d, values, diag, g=g_agg, gs=gs, table=agg_tbl,
+                operand_dtype=operand_dtype,
+            )
+            precond_cols = jax.vmap(precond1, in_axes=1, out_axes=1)
+        else:
+            safe = jnp.where(diag != 0, diag, 1.0)
+            inv_diag = 1.0 / safe
+            precond_cols = lambda R: inv_diag[:, None] * R
+
+        local_bt = jnp.matrix_transpose(local_b)
+        mp_total = mp_lumped.sum()
+        inv_lump = 1.0 / mp_lumped[:, 0]
+
+        def apply_b(u_vec):
+            u_cells = u_vec[..., 0][u_dofs_t][..., None]
+            return Vpb._assemble_linear_from_local(local_b @ u_cells)
+
+        def apply_bt(p_vec):
+            p_cells = p_vec[..., 0][Vpb._global_dofs4elements][..., None]
+            # scatter into the full vector layout via the pressure basis's
+            # mixed element blocks (columns indexed by vector DOFs)
+            out = jnp.zeros((n_u,), dtype=p_vec.dtype)
+            return out.at[u_dofs_t.reshape(-1)].add(
+                (local_bt @ p_cells)[..., 0].reshape(-1)
+            )[:, None]
+
+        def project_mean(p_vec):
+            mean = (mp_lumped * p_vec).sum() / mp_total
+            return p_vec - mean
+
+        def reduce_cols_f(u_flat):
+            return bsr_reduce_cols(st_d, u_flat.reshape(n_s, nc))
+
+        def expand_to_vec(X):
+            return bsr_expand_cols(st_d, X, n_s).reshape(-1)
+
+        def solve_a_cols(rhs_red, x0_red, tol_inner):
+            return pcg_cols(
+                lambda X: bsr_matvec_cols(st_d, values, X),
+                rhs_red,
+                x0=x0_red,
+                precond=precond_cols,
+                tol=tol_inner,
+                maxiter=inner_maxiter,
+            )
+
+        zeros_red = jnp.zeros((st.n_pad, nc), dtype=f.dtype)
+        u_f_red, info_f = solve_a_cols(
+            reduce_cols_f(f[:, 0]),
+            zeros_red,
+            f_solve_tol if f_solve_tol is not None else inner_tol,
+        )
+        rhs_p = project_mean(apply_b(expand_to_vec(u_f_red)[:, None]) - g)
+
+        precond_p = lambda r: project_mean((inv_lump * r)[:, None])[:, 0]
+        outer_cap = maxiter if maxiter is not None else 10 * n_p
+        p_flat, res_fin, k_out, atol, inner_schur = schur_flexible_cg(
+            rhs_p[:, 0],
+            x0,
+            apply_bt_w=lambda d: reduce_cols_f(apply_bt(d[:, None])[:, 0]),
+            solve_a=solve_a_cols,
+            schur_out=lambda y: project_mean(
+                apply_b(expand_to_vec(y)[:, None])
+            )[:, 0],
+            precond_p=precond_p,
+            dot_w=lambda a, b: jnp.sum(a * b),
+            zeros_red=zeros_red,
+            tol=tol,
+            inner_tol=inner_tol,
+            inner_eta=inner_eta,
+            inner_tol_max=inner_tol_max,
+            outer_cap=outer_cap,
+        )
+        p = project_mean(p_flat[:, None])
+        u_red, info_u = solve_a_cols(
+            reduce_cols_f((f - apply_bt(p))[:, 0]),
+            u_f_red,
+            recovery_tol if recovery_tol is not None else inner_tol,
+        )
+        u = expand_to_vec(u_red)[:, None]
+        # per-column recovery info -> scalar summaries for the shared
+        # StokesInfo contract
+        info = StokesInfo(
+            outer_iterations=k_out,
+            schur_residual=res_fin,
+            converged=res_fin <= atol,
+            inner_info=info_u._replace(
+                residual_norm=jnp.max(info_u.residual_norm)
+            ),
+            inner_total=info_f.iterations + inner_schur + info_u.iterations,
+        )
+        return u, p, info
+
+    f_dtype = Vu._coords4global_dofs.dtype
+    zero_g = jnp.zeros((n_p, 1), dtype=f_dtype)
+    zero_x0 = jnp.zeros((n_p,), dtype=f_dtype)
+
+    def solve(f, g=None, x0=None):
+        with _mm_precision(matmul_precision):
+            return _run(
+                Vs_d,
+                Vp_d,
+                tables_d,
+                agg_table_d,
+                local_b_d,
+                mp_d,
+                u_dofs_d,
                 f,
                 zero_g if g is None else g,
                 zero_x0 if x0 is None else x0[:, 0],

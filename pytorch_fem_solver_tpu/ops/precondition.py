@@ -437,6 +437,20 @@ def agg_block_two_level_from_values(
     # holds bpa^2 = (gs/8)^2 blocks per aggregate, so gs=256 would gather
     # ~1G floats of in-aggregate blocks at the ~1M-DOF scale
     gs = min(g, 128) if gs is None else gs
+    inv_agg = aggregate_block_inverses(
+        structure, values, gs, table=table, operand_dtype=operand_dtype
+    )
+    return AggBlockTwoLevel(
+        inv_agg=inv_agg, coarse_inv=base.coarse_inv, g=g, gs=gs
+    )
+
+
+def aggregate_block_inverses(
+    structure, values, gs: int, table=None, operand_dtype=None
+):
+    """(ns, gs, gs) inverses of the aggregate diagonal blocks — the
+    aggregate-block fine smoother shared by ``AggBlockTwoLevel`` and the
+    affine/RBM two-level (``fine="agg_block"``)."""
     if gs % structure.block or structure.n_pad % gs:
         raise ValueError(
             f"smoother block size {gs} must be a multiple of "
@@ -468,9 +482,7 @@ def agg_block_two_level_from_values(
     inv_agg = batched_small_inv(D)
     if operand_dtype is not None:
         inv_agg = inv_agg.astype(operand_dtype)
-    return AggBlockTwoLevel(
-        inv_agg=inv_agg, coarse_inv=base.coarse_inv, g=g, gs=gs
-    )
+    return inv_agg
 
 
 class ThreeLevelStructure(NamedTuple):
@@ -765,13 +777,21 @@ class AffineTwoLevel(NamedTuple):
     coarse_inv: jnp.ndarray  # (na*m, na*m)
     W: jnp.ndarray  # (na, g, m)
     blk_inv: jnp.ndarray | None = None
+    inv_agg: jnp.ndarray | None = None  # (ns, gs, gs) aggregate smoother
+    gs: int = 0
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         na, g, m = self.W.shape
         r_c = jnp.einsum("agm,ag->am", self.W, r.reshape(na, g)).reshape(-1)
         z_c = _mixed_matvec("ij,j->i", self.coarse_inv, r_c, r.dtype)
         z = jnp.einsum("agm,am->ag", self.W, z_c.reshape(na, m)).reshape(-1)
-        return _apply_fine(self.blk_inv, self.inv_diag, r) + z
+        if self.inv_agg is not None:
+            fine = _mixed_matvec(
+                "rij,rj->ri", self.inv_agg, r.reshape(-1, self.gs), r.dtype
+            ).reshape(-1)
+        else:
+            fine = _apply_fine(self.blk_inv, self.inv_diag, r)
+        return fine + z
 
 
 def default_affine_aggregate_size(
@@ -944,6 +964,8 @@ def affine_two_level_from_values(
     diag,
     fine: str = "block_jacobi",
     operand_dtype=None,
+    gs: int | None = None,
+    agg_table=None,
 ):
     """Jittable numeric setup of the affine-coarse two-level M.
 
@@ -952,6 +974,15 @@ def affine_two_level_from_values(
                     Wb[r]^T A[r,b] Wb[bcols[r,b]]
     — two small einsums over the streamed tier values plus one m*m-row
     segment-sum (row-descriptor-charged, ~nb*B descriptors).
+
+    ``fine="agg_block"`` swaps the 8x8 block-Jacobi fine smoother for the
+    (gs x gs) aggregate diagonal-block inverses of ``AggBlockTwoLevel`` —
+    measured on the P2 vector Laplacian (Stokes A block, 107k DOFs) the
+    8x8 smoother converges at only ~0.89/iteration where the scalar
+    aggblock path runs ~0.82; the aggregate smoother is purely algebraic,
+    so it composes with the RBM coarse space unchanged. ``gs`` defaults to
+    min(gs default, 128); ``agg_table`` may be precomputed on the host via
+    ``build_agg_block_table``.
     """
     v1, v2 = values
     block = structure.block
@@ -981,7 +1012,16 @@ def affine_two_level_from_values(
     )
 
     safe = jnp.where(diag != 0, diag, 1.0)
-    blk_inv = _fine_block_smoother(v1, block, fine, operand_dtype)
+    inv_agg = None
+    if fine == "agg_block":
+        if gs is None:
+            gs = min(default_aggregate_size(structure), 128)
+        inv_agg = aggregate_block_inverses(
+            structure, values, gs, table=agg_table, operand_dtype=operand_dtype
+        )
+        blk_inv = None
+    else:
+        blk_inv = _fine_block_smoother(v1, block, fine, operand_dtype)
     if operand_dtype is not None:
         coarse_inv = coarse_inv.astype(operand_dtype)
     return AffineTwoLevel(
@@ -989,6 +1029,8 @@ def affine_two_level_from_values(
         coarse_inv=coarse_inv,
         W=ast.W.astype(v1.dtype),
         blk_inv=blk_inv,
+        inv_agg=inv_agg,
+        gs=0 if gs is None else int(gs),
     )
 
 

@@ -103,6 +103,86 @@ def cg(matvec, b, **kwargs):
     return pcg(matvec, b, **kwargs)
 
 
+def pcg_cols(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    B: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    tol=1e-10,
+    maxiter: Optional[int] = None,
+):
+    """Block-diagonal multi-rhs PCG: m INDEPENDENT CG recurrences on the
+    SAME operator, advanced in lockstep on (n, m) column stacks.
+
+    Not block-CG (no cross-column coupling): each column keeps its own
+    alpha/beta from per-column dots. The win is per-iteration economics —
+    the operator values stream once for all m columns and the BSR gathers
+    are charged per row descriptor regardless of the (k, m) payload
+    (``ops.bsr.bsr_matvec_cols``). Converged columns are frozen (their
+    alpha/beta masked to zero) so the loop runs to the LAST column's
+    convergence without perturbing finished solutions; with the intended
+    use (the component-decoupled Stokes A block: same operator, same
+    boundary, comparable data) the per-column counts track each other
+    closely.
+
+    ``tol`` is the per-column relative residual tolerance (scalar or
+    (m,)). Returns ``(X, PCGInfo)`` with iterations = the shared loop
+    count and residual_norm/converged per column.
+    """
+    n, m = B.shape
+    if maxiter is None:
+        maxiter = max(10 * n, 100)
+    if x0 is None:
+        x0 = jnp.zeros_like(B)
+    if precond is None:
+        precond = lambda r: r
+    dot = lambda u, v: jnp.sum(u * v, axis=0)  # (m,)
+    tiny = jnp.finfo(B.dtype).tiny
+
+    b_norm2 = dot(B, B)
+    atol2 = (jnp.asarray(tol, dtype=B.dtype) ** 2) * jnp.maximum(
+        b_norm2, tiny
+    )
+
+    r0 = B - matvec(x0)
+    z0 = precond(r0)
+    rz0 = dot(r0, z0)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return jnp.logical_and(
+            k < maxiter, jnp.any(dot(r, r) > atol2)
+        )
+
+    def body(state):
+        x, r, p, rz, k = state
+        active = dot(r, r) > atol2  # (m,)
+        ap = matvec(p)
+        denom = dot(p, ap)
+        alpha = jnp.where(
+            active, rz / jnp.where(denom == 0, 1.0, denom), 0.0
+        )
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = jnp.where(
+            active, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0
+        )
+        p = jnp.where(active[None, :], z + beta[None, :] * p, p)
+        rz = jnp.where(active, rz_new, rz)
+        return (x, r, p, rz, k + 1)
+
+    x, r, _, _, k = jax.lax.while_loop(cond, body, (x0, r0, z0, rz0, 0))
+    res = jnp.sqrt(dot(r, r))
+    info = PCGInfo(
+        iterations=k,
+        residual_norm=res,
+        converged=jnp.all(res * res <= atol2),
+    )
+    return x, info
+
+
 def minres(
     matvec: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,

@@ -365,3 +365,126 @@ def test_minres_restart_zero_rejected():
     for r in (None, 2):
         x, info = minres(lambda x: 2.0 * x, b, tol=1e-12, restart=r)
         np.testing.assert_allclose(np.asarray(x), 0.5 * np.asarray(b), atol=1e-10)
+
+
+def test_compiled_stokes_scalar_a_path():
+    """The component-decoupled path (``a_scalar_form``: scalar operator,
+    component columns as simultaneous pcg_cols right-hand sides) lands on
+    the generic vector-BSR solution, both preconditioners, plus the
+    agg_rbm vector preconditioner variant — same discrete system, so
+    parity is to solver tolerance. Also pins the validation guards."""
+    from pytorch_fem_solver_tpu.ops import compiled_stokes_solver
+
+    def a_form(b):
+        g = b.v_grad
+        return jnp.einsum("...icd,...jcd->...ij", g, g)
+
+    a_scalar = lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+
+    def load(b):
+        pts = b.integration_points[..., 0, :]
+        x, y = pts[..., 0], pts[..., 1]
+        fx = math.pi * jnp.sin(math.pi * x) * jnp.cos(math.pi * y)
+        fy = -math.pi * jnp.cos(math.pi * x) * jnp.sin(math.pi * y) + y**2
+        return (b.v * jnp.stack([fx, fy], axis=-1)[..., None, :]).sum(
+            -1, keepdims=True
+        )
+
+    mesh = fem.MeshTri(fem.unit_square(n=8))
+    Vu = fem.VectorBasis(mesh, fem.ElementTri(2, 4))
+    Vp = fem.Basis(mesh, fem.ElementTri(1, 4))
+    f = Vu.integrate_linear_form(load)
+
+    u_ref, p_ref, info_ref = compiled_stokes_solver(
+        Vu, Vp, a_form, div_form, tol=1e-9, inner_tol=1e-11
+    )(f)
+    assert bool(info_ref.converged)
+
+    for kw in (
+        dict(a_scalar_form=a_scalar),
+        dict(a_scalar_form=a_scalar, precondition="jacobi"),
+        dict(precondition="agg_rbm"),
+    ):
+        u, p, info = compiled_stokes_solver(
+            Vu, Vp, a_form, div_form, tol=1e-9, inner_tol=1e-11, **kw
+        )(f)
+        assert bool(info.converged), kw
+        np.testing.assert_allclose(
+            np.asarray(u), np.asarray(u_ref), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(p_ref), atol=1e-6
+        )
+
+    with pytest.raises(ValueError, match="schur"):
+        compiled_stokes_solver(
+            Vu, Vp, a_form, div_form, method="minres",
+            a_scalar_form=a_scalar,
+        )
+    Vu_rx = fem.VectorBasis(
+        mesh, fem.ElementTri(2, 4), dirichlet_components=(0,)
+    )
+    with pytest.raises(ValueError, match="components"):
+        compiled_stokes_solver(
+            Vu_rx, Vp, a_form, div_form, a_scalar_form=a_scalar
+        )
+
+
+def test_pcg_cols_matches_per_column_pcg():
+    """pcg_cols = m independent CG recurrences in lockstep: each column
+    must land on the single-rhs pcg solution, with converged columns
+    frozen (a widely-scaled rhs forces different per-column counts)."""
+    from pytorch_fem_solver_tpu.ops.bsr import (
+        bsr_matvec,
+        bsr_matvec_cols,
+        bsr_reduce,
+        bsr_reduce_cols,
+        bsr_values_from_local_symmetric,
+        get_bsr_structure,
+    )
+    from pytorch_fem_solver_tpu.ops.solvers import pcg, pcg_cols
+
+    mesh = fem.MeshTri(fem.unit_square(n=10))
+    V = fem.Basis(mesh, fem.ElementTri(1, 3))
+    st = get_bsr_structure(V, max_b=8)
+    local = V.integrate_bilinear_form_local(
+        lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+    )
+    values = bsr_values_from_local_symmetric(st, local)
+    b1 = bsr_reduce(st, V.integrate_linear_form(lambda b: b.v)[:, 0])
+    rng = np.random.default_rng(0)
+    b2 = bsr_reduce(
+        st,
+        jnp.asarray(rng.normal(size=(V.n_dofs,)) * 1e3).astype(b1.dtype),
+    )
+    B = jnp.stack([b1, b2], axis=1)
+
+    # multi-column matvec == per-column matvec
+    Y = bsr_matvec_cols(st, values, B)
+    for c, bc in enumerate((b1, b2)):
+        np.testing.assert_allclose(
+            np.asarray(Y[:, c]),
+            np.asarray(bsr_matvec(st, values, bc)),
+            rtol=1e-12,
+        )
+    # the cols reduce matches the per-column reduce
+    full2 = jnp.stack(
+        [jnp.asarray(rng.normal(size=(V.n_dofs,))) for _ in range(2)], axis=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(bsr_reduce_cols(st, full2)[:, 1]),
+        np.asarray(bsr_reduce(st, full2[:, 1])),
+        rtol=0,
+    )
+
+    mv = lambda x: bsr_matvec(st, values, x)
+    X, info = pcg_cols(
+        lambda Z: bsr_matvec_cols(st, values, Z), B, tol=1e-10
+    )
+    assert bool(info.converged)
+    for c, bc in enumerate((b1, b2)):
+        x_ref, info_ref = pcg(mv, bc, tol=1e-10)
+        scale = float(jnp.abs(x_ref).max())
+        assert (
+            float(jnp.abs(X[:, c] - x_ref).max()) <= 1e-9 * max(scale, 1.0)
+        ), c

@@ -45,7 +45,7 @@ sys.path.insert(0, REPO)
 
 N_S = int(os.environ.get("EXP_N_STOKES", "115"))
 REPEATS = int(os.environ.get("EXP_REPEATS", "3"))
-TRUTH_NPZ = f"/tmp/stokes_truth_{N_S}.npz"
+TRUTH_NPZ = f"/tmp/stokes_truth_v2_{N_S}.npz"
 PI = math.pi
 
 
@@ -67,8 +67,15 @@ def build_problem(fem, jnp):
         return -(test_p.v[..., 0][..., :, None] * div[..., None, :])
 
     def load(b):
+        # solenoidal curl(sin(pi x) sin(pi y)) part (drives an O(1)
+        # velocity — with a pure-gradient forcing the f32 velocity is
+        # unresolvable: p balances f and u is the tiny remainder) plus a
+        # gradient part so the pressure stays nontrivial
         pts = b.integration_points[..., 0, :]
-        f = jnp.stack([jnp.sin(PI * pts[..., 0]), pts[..., 1] ** 2], axis=-1)
+        x, y = pts[..., 0], pts[..., 1]
+        fx = PI * jnp.sin(PI * x) * jnp.cos(PI * y) + 0.3 * jnp.sin(PI * x)
+        fy = -PI * jnp.cos(PI * x) * jnp.sin(PI * y) + 0.3 * y**2
+        f = jnp.stack([fx, fy], axis=-1)
         return (b.v * f[..., None, :]).sum(-1, keepdims=True)
 
     return mesh, Vu, Vp, a_form, b_form, Vu.integrate_linear_form(load)
@@ -102,7 +109,10 @@ def truth_main():
 
 
 def main():
-    which = sys.argv[1:] or ["base", "rec", "floor4", "floor3", "floor3max1"]
+    which = sys.argv[1:] or [
+        "base", "rec", "floor4", "floor3",
+        "aggrbm", "aggrbm_floor4", "aggrbm_floor3",
+    ]
 
     if not os.path.exists(TRUTH_NPZ):
         log("computing x64 CPU truth in subprocess...")
@@ -137,11 +147,32 @@ def main():
         "floor3max1": dict(
             tol=1e-5, inner_tol=1e-3, inner_tol_max=1e-1, **rec
         ),
+        "aggrbm": dict(
+            tol=1e-5, inner_tol=1e-6, precondition="agg_rbm", **rec
+        ),
+        "aggrbm_floor4": dict(
+            tol=1e-5, inner_tol=1e-4, precondition="agg_rbm", **rec
+        ),
+        "aggrbm_floor3": dict(
+            tol=1e-5, inner_tol=1e-3, precondition="agg_rbm", **rec
+        ),
+        # component-decoupled multi-rhs scalar A block (the viscous form
+        # here is the full-gradient contraction -> decoupled)
+        "scalar": dict(tol=1e-5, inner_tol=1e-6, scalar=True, **rec),
+        "scalar_floor4": dict(
+            tol=1e-5, inner_tol=1e-4, scalar=True, **rec
+        ),
+        "scalar_floor3": dict(
+            tol=1e-5, inner_tol=1e-3, scalar=True, **rec
+        ),
     }
 
+    a_scalar = lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
     results = {}
     for name in which:
-        kw = configs[name]
+        kw = dict(configs[name])
+        if kw.pop("scalar", False):
+            kw["a_scalar_form"] = a_scalar
         solve = compiled_stokes_solver(
             Vu, Vp, a_form, b_form, inner_maxiter=400, **kw
         )
