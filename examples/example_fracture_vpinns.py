@@ -113,6 +113,24 @@ cell_err = np.sqrt(num / np.where(np.abs(den) < 1e-10, 1.0, den))
 print(f"per-element relative H1 error: max {cell_err.max():.4f} "
       f"mean {cell_err.mean():.4f}")
 
+# interactive standalone WebGL export (the pyvista-parity render path:
+# reference example_fracture_vpinns.py:300-658 renders these with pyvista
+# windows; FEM_EXPORT_HTML=dir writes self-contained .html viewers instead)
+if os.environ.get("FEM_EXPORT_HTML"):
+    from pytorch_fem_solver_tpu.utils.html3d import export_network_html
+
+    out_dir = os.environ["FEM_EXPORT_HTML"]
+    u_nodes = np.asarray(nn(mesh["global", "vertices_3d"]))[:, 0]
+    export_network_html(
+        mesh, os.path.join(out_dir, "nn_solution.html"),
+        vertex_values=u_nodes, title="NN solution on the fracture network",
+    )
+    export_network_html(
+        mesh, os.path.join(out_dir, "relative_error.html"),
+        cell_values=cell_err, title="per-element relative H1 error",
+    )
+    print(f"wrote interactive viewers to {out_dir}/")
+
 if common.SHOW_PLOTS:
     from pytorch_fem_solver_tpu.utils.plotting import (
         plot_error_maps_per_fracture,
