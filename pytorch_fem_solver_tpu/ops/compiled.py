@@ -935,10 +935,10 @@ def compiled_stokes_solver(
     from .saddle import StokesInfo, schur_flexible_cg
     from .solvers import minres, pcg
 
-    if precondition not in ("auto", "jacobi", "agg_rbm"):
+    if precondition not in ("auto", "jacobi", "agg_rbm", "agg_comp"):
         raise ValueError(
             f"unknown precondition: {precondition!r} "
-            "(expected 'auto', 'agg_rbm' or 'jacobi')"
+            "(expected 'auto', 'agg_rbm', 'agg_comp' or 'jacobi')"
         )
     if method not in ("minres", "schur"):
         raise ValueError(
@@ -978,15 +978,31 @@ def compiled_stokes_solver(
     ast = None
     agg_table = None
     g_agg = gs = None
-    if precondition in ("auto", "agg_rbm"):
+    if precondition in ("auto", "agg_rbm", "agg_comp"):
         if is_vector:
-            ast = get_affine_two_level_structure(Vu, st, rbm=True)
-            if precondition == "agg_rbm":
-                # RBM coarse space + aggregate-block smoother: the 8x8
-                # block-Jacobi fine smoother converges at only ~0.89/iter
-                # on the P2 vector Laplacian (ops/precondition.py,
-                # affine_two_level_from_values docstring)
-                gs = min(default_aggregate_size(st), 128)
+            ast = get_affine_two_level_structure(
+                Vu,
+                st,
+                # component-indicator modes: the decoupled-block coarse
+                # space — m = nc instead of the RBM set, so the same
+                # MAX_COARSE cap admits ~2x more aggregates (finer coarse
+                # level per component; see get_affine_two_level_structure)
+                mode_kind=(
+                    "components" if precondition == "agg_comp" else "rbm"
+                ),
+            )
+            if precondition in ("agg_rbm", "agg_comp"):
+                # aggregate-block smoother: the 8x8 block-Jacobi fine
+                # smoother converges at only ~0.89/iter on the P2 vector
+                # Laplacian (ops/precondition.py,
+                # affine_two_level_from_values docstring). For agg_comp
+                # the smoother aggregate follows the (smaller) coarse
+                # aggregate of the component space.
+                gs = (
+                    min(ast.W.shape[1], 128)
+                    if precondition == "agg_comp"
+                    else min(default_aggregate_size(st), 128)
+                )
                 agg_table = jnp.asarray(build_agg_block_table(st, gs))
         else:
             g_agg = default_aggregate_size(st)
@@ -1033,7 +1049,7 @@ def compiled_stokes_solver(
         values = bsr_values_from_local_symmetric(st_d, local_a)
         diag = bsr_diagonal(st_d, values)
         precond = None
-        if precondition in ("auto", "agg_rbm"):
+        if precondition in ("auto", "agg_rbm", "agg_comp"):
             if is_vector:
                 precond = affine_two_level_from_values(
                     ast._replace(
@@ -1046,7 +1062,7 @@ def compiled_stokes_solver(
                     operand_dtype=operand_dtype,
                     fine=(
                         "agg_block"
-                        if precondition == "agg_rbm"
+                        if precondition in ("agg_rbm", "agg_comp")
                         else "block_jacobi"
                     ),
                     gs=gs,

@@ -924,32 +924,59 @@ def build_affine_two_level_structure(
 
 
 def get_affine_two_level_structure(
-    basis, structure, g: int | None = None, rbm: bool = False
+    basis,
+    structure,
+    g: int | None = None,
+    rbm: bool = False,
+    mode_kind: str | None = None,
 ) -> AffineTwoLevelStructure:
-    """Cached-per-basis affine (or rigid-body-mode) coarse tables.
+    """Cached-per-basis affine / rigid-body-mode / component coarse tables.
 
-    ``rbm=True`` (requires a vector basis carrying ``n_components``) swaps
-    the coordinate columns for ``elasticity_rbm_modes``.
+    ``mode_kind`` selects the per-aggregate column set (``rbm=True`` is a
+    shorthand for ``mode_kind="rbm"``):
+
+    * ``"affine"`` (default): [1, x, y, (z)] — scalar problems.
+    * ``"rbm"``: constants + per-component translations + rotations
+      (``elasticity_rbm_modes``) — coupled vector problems (elasticity).
+    * ``"components"``: constants + component indicators only (m =
+      n_components). The near-nullspace of a component-DECOUPLED vector
+      operator (e.g. the Stokes full-gradient viscous block) is exactly
+      per-component constants — dropping the rotation column buys
+      smaller aggregates under the same dense-coarse cap (na*m <=
+      MAX_COARSE), i.e. a finer coarse space per component. Measured on
+      the 107k-DOF Stokes A block this is the difference between the RBM
+      path's ~1049 inner iterations and the scalar-grade ~550.
     """
+    if mode_kind is None:
+        mode_kind = "rbm" if rbm else "affine"
+    if mode_kind not in ("affine", "rbm", "components"):
+        raise ValueError(f"unknown mode_kind: {mode_kind!r}")
     cache = getattr(basis, "_affine_two_level_structures", None)
     if cache is None:
         cache = {}
         basis._affine_two_level_structures = cache
     key = (structure.nb, structure.bcols.shape[1],
-           structure.heavy_rows.shape[0], g, rbm)
+           structure.heavy_rows.shape[0], g, mode_kind)
     ast = cache.get(key)
     if ast is None:
         inner = np.asarray(basis._basis_parameters["inner_dofs"])
         coords = np.asarray(basis._coords4global_dofs)[inner]
         modes = None
-        if rbm:
+        if mode_kind in ("rbm", "components"):
             nc = int(getattr(basis, "n_components", 1))
             if nc < 2:
                 raise ValueError(
-                    "rbm coarse space requires a vector basis "
+                    f"{mode_kind} coarse space requires a vector basis "
                     "(n_components >= 2)"
                 )
-            modes = elasticity_rbm_modes(coords, inner % nc)
+            if mode_kind == "rbm":
+                modes = elasticity_rbm_modes(coords, inner % nc)
+            else:
+                comp = inner % nc
+                modes = np.stack(
+                    [(comp == c).astype(np.float64) for c in range(1, nc)],
+                    axis=1,
+                )
         ast = build_affine_two_level_structure(
             structure, coords, g=g, modes=modes
         )

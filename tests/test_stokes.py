@@ -404,6 +404,7 @@ def test_compiled_stokes_scalar_a_path():
         dict(a_scalar_form=a_scalar),
         dict(a_scalar_form=a_scalar, precondition="jacobi"),
         dict(precondition="agg_rbm"),
+        dict(precondition="agg_comp"),
     ):
         u, p, info = compiled_stokes_solver(
             Vu, Vp, a_form, div_form, tol=1e-9, inner_tol=1e-11, **kw

@@ -165,6 +165,17 @@ def main():
         "scalar_floor3": dict(
             tol=1e-5, inner_tol=1e-3, scalar=True, **rec
         ),
+        # component-indicator coarse modes on the interleaved vector path:
+        # scalar-grade coarse resolution without the (n, 2) layout tax
+        "aggcomp": dict(
+            tol=1e-5, inner_tol=1e-6, precondition="agg_comp", **rec
+        ),
+        "aggcomp_floor4": dict(
+            tol=1e-5, inner_tol=1e-4, precondition="agg_comp", **rec
+        ),
+        "aggcomp_floor3": dict(
+            tol=1e-5, inner_tol=1e-3, precondition="agg_comp", **rec
+        ),
     }
 
     a_scalar = lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
