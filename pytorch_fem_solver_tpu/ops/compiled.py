@@ -836,6 +836,7 @@ def compiled_stokes_solver(
     inner_tol_max: float = 1e-2,
     f_solve_tol: Optional[float] = None,
     recovery_tol: Optional[float] = None,
+    inner_iters: Optional[int] = None,
     a_scalar_form: Optional[Callable] = None,
 ):
     """One-jit Stokes solve: the compiled counterpart of
@@ -894,6 +895,15 @@ def compiled_stokes_solver(
         pressure-dominated problems that norm is far below ``||f||``, so
         the default is effectively absolute-tight; ~``tol`` matches the
         velocity error already admitted by the outer Schur tolerance.
+      inner_iters: when set, every SCHUR-APPLY inner A-solve runs a FIXED
+        ``inner_iters`` preconditioned-CG iterations instead of solving to
+        a tolerance (inexact-Uzawa economics under the flexible outer CG,
+        which is built for inexact applies; the initial f-solve and the
+        final velocity recovery keep their tolerances — they bound the
+        solution error directly). The tolerance schedule
+        (``inner_eta``/``inner_tol``/``inner_tol_max``) is then unused by
+        the applies. See the round-5 on-chip A/B in docs/performance.md
+        (tools/exp_stokes_breakdown.py) before tuning.
       a_scalar_form: declares the viscous block COMPONENT-DECOUPLED: the
         scalar bilinear form whose operator, applied per velocity
         component, equals ``a_form`` (true for the full-gradient
@@ -965,6 +975,7 @@ def compiled_stokes_solver(
             inner_tol_max=inner_tol_max,
             f_solve_tol=f_solve_tol,
             recovery_tol=recovery_tol,
+            inner_iters=inner_iters,
         )
     Vu, Vp = velocity_basis, pressure_basis
     if mass_form is None:
@@ -1167,6 +1178,24 @@ def compiled_stokes_solver(
                 maxiter=inner_maxiter,
             )
 
+        if inner_iters is None:
+            solve_a_schur = solve_a_reduced
+        else:
+            # fixed-iteration inexact applies: tol=0 never triggers the
+            # residual test (except on an exactly-zero rhs, where PCG
+            # exits after 0 iterations), so each apply runs exactly
+            # inner_iters preconditioned-CG steps
+            def solve_a_schur(rhs_reduced, x0_red, tol_inner):
+                return pcg(
+                    lambda v: bsr_matvec(st_d, values, v),
+                    rhs_reduced,
+                    x0=x0_red,
+                    precond_diag=diag,
+                    precond=precond,
+                    tol=0.0,
+                    maxiter=inner_iters,
+                )
+
         u_f_red, info_f = solve_a_reduced(
             bsr_reduce(st_d, f),
             jnp.zeros((st.n_pad,), dtype=f.dtype),
@@ -1185,11 +1214,11 @@ def compiled_stokes_solver(
         # docstring for the warm-start/relaxed-tolerance derivation and
         # the measured 2.04 s -> sub-second cut it bought on chip.
         outer_cap = maxiter if maxiter is not None else 10 * Vp.n_dofs
-        p_flat, res_fin, k_out, atol, inner_schur = schur_flexible_cg(
+        p_flat, res_fin, k_out, atol, inner_schur, u_bt = schur_flexible_cg(
             rhs_p[:, 0],
             x0,
             apply_bt_w=lambda d: bsr_reduce(st_d, apply_bt(d[:, None])),
-            solve_a=solve_a_reduced,
+            solve_a=solve_a_schur,
             schur_out=lambda y: project_mean(
                 apply_b(bsr_expand(st_d, y, n_u))
             )[:, 0],
@@ -1203,11 +1232,13 @@ def compiled_stokes_solver(
             outer_cap=outer_cap,
         )
         p = project_mean(p_flat[:, None])
-        # velocity recovery warm-started from the f-solve
-        # (r0 = -B^T p, typically far smaller than ||f - B^T p||)
+        # velocity recovery warm-started from the outer CG's free velocity
+        # by-product u_f - u_bt ~ A^{-1}(f - B^T p) (schur_flexible_cg
+        # docstring) — the solve only has to polish the alpha-weighted
+        # inner-solve errors down to recovery_tol
         u_red, info_u = solve_a_reduced(
             bsr_reduce(st_d, f - apply_bt(p)),
-            u_f_red,
+            u_f_red - u_bt,
             recovery_tol if recovery_tol is not None else inner_tol,
         )
         u = bsr_expand(st_d, u_red, n_u)
@@ -1262,6 +1293,7 @@ def _compiled_stokes_scalar_a(
     inner_tol_max: float,
     f_solve_tol: Optional[float],
     recovery_tol: Optional[float],
+    inner_iters: Optional[int],
 ):
     """Component-decoupled Stokes schur solve (``a_scalar_form`` path).
 
@@ -1407,6 +1439,19 @@ def _compiled_stokes_scalar_a(
                 maxiter=inner_maxiter,
             )
 
+        if inner_iters is None:
+            solve_a_schur = solve_a_cols
+        else:
+            def solve_a_schur(rhs_red, x0_red, tol_inner):
+                return pcg_cols(
+                    lambda X: bsr_matvec_cols(st_d, values, X),
+                    rhs_red,
+                    x0=x0_red,
+                    precond=precond_cols,
+                    tol=0.0,
+                    maxiter=inner_iters,
+                )
+
         zeros_red = jnp.zeros((st.n_pad, nc), dtype=f.dtype)
         u_f_red, info_f = solve_a_cols(
             reduce_cols_f(f[:, 0]),
@@ -1417,11 +1462,11 @@ def _compiled_stokes_scalar_a(
 
         precond_p = lambda r: project_mean((inv_lump * r)[:, None])[:, 0]
         outer_cap = maxiter if maxiter is not None else 10 * n_p
-        p_flat, res_fin, k_out, atol, inner_schur = schur_flexible_cg(
+        p_flat, res_fin, k_out, atol, inner_schur, u_bt = schur_flexible_cg(
             rhs_p[:, 0],
             x0,
             apply_bt_w=lambda d: reduce_cols_f(apply_bt(d[:, None])[:, 0]),
-            solve_a=solve_a_cols,
+            solve_a=solve_a_schur,
             schur_out=lambda y: project_mean(
                 apply_b(expand_to_vec(y)[:, None])
             )[:, 0],
@@ -1435,9 +1480,11 @@ def _compiled_stokes_scalar_a(
             outer_cap=outer_cap,
         )
         p = project_mean(p_flat[:, None])
+        # recovery warm-started from the outer CG's free velocity
+        # by-product (see schur_flexible_cg)
         u_red, info_u = solve_a_cols(
             reduce_cols_f((f - apply_bt(p))[:, 0]),
-            u_f_red,
+            u_f_red - u_bt,
             recovery_tol if recovery_tol is not None else inner_tol,
         )
         u = expand_to_vec(u_red)[:, None]

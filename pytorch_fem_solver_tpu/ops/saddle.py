@@ -60,6 +60,7 @@ def schur_flexible_cg(
     inner_eta: float,
     inner_tol_max: float,
     outer_cap: int,
+    stall_patience: int = 10,
 ):
     """Flexible outer CG on the Schur complement with warm-started,
     tolerance-relaxed inner A-solves — the one implementation behind both
@@ -99,11 +100,34 @@ def schur_flexible_cg(
       a psum'd sum sharded). Pressure-space dots are always plain
       ``jnp.sum`` — (n_p,) vectors are replicated in both variants.
 
-    Returns ``(p_flat, res_fin, k_out, atol, inner_iters)``; the caller
-    judges convergence as ``res_fin <= atol`` and runs its own velocity
-    recovery. ``inner_iters`` is the total inner-PCG iteration count across
-    the initial Schur apply and every outer step (the recovery solve is the
-    caller's to add).
+    Returns ``(p_flat, res_fin, k_out, atol, inner_iters, u_bt)``; the
+    caller judges convergence as ``res_fin <= atol`` and runs its own
+    velocity recovery. ``inner_iters`` is the total inner-PCG iteration
+    count across the initial Schur apply and every outer step (the
+    recovery solve is the caller's to add).
+
+    ``u_bt`` is the FREE velocity by-product: the outer iterate is
+    ``p = x0 + sum_k alpha_k d_k`` and every Schur apply already computed
+    ``y_k ~ A^{-1} B^T d_k``, so ``u_bt = y_0 + sum_k alpha_k y_k``
+    approximates ``A^{-1} B^T p`` at no extra cost — the caller's velocity
+    recovery ``A u = f - B^T p`` warm-starts from ``u_f - u_bt`` (error =
+    the alpha-weighted inner-solve errors, exactly the quantity the
+    van den Eshof relaxation keeps below ~tol), which measured on chip
+    cuts the recovery solve from ~80-140 inner iterations to a handful.
+
+    INEXACT-MODE HYGIENE: when the inner solves are loose (large
+    ``inner_tol_max``, or the caller's fixed-iteration ``solve_a``), the
+    recurrence can hit its attainable-accuracy floor below the requested
+    ``tol``, and a too-inexact apply can even present an indefinite
+    operator (``d^T S~ d <= 0``) that would send plain CG divergent (to
+    the outer cap, then NaN — observed). Three guards keep the returned
+    iterate honest: (1) the BEST iterate (smallest outer residual norm,
+    with its matching ``u_bt``) is tracked and returned if the final one
+    is worse; (2) a non-positive curvature or non-finite update stops the
+    loop immediately without applying the bad step; (3) the loop stops
+    after ``stall_patience`` consecutive iterations without a new best
+    residual. ``converged`` (judged by the caller as res_fin <= atol)
+    stays False on a floor-stop — the floor is reported, not hidden.
     """
     tiny = jnp.finfo(rhs_p.dtype).tiny
     b_norm = jnp.sqrt(jnp.sum(rhs_p * rhs_p))
@@ -123,11 +147,17 @@ def schur_flexible_cg(
     r0_norm = jnp.sqrt(jnp.sum(r0 * r0))
 
     def cond(state):
-        _, r, _, _, _, _, _, k, _ = state
-        return jnp.logical_and(k < outer_cap, jnp.sqrt(jnp.sum(r * r)) > atol)
+        (_, r, _, _, _, _, _, k, _, _, _, _, _, since_best, stop) = state
+        return (
+            (k < outer_cap)
+            & (jnp.sqrt(jnp.sum(r * r)) > atol)
+            & (~stop)
+            & (since_best < stall_patience)
+        )
 
     def body(state):
-        xp, r, z, d, rz, y_prev, w_prev, k, it_tot = state
+        (xp, r, z, d, rz, y_prev, w_prev, k, it_tot, u_bt,
+         best_xp, best_ubt, best_norm, since_best, _) = state
         r_norm = jnp.sqrt(jnp.sum(r * r))
         tol_k = jnp.clip(
             inner_eta * tol * r0_norm / jnp.maximum(r_norm, tiny),
@@ -135,8 +165,13 @@ def schur_flexible_cg(
             inner_tol_max,
         )
         sd, y_new, w_new, it_k = schur_apply(d, y_prev, w_prev, tol_k)
-        alpha = rz / jnp.sum(d * sd)
-        xp = xp + alpha * d
+        denom = jnp.sum(d * sd)
+        # inexact applies can present an indefinite operator; a
+        # non-positive-curvature step would diverge — stop without it
+        ok = denom > 0
+        alpha = jnp.where(ok, rz / jnp.where(ok, denom, 1.0), 0.0)
+        xp_new = xp + alpha * d
+        u_bt_new = u_bt + alpha * y_new
         r_new = r - alpha * sd
         z_new = precond_p(r_new)
         # Polak-Ribiere (flexible) beta: exact-CG-equivalent when the
@@ -144,15 +179,39 @@ def schur_flexible_cg(
         beta = jnp.sum((r_new - r) * z_new) / rz
         rz_new = jnp.sum(r_new * z_new)
         d_new = z_new + beta * d
-        return (xp, r_new, z_new, d_new, rz_new, y_new, w_new, k + 1,
-                it_tot + it_k)
+        new_norm = jnp.sqrt(jnp.sum(r_new * r_new))
+        stop = (~ok) | (~jnp.isfinite(new_norm)) | (~jnp.isfinite(rz_new))
+        improved = (~stop) & (new_norm < best_norm)
+        best_xp = jnp.where(improved, xp_new, best_xp)
+        best_ubt = jnp.where(improved, u_bt_new, best_ubt)
+        best_norm = jnp.where(improved, new_norm, best_norm)
+        since_best = jnp.where(improved, 0, since_best + 1)
+        # a stopped step keeps the previous iterate (the bad update is
+        # never applied); the loop then exits via cond
+        keep = ~stop
+        return (
+            jnp.where(keep, xp_new, xp),
+            jnp.where(keep, r_new, r),
+            z_new, d_new, rz_new, y_new, w_new, k + 1,
+            it_tot + it_k,
+            jnp.where(keep, u_bt_new, u_bt),
+            best_xp, best_ubt, best_norm, since_best, stop,
+        )
 
-    state = (x0, r0, z0, z0, jnp.sum(r0 * z0), y0, w0, 0, it0)
-    p_flat, r_fin, _, _, _, _, _, k_out, it_tot = jax.lax.while_loop(
+    state = (x0, r0, z0, z0, jnp.sum(r0 * z0), y0, w0, 0, it0, y0,
+             x0, y0, r0_norm, 0, False)
+    (p_flat, r_fin, _, _, _, _, _, k_out, it_tot, u_bt,
+     best_xp, best_ubt, best_norm, _, _) = jax.lax.while_loop(
         cond, body, state
     )
     res_fin = jnp.sqrt(jnp.sum(r_fin * r_fin))
-    return p_flat, res_fin, k_out, atol, it_tot
+    # return the best iterate seen (== the final one whenever the loop
+    # converged monotonically; differs only on floor/stall exits)
+    take_best = best_norm < res_fin
+    p_flat = jnp.where(take_best, best_xp, p_flat)
+    u_bt = jnp.where(take_best, best_ubt, u_bt)
+    res_fin = jnp.minimum(res_fin, best_norm)
+    return p_flat, res_fin, k_out, atol, it_tot, u_bt
 
 
 def stokes_solver(

@@ -79,6 +79,7 @@ def sharded_stokes_solver(
     inner_tol_max: float = 1e-2,
     f_solve_tol: Optional[float] = None,
     recovery_tol: Optional[float] = None,
+    inner_iters: Optional[int] = None,
 ):
     """Build a jitted sharded ``solve(f, g=None, x0=None) -> (u, p,
     StokesInfo)`` for the Stokes saddle system.
@@ -232,6 +233,22 @@ def sharded_stokes_solver(
                 dot=pdot,
             )
 
+        if inner_iters is None:
+            solve_a_schur = solve_a_local
+        else:
+            # fixed-iteration inexact applies (see compiled_stokes_solver's
+            # inner_iters docs): tol=0 runs exactly inner_iters steps
+            def solve_a_schur(rhs_local, x0_local, tol_inner):
+                return pcg(
+                    matvec,
+                    rhs_local,
+                    x0=x0_local,
+                    precond=precond,
+                    tol=0.0,
+                    maxiter=inner_iters,
+                    dot=pdot,
+                )
+
         zeros_local = jnp.zeros((lrows,), dtype=dtype)
         u_f_local, info_f = solve_a_local(
             reduce_rows(f), zeros_local,
@@ -241,11 +258,11 @@ def sharded_stokes_solver(
 
         # shared flexible-CG Schur outer loop (ops/saddle.py): only the
         # layout hooks differ from the single-chip compiled solver
-        p_flat, res_fin, k_out, atol, inner_schur = schur_flexible_cg(
+        p_flat, res_fin, k_out, atol, inner_schur, u_bt = schur_flexible_cg(
             rhs_p,
             x0,
             apply_bt_w=apply_bt_local,
-            solve_a=solve_a_local,
+            solve_a=solve_a_schur,
             schur_out=lambda y: project_mean(apply_b(expand(y))),
             precond_p=precond_p,
             dot_w=pdot,
@@ -257,10 +274,11 @@ def sharded_stokes_solver(
             outer_cap=outer_cap,
         )
         p_out = project_mean(p_flat)
-        # velocity recovery warm-started from the f-solve
+        # velocity recovery warm-started from the outer CG's free velocity
+        # by-product (see schur_flexible_cg)
         u_local, info_u = solve_a_local(
             reduce_rows(f) - apply_bt_local(p_out),
-            u_f_local,
+            u_f_local - u_bt,
             recovery_tol if recovery_tol is not None else inner_tol,
         )
         u_full = expand(u_local)

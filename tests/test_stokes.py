@@ -351,6 +351,71 @@ def test_compiled_stokes_matches_eager():
     np.testing.assert_allclose(np.asarray(u3), np.asarray(u_ref), atol=1e-8)
 
 
+def test_compiled_stokes_fixed_inner_iters():
+    """inner_iters=K (fixed-iteration inexact Schur applies + the free
+    velocity-accumulation recovery warm start) still lands on the eager
+    solution: the f-solve and recovery tolerances bound the final error
+    regardless of the applies' inexactness, and the flexible outer CG
+    absorbs the non-stationarity. Covers both the interleaved vector path
+    and the component-decoupled scalar (pcg_cols) path."""
+    from pytorch_fem_solver_tpu.ops import compiled_stokes_solver, stokes_solver
+
+    def a_form(b):
+        g = b.v_grad
+        return jnp.einsum("...icd,...jcd->...ij", g, g)
+
+    def load(b):
+        pts = b.integration_points[..., 0, :]
+        f = jnp.stack(
+            [jnp.sin(math.pi * pts[..., 0]), pts[..., 1] ** 2], axis=-1
+        )
+        return (b.v * f[..., None, :]).sum(-1, keepdims=True)
+
+    mesh = fem.MeshTri(fem.unit_square(n=6))
+    Vu = fem.VectorBasis(mesh, fem.ElementTri(2, 4))
+    Vp = fem.Basis(mesh, fem.ElementTri(1, 4))
+    f = Vu.integrate_linear_form(load)
+
+    solve_eager = stokes_solver(
+        Vu, Vp, a_form, div_form, tol=1e-10, inner_tol=1e-12
+    )
+    u_ref, p_ref, info_ref = solve_eager(f)
+    assert bool(info_ref.converged)
+
+    a_scalar = lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
+    for extra in (
+        {},
+        {"a_scalar_form": a_scalar},
+    ):
+        # K large enough for the tiny problem: the fixed-K mode's TRUE
+        # accuracy is governed by K (the outer recurrence residual is not
+        # the true Schur residual under inexact applies) — measured here
+        # du ~1e-7 at K=25 vs 2.4e-3 at K=6
+        u, p, info = compiled_stokes_solver(
+            Vu, Vp, a_form, div_form, tol=1e-10, inner_tol=1e-12,
+            inner_iters=25, **extra,
+        )(f)
+        assert bool(info.converged), extra
+        np.testing.assert_allclose(
+            np.asarray(u), np.asarray(u_ref), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(p_ref), atol=1e-5
+        )
+
+        # very loose applies (K=6) must stay FINITE and land in the
+        # accuracy-floor neighbourhood — the negative-curvature/stall
+        # guards in schur_flexible_cg return the best iterate instead of
+        # diverging to the outer cap (the unguarded failure mode)
+        u6, p6, info6 = compiled_stokes_solver(
+            Vu, Vp, a_form, div_form, tol=1e-10, inner_tol=1e-12,
+            inner_iters=6, **extra,
+        )(f)
+        assert np.isfinite(np.asarray(u6)).all(), extra
+        assert np.isfinite(np.asarray(p6)).all(), extra
+        assert np.abs(np.asarray(u6) - np.asarray(u_ref)).max() < 0.05
+
+
 def test_minres_restart_zero_rejected():
     """restart=0 would lower a traced (k+1) % 0 into XLA (undefined);
     the solver rejects it up front — 'no restarts' is spelled None."""

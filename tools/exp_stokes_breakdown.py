@@ -176,6 +176,24 @@ def main():
         "aggcomp_floor3": dict(
             tol=1e-5, inner_tol=1e-3, precondition="agg_comp", **rec
         ),
+        # round-5 second pass: fixed-iteration inexact Schur applies
+        # (inner_iters=K) on top of the free-recovery u accumulation
+        "aggcomp_k8": dict(
+            tol=1e-5, precondition="agg_comp", inner_iters=8, **rec
+        ),
+        "aggcomp_k12": dict(
+            tol=1e-5, precondition="agg_comp", inner_iters=12, **rec
+        ),
+        "aggcomp_k16": dict(
+            tol=1e-5, precondition="agg_comp", inner_iters=16, **rec
+        ),
+        "scalar_k8": dict(
+            tol=1e-5, scalar=True, inner_iters=8, **rec
+        ),
+        "scalar_k12": dict(
+            tol=1e-5, scalar=True, inner_iters=12, **rec
+        ),
+        "base_k12": dict(tol=1e-5, inner_iters=12, **rec),
     }
 
     a_scalar = lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
