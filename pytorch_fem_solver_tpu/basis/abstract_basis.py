@@ -767,6 +767,21 @@ class AbstractBasis(config.HostConstructed, abc.ABC):
 
         return compiled_bsr_solver(self, bilinear_form, linear_form, **kwargs)
 
+    def compiled_refined(self, bilinear_form, linear_form=None, **kwargs):
+        """One-jit mixed-precision refined solve: f32 two-level PCG inner
+        + f64 residual recomputation, recovering x64-CPU-grade accuracy on
+        an f32 accelerator (measured 3.3e-16 off the dense x64 solve at
+        33k DOFs after 2 passes). Needs an x64-constructed basis; the
+        operator/rhs assemble once at construction. Returns
+        ``solve(b=None) -> (u, RefineInfo)``; see
+        :func:`ops.refine.compiled_refined_solver` for options.
+        """
+        from ..ops.refine import compiled_refined_solver
+
+        return compiled_refined_solver(
+            self, bilinear_form, linear_form, **kwargs
+        )
+
     def compiled_eigsh(self, a_form, m_form, k: int = 6, **kwargs):
         """One-jit generalized eigensolve: compiled counterpart of
         :meth:`solve_eigsh` (assembly + preconditioner + the whole

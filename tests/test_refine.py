@@ -91,6 +91,16 @@ def test_refined_solve_explicit_rhs_and_vector_basis():
         solve(b_vec.astype(jnp.float32))
 
 
+def test_basis_compiled_refined_hook():
+    V, a, l = _poisson_problem(n=8)
+    u_ref = V.solve(
+        V.integrate_bilinear_form(a), V.solution_tensor(),
+        V.integrate_linear_form(l),
+    )
+    u, info = V.compiled_refined(a, l, refine=2)()
+    assert float(jnp.abs(u - u_ref).max()) < 1e-12
+
+
 def test_refined_solver_rejects_f32_basis():
     V, a, l = _poisson_problem(n=4)
     import jax
