@@ -897,13 +897,19 @@ def compiled_stokes_solver(
         velocity error already admitted by the outer Schur tolerance.
       inner_iters: when set, every SCHUR-APPLY inner A-solve runs a FIXED
         ``inner_iters`` preconditioned-CG iterations instead of solving to
-        a tolerance (inexact-Uzawa economics under the flexible outer CG,
-        which is built for inexact applies; the initial f-solve and the
-        final velocity recovery keep their tolerances — they bound the
-        solution error directly). The tolerance schedule
-        (``inner_eta``/``inner_tol``/``inner_tol_max``) is then unused by
-        the applies. See the round-5 on-chip A/B in docs/performance.md
-        (tools/exp_stokes_breakdown.py) before tuning.
+        a tolerance (inexact-Uzawa economics under the flexible outer CG;
+        the initial f-solve and the final velocity recovery keep their
+        tolerances). The tolerance schedule (``inner_eta``/``inner_tol``/
+        ``inner_tol_max``) is then unused by the applies. MEASURED
+        FAST-BUT-WRONG at production tolerances (2026-08-20 on-chip A/B,
+        107k velocity DOFs, tol=1e-5): K=8/12/16 ran 0.64-0.66 s but the
+        outer recurrence "converged" while the TRUE velocity error vs the
+        x64 truth was 0.15/0.06/0.03 relative — three orders off the
+        relaxed schedule's 7e-5. Constant apply error floors the
+        attainable true residual (the vdE-S bound needs the error SMALL
+        where alpha is large); use the default schedule unless the quality
+        target is genuinely ~1e-2. The stall guards in schur_flexible_cg
+        keep this mode finite, not accurate.
       a_scalar_form: declares the viscous block COMPONENT-DECOUPLED: the
         scalar bilinear form whose operator, applied per velocity
         component, equals ``a_form`` (true for the full-gradient

@@ -194,6 +194,25 @@ def main():
             tol=1e-5, scalar=True, inner_iters=12, **rec
         ),
         "base_k12": dict(tol=1e-5, inner_iters=12, **rec),
+        # round-5 third pass: fixed-K measured fast-but-wrong (du 0.03-0.15
+        # vs the 7e-5 quality bar) — push the HONEST vdE-S schedule instead,
+        # on top of the now-free recovery (u_bt warm start: 79 -> 24 its)
+        "aggcomp_floor3max1": dict(
+            tol=1e-5, inner_tol=1e-3, inner_tol_max=1e-1,
+            precondition="agg_comp", **rec
+        ),
+        "aggcomp_floor2max1": dict(
+            tol=1e-5, inner_tol=1e-2, inner_tol_max=1e-1,
+            precondition="agg_comp", **rec
+        ),
+        "aggcomp_f4": dict(
+            tol=1e-5, inner_tol=1e-3, inner_tol_max=1e-1,
+            precondition="agg_comp", f_solve_tol=1e-4, recovery_tol=1e-5,
+        ),
+        "aggcomp_tol3": dict(
+            tol=3e-5, inner_tol=1e-3, inner_tol_max=1e-1,
+            precondition="agg_comp", **rec
+        ),
     }
 
     a_scalar = lambda b: b.v_grad @ jnp.matrix_transpose(b.v_grad)
