@@ -100,6 +100,7 @@ def run_example(name, env_extra, timeout=600):
         _param("example_fractures_fem.py"),
         _param("example_seven_fractures_vpinn.py"),
         _param("example_seven_fractures_fem.py"),
+        _param("example_refined_precision.py"),
     ],
 )
 def test_example_runs(name):
