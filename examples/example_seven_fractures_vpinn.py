@@ -69,7 +69,8 @@ def residual(basis, net):
     return basis.v - (basis.v_grad @ jnp.matrix_transpose(net.gradient(pts)))
 
 
-gram_solve = V.gram_solver(a_form, method=os.environ.get("FEM_GRAM", "cholesky"))
+GRAM = os.environ.get("FEM_GRAM", "cholesky")
+gram_solve = V.gram_solver(a_form, method=GRAM)
 
 
 def h1_error_vs_fem(basis, net):
@@ -83,20 +84,41 @@ def h1_error_vs_fem(basis, net):
     )
 
 
-def training_step(net):
-    r = V.reduce(V.integrate_linear_form(residual, net))
-    weak = (r.T @ gram_solve(r))[0, 0]
-    bc = jnp.mean(net(boundary_nodes) ** 2)
-    loss = weak + BC_WEIGHT * bc
-    h1 = jnp.sqrt(V.integrate_functional(h1_error_vs_fem, net).sum())
-    return loss, jnp.sqrt(weak) / fem_norm, h1 / fem_norm
+if GRAM == "pcg":
+    # stateful warm-start protocol: the previous epoch's Gram iterate
+    # seeds the matrix-free PCG (gradient-free; measured 66.4 -> 44.9
+    # ms/epoch on chip at h=0.1, docs/performance.md round 5)
+    def training_step(net, x_prev):
+        r = V.reduce(V.integrate_linear_form(residual, net))
+        x = gram_solve(r, x_prev)
+        weak = (r.T @ x)[0, 0]
+        bc = jnp.mean(net(boundary_nodes) ** 2)
+        loss = weak + BC_WEIGHT * bc
+        h1 = jnp.sqrt(V.integrate_functional(h1_error_vs_fem, net).sum())
+        return (loss, jnp.sqrt(weak) / fem_norm, h1 / fem_norm), x
 
+    state0 = jnp.zeros(
+        V.reduce(jnp.zeros((V.n_dofs, 1), dtype=fem_norm.dtype)).shape,
+        dtype=fem_norm.dtype,
+    )
+else:
+
+    def training_step(net):
+        r = V.reduce(V.integrate_linear_form(residual, net))
+        weak = (r.T @ gram_solve(r))[0, 0]
+        bc = jnp.mean(net(boundary_nodes) ** 2)
+        loss = weak + BC_WEIGHT * bc
+        h1 = jnp.sqrt(V.integrate_functional(h1_error_vs_fem, net).sum())
+        return loss, jnp.sqrt(weak) / fem_norm, h1 / fem_norm
+
+    state0 = None
 
 model = fem.Model(
     neural_network=nn,
     training_step=training_step,
     epochs=EPOCHS,
     optimizer_kwargs={"lr": 1e-3},
+    training_state0=state0,
 )
 model.train()
 model.load_optimal_parameters()
