@@ -160,6 +160,12 @@ def main():
             jax.ShapeDtypeStruct((nsp, gs), jnp.float32),
             jax.ShapeDtypeStruct((nsp, 1), jnp.float32),
         ],
+        # the first on-hardware compile OOM'd the 16M scoped-vmem default
+        # (the (TR, gs, gs) smoother-inverse block + 4-buffer pipeline);
+        # raise the kernel's vmem budget explicitly
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=INTERPRET,
     )
 
@@ -200,6 +206,9 @@ def main():
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=INTERPRET,
     )
 
