@@ -468,15 +468,21 @@ def bsr_matvec(structure: BSRStructure, values, x):
 def bsr_matvec_cols(structure: BSRStructure, values, X):
     """Y = A @ X for a MULTI-COLUMN operand X (n_pad, m).
 
-    The economics that make this worth a dedicated op (vs m scalar
-    matvecs): gathers are charged per row descriptor, not per float
-    (module docstring), so gathering (k, m)-shaped x-rows serves all m
-    columns for the SAME descriptor count as one column. The hot use is
-    the component-decoupled Stokes A block, where the vector Laplacian is
-    the scalar operator applied to n_components simultaneous right-hand
-    sides — halving both the streamed operator values (the interleaved
-    vector BSR stores every block twice with zero cross-component entries)
-    and the per-component gather cost.
+    The hot use is the component-decoupled Stokes A block, where the
+    vector Laplacian is the scalar operator applied to n_components
+    simultaneous right-hand sides: the operator VALUES stream once for
+    all m columns (the interleaved vector BSR stores every block twice
+    with zero cross-component entries). MEASURED CAVEAT (round-5 on-chip
+    A/B, docs/performance.md): the original per-descriptor-gather
+    hypothesis did NOT hold — a lockstep iteration at m=2 costs ~2.2 ms
+    vs the interleaved vector path's ~1.1 ms at the same 107k-DOF scale
+    (the gathered (k, m) payload is charged per element, and the (n, m)
+    trailing-dim layout lane-pads every vector op m->128). The multi-rhs
+    path still wins SWEEPS (the per-component scalar preconditioner is
+    much finer under the same dense-coarse cap: 462 lockstep vs 709
+    interleaved iterations), but loses wall-clock; prefer the interleaved
+    path with precondition='agg_comp' until a lane-tax-free multi-column
+    layout exists.
     """
     v1, v2 = values
     m = X.shape[-1]
